@@ -1,0 +1,140 @@
+"""Dense/naive reference implementations for algorithm oracles.
+
+Used only in tests (FIXTURES.md §4): small graphs, O(n^2)/O(n^3) is fine.
+Semantics deliberately mirror the engine's documented semantics:
+
+- PageRank: ``rank = (1-d)/N + d * sum(rank[u]/outdeg[u])`` over in-neighbors,
+  no dangling-mass redistribution (matches FlashGraph's
+  ``libgraph-algs/page_rank.cpp`` formula per SURVEY.md §2.2 A1);
+  convergence on L1 delta < eps.
+- WCC: minimum vertex id per weakly-connected component.
+- Triangles: undirected triangle count per vertex (each triangle counts once
+  per member vertex).
+- k-core: largest k such that the vertex survives iterative peeling.
+- BFS: hop distance from a seed set (unreachable = -1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _vertices(src, dst):
+    return np.unique(np.concatenate([src, dst]))
+
+
+def pagerank_dense(src, dst, d=0.85, eps=1e-6, max_iter=200):
+    verts = _vertices(src, dst)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    s = np.array([idx[v] for v in src])
+    t = np.array([idx[v] for v in dst])
+    outdeg = np.bincount(s, minlength=n).astype(float)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        w = rank[s] / np.maximum(outdeg[s], 1.0)
+        np.add.at(contrib, t, w)
+        new = (1 - d) / n + d * contrib
+        delta = np.abs(new - rank).sum()
+        rank = new
+        if delta < eps:
+            break
+    return dict(zip(verts.tolist(), rank.tolist()))
+
+
+def wcc_minlabel(src, dst):
+    verts = _vertices(src, dst)
+    idx = {v: i for i, v in enumerate(verts)}
+    parent = np.arange(len(verts))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in zip(src, dst):
+        ra, rb = find(idx[a]), find(idx[b])
+        if ra != rb:
+            parent[ra] = rb
+    roots = np.array([find(i) for i in range(len(verts))])
+    # min vertex id per component
+    comp_min = {}
+    for v, r in zip(verts, roots):
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {int(v): int(comp_min[r]) for v, r in zip(verts, roots)}
+
+
+def triangles_per_vertex(src, dst):
+    """src/dst assumed to contain both directions of each undirected edge."""
+    verts = _vertices(src, dst)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    adj = np.zeros((n, n), dtype=bool)
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[idx[a], idx[b]] = True
+            adj[idx[b], idx[a]] = True
+    counts = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        nbrs = np.nonzero(adj[i])[0]
+        for jpos in range(len(nbrs)):
+            for kpos in range(jpos + 1, len(nbrs)):
+                if adj[nbrs[jpos], nbrs[kpos]]:
+                    counts[i] += 1
+    return {int(v): int(counts[idx[v]]) for v in verts}
+
+
+def kcore_peel(src, dst):
+    """Coreness per vertex by iterative peeling (undirected input)."""
+    verts = _vertices(src, dst)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    nbrs = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        if a != b:
+            nbrs[idx[a]].add(idx[b])
+            nbrs[idx[b]].add(idx[a])
+    deg = np.array([len(s) for s in nbrs])
+    core = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    k = 0
+    while alive.any():
+        k += 1
+        changed = True
+        while changed:
+            changed = False
+            for i in range(n):
+                if alive[i] and deg[i] < k:
+                    alive[i] = False
+                    core[i] = k - 1
+                    for j in nbrs[i]:
+                        if alive[j]:
+                            deg[j] -= 1
+                    changed = True
+    return {int(v): int(core[idx[v]]) for v in verts}
+
+
+def bfs_dist(src, dst, seeds):
+    verts = _vertices(src, dst)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    nbrs = [[] for _ in range(n)]
+    for a, b in zip(src, dst):
+        nbrs[idx[a]].append(idx[b])
+    dist = np.full(n, -1, dtype=np.int64)
+    frontier = [idx[s] for s in seeds if s in idx]
+    for f in frontier:
+        dist[f] = 0
+    level = 0
+    while frontier:
+        level += 1
+        nxt = []
+        for u in frontier:
+            for v in nbrs[u]:
+                if dist[v] == -1:
+                    dist[v] = level
+                    nxt.append(v)
+        frontier = nxt
+    return {int(v): int(dist[idx[v]]) for v in verts}

@@ -1,0 +1,214 @@
+"""One-call algorithm API — the rebuild of ``flash-graph/FGlib.h``
+(``compute_pagerank``, ``compute_wcc``, … each returning an ``FG_vector``;
+SURVEY.md §2.2). Each function owns its iteration policy and drives the
+superstep engine; results come back as a pandas DataFrame
+``(vertex_id, value)`` (small) or a partitioned parquet dir (large, via
+``out_dir=``) — the FG_vector analogue (SURVEY.md §2.3 S4).
+
+All functions accept ``checkpoint_dir``/``checkpoint_interval``/``resume``
+for mid-algorithm resumability (north-rule addition; the reference reruns
+from scratch on failure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flashray import checkpoint as ckpt
+from flashray.build import Graph
+from flashray.csr import INT_IDENTITY
+from flashray.engine import Engine
+from flashray.programs import BFS, DeltaPageRank, KCorePeel, MinLabel, PageRank
+
+
+def _finish(eng: Engine, out_dir: str | None, sort: bool = True):
+    if out_dir is not None:
+        eng.write_values(out_dir)
+        return out_dir
+    df = eng.values_pandas()
+    if sort:
+        df = df.sort_values("vertex_id").reset_index(drop=True)
+    return df
+
+
+def _maybe_checkpoint(eng: Engine, checkpoint_dir, interval: int):
+    if checkpoint_dir is not None and eng.iteration % interval == 0:
+        eng.checkpoint(checkpoint_dir)
+
+
+def _maybe_resume(eng: Engine, checkpoint_dir, resume: bool) -> None:
+    if resume and checkpoint_dir is not None and ckpt.has_checkpoint(checkpoint_dir):
+        eng.restore(checkpoint_dir)
+
+
+def pagerank(
+    graph: Graph,
+    *,
+    damping: float = 0.85,
+    eps: float = 1e-6,
+    max_iters: int = 200,
+    mode: str = "pull",
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    actor_cpus: float | None = None,
+):
+    """A1/A2. ``mode='pull'`` = dense power iteration (compute_pagerank);
+    ``mode='push'`` = delta/frontier PageRank (compute_pagerank2)."""
+    prog = (
+        PageRank(damping) if mode == "pull" else DeltaPageRank(damping, tol=eps * 1e-3)
+    )
+    with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
+        _maybe_resume(eng, checkpoint_dir, resume)
+        while eng.iteration < max_iters:
+            m = eng.step()
+            _maybe_checkpoint(eng, checkpoint_dir, checkpoint_interval)
+            if m["delta"] < eps:
+                break
+        if checkpoint_dir is not None:
+            eng.checkpoint(checkpoint_dir)
+        result = _finish(eng, out_dir)
+        lineage = list(eng.lineage)
+    return _with_lineage(result, lineage)
+
+
+def _frontier_loop(
+    graph,
+    prog,
+    *,
+    max_iters,
+    out_dir,
+    checkpoint_dir,
+    checkpoint_interval,
+    resume,
+    actor_cpus,
+    postprocess=None,
+):
+    with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
+        _maybe_resume(eng, checkpoint_dir, resume)
+        while eng.iteration < max_iters:
+            m = eng.step()
+            _maybe_checkpoint(eng, checkpoint_dir, checkpoint_interval)
+            if m["changed"] == 0:
+                break
+        if checkpoint_dir is not None:
+            eng.checkpoint(checkpoint_dir)
+        result = _finish(eng, out_dir)
+        if postprocess is not None and out_dir is None:
+            result = postprocess(result)
+        lineage = list(eng.lineage)
+    return _with_lineage(result, lineage)
+
+
+def wcc(graph: Graph, *, max_iters: int = 200, out_dir=None, checkpoint_dir=None,
+        checkpoint_interval: int = 5, resume: bool = False, actor_cpus=None):
+    """A3: weakly connected components (hash-min label propagation);
+    ``value`` = min vertex id of the component. Expects a symmetrized graph
+    for the undirected-WCC semantics (libgraph-algs/wcc.cpp)."""
+    return _frontier_loop(
+        graph, MinLabel(None), max_iters=max_iters, out_dir=out_dir,
+        checkpoint_dir=checkpoint_dir, checkpoint_interval=checkpoint_interval,
+        resume=resume, actor_cpus=actor_cpus,
+    )
+
+
+def label_propagation(graph: Graph, seeds: dict, *, max_iters: int = 200,
+                      out_dir=None, checkpoint_dir=None, checkpoint_interval: int = 5,
+                      resume: bool = False, actor_cpus=None):
+    """A4: min-semiring label propagation from seed labels; unreached
+    vertices keep the INT_IDENTITY sentinel (mapped to -1 in the output)."""
+
+    def clean(df):
+        df["value"] = np.where(df["value"] == INT_IDENTITY, -1, df["value"])
+        return df
+
+    return _frontier_loop(
+        graph, MinLabel(seeds), max_iters=max_iters, out_dir=out_dir,
+        checkpoint_dir=checkpoint_dir, checkpoint_interval=checkpoint_interval,
+        resume=resume, actor_cpus=actor_cpus, postprocess=clean,
+    )
+
+
+def bfs(graph: Graph, seeds, *, max_iters: int = 10_000, out_dir=None,
+        checkpoint_dir=None, checkpoint_interval: int = 10, resume: bool = False,
+        actor_cpus=None):
+    """A10: hop distance from the seed set (-1 = unreachable)."""
+
+    def clean(df):
+        df["value"] = np.where(df["value"] == INT_IDENTITY, -1, df["value"])
+        return df
+
+    return _frontier_loop(
+        graph, BFS(seeds), max_iters=max_iters, out_dir=out_dir,
+        checkpoint_dir=checkpoint_dir, checkpoint_interval=checkpoint_interval,
+        resume=resume, actor_cpus=actor_cpus, postprocess=clean,
+    )
+
+
+def kcore(graph: Graph, *, out_dir=None, checkpoint_dir=None,
+          checkpoint_interval: int = 10, resume: bool = False, actor_cpus=None,
+          max_supersteps: int = 100_000):
+    """A9: full k-core decomposition (coreness per vertex) by iterative
+    peeling on a symmetrized graph. The driver raises k when a phase
+    stabilizes (broadcast event), mirroring compute_kcore's per-k loop."""
+    with Engine(graph, KCorePeel(), actor_cpus=actor_cpus) as eng:
+        _maybe_resume(eng, checkpoint_dir, resume)
+        k = 1
+        steps = 0
+        while steps < max_supersteps:
+            m = eng.step()
+            steps += 1
+            _maybe_checkpoint(eng, checkpoint_dir, checkpoint_interval)
+            if m["changed"] == 0:
+                alive = m.get("alive", 0)
+                while alive > 0:
+                    k += 1
+                    ev = eng.broadcast_event({"k": k})
+                    alive = ev.get("alive", 0)
+                    if ev.get("changed", 0) > 0:
+                        break  # new removals must propagate decrements
+                else:
+                    break  # nothing alive anywhere: done
+        if checkpoint_dir is not None:
+            eng.checkpoint(checkpoint_dir)
+        result = _finish(eng, out_dir)
+        lineage = list(eng.lineage)
+    return _with_lineage(result, lineage)
+
+
+def pseudo_diameter(graph: Graph, *, sweeps: int = 4, start_vertex=None,
+                    actor_cpus=None) -> int:
+    """A11 (libgraph-algs/diameter_graph.cpp — estimate_diameter): repeated
+    BFS sweeps, restarting from the farthest vertex found."""
+    if start_vertex is None:
+        import ray.data
+
+        start_vertex = int(
+            graph.vertices_dataset(columns=["vertex_id"]).take(1)[0]["vertex_id"]
+        )
+    best = 0
+    seed = start_vertex
+    for _ in range(sweeps):
+        df = bfs(graph, [seed], actor_cpus=actor_cpus)
+        reached = df[df["value"] >= 0]
+        far = reached.loc[reached["value"].idxmax()]
+        if far["value"] <= best and int(far["vertex_id"]) == seed:
+            break
+        best = max(best, int(far["value"]))
+        seed = int(far["vertex_id"])
+    return best
+
+
+def degrees(graph: Graph):
+    """A15 (FGlib.h — get_degree): the vertex/degree table as a Dataset."""
+    return graph.vertices_dataset()
+
+
+def _with_lineage(result, lineage):
+    """Attach per-superstep lineage metrics to a DataFrame result."""
+    try:
+        result.attrs["lineage"] = lineage
+    except AttributeError:
+        pass
+    return result

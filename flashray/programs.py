@@ -1,0 +1,268 @@
+"""Vertex programs — the rebuild's ``compute_vertex``/``vertex_program``
+subclass surface (flash-graph/graph_engine.h, vertex_program.h; SURVEY.md
+§2.5). Each program is a small vectorized strategy object consumed by the
+superstep engine:
+
+- ``signal(shard, state)`` — per-owned-vertex scatter value (the reference's
+  per-vertex ``run()`` + ``send_msg`` collapsed into one vectorized array op);
+- ``combine``/``identity`` — the message semiring (Sum for PageRank, Min for
+  hash-min label propagation / BFS), applied map-side via reduceat and
+  reduce-side via fancy-indexed updates;
+- ``apply(shard, state, agg, N)`` — the reference's ``run_on_message`` +
+  activation (E5/E8): mutate state, set the next frontier, return metrics.
+
+All combiners are associative + commutative, so shuffle order never affects
+results (SURVEY.md §4 "Ordering").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flashray.csr import INT_IDENTITY, ShardData
+
+
+class VertexProgram:
+    combine: str = "sum"
+    identity = 0.0
+    dtype = np.float64
+    frontier_only: bool = False  # inactive sources send the identity
+    use_weights: bool = False
+
+    def init_state(self, shard: ShardData, N: int) -> dict:
+        raise NotImplementedError
+
+    def signal(self, shard: ShardData, state: dict) -> np.ndarray:
+        raise NotImplementedError
+
+    def apply(self, shard: ShardData, state: dict, agg: np.ndarray, N: int) -> dict:
+        raise NotImplementedError
+
+    def on_event(self, shard: ShardData, state: dict, payload: dict) -> dict:
+        return {}
+
+    # columns persisted by checkpoint/restore (all per-vertex arrays)
+    def state_columns(self) -> list[str]:
+        return ["values", "active"]
+
+
+class PageRank(VertexProgram):
+    """A1 (libgraph-algs/page_rank.cpp — compute_pagerank):
+    ``rank = (1-d)/N + d * Σ_in rank(u)/outdeg(u)``, no dangling-mass
+    redistribution; L1 convergence."""
+
+    combine = "sum"
+    identity = 0.0
+
+    def __init__(self, damping: float = 0.85):
+        self.damping = damping
+
+    def init_state(self, shard, N):
+        return {
+            "values": np.full(shard.nv, 1.0 / max(N, 1)),
+            "active": np.ones(shard.nv, dtype=bool),
+        }
+
+    def signal(self, shard, state):
+        outd = shard.out_degree
+        return np.where(outd > 0, state["values"] / np.maximum(outd, 1), 0.0)
+
+    def apply(self, shard, state, agg, N):
+        d = self.damping
+        new = (1.0 - d) / max(N, 1) + d * agg
+        delta = float(np.abs(new - state["values"]).sum())
+        state["values"] = new
+        return {"delta": delta, "changed": shard.nv, "active": shard.nv}
+
+
+class MinLabel(VertexProgram):
+    """A3/A4 (libgraph-algs/wcc.cpp — compute_wcc): hash-min label
+    propagation. With default labels (= vertex id) this is WCC; with seed
+    labels it is generic min-semiring label propagation. Frontier: only
+    vertices whose label changed propagate next superstep (E8)."""
+
+    combine = "min"
+    identity = INT_IDENTITY
+    dtype = np.int64
+    frontier_only = True
+
+    def __init__(self, seeds: dict | None = None):
+        # seeds: vertex_id -> int label; None = WCC (label = own id)
+        self.seeds = seeds
+
+    def init_state(self, shard, N):
+        if self.seeds is None:
+            values = shard.vertex_ids.copy()
+            active = np.ones(shard.nv, dtype=bool)
+        else:
+            values = np.full(shard.nv, INT_IDENTITY, dtype=np.int64)
+            active = np.zeros(shard.nv, dtype=bool)
+            if self.seeds and shard.nv:
+                sid = np.asarray(sorted(self.seeds), dtype=np.int64)
+                lab = np.asarray([self.seeds[int(v)] for v in sid], dtype=np.int64)
+                pos = np.searchsorted(shard.vertex_ids, sid)
+                m = (pos < shard.nv) & (
+                    shard.vertex_ids[np.minimum(pos, shard.nv - 1)] == sid
+                )
+                values[pos[m]] = lab[m]
+                active[pos[m]] = True
+        return {"values": values, "active": active}
+
+    def signal(self, shard, state):
+        return state["values"]
+
+    def apply(self, shard, state, agg, N):
+        new = np.minimum(state["values"], agg)
+        changed = new < state["values"]
+        state["values"] = new
+        state["active"] = changed
+        n = int(changed.sum())
+        return {"delta": float(n), "changed": n, "active": n}
+
+
+class BFS(VertexProgram):
+    """A10: hop distance from a seed set; min-combine of dist+1."""
+
+    combine = "min"
+    identity = INT_IDENTITY
+    dtype = np.int64
+    frontier_only = True
+
+    def __init__(self, seeds):
+        self.seeds = np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64)
+
+    def init_state(self, shard, N):
+        values = np.full(shard.nv, INT_IDENTITY, dtype=np.int64)
+        active = np.zeros(shard.nv, dtype=bool)
+        if shard.nv and len(self.seeds):
+            pos = np.searchsorted(shard.vertex_ids, self.seeds)
+            m = (pos < shard.nv) & (
+                shard.vertex_ids[np.minimum(pos, shard.nv - 1)] == self.seeds
+            )
+            values[pos[m]] = 0
+            active[pos[m]] = True
+        return {"values": values, "active": active}
+
+    def signal(self, shard, state):
+        v = state["values"]
+        return np.where(v < INT_IDENTITY, v + 1, INT_IDENTITY)
+
+    def apply(self, shard, state, agg, N):
+        new = np.minimum(state["values"], agg)
+        changed = new < state["values"]
+        state["values"] = new
+        state["active"] = changed
+        n = int(changed.sum())
+        return {"delta": float(n), "changed": n, "active": n}
+
+
+class KCorePeel(VertexProgram):
+    """A9 (libgraph-algs/k_core.cpp — compute_kcore): iterative peeling on
+    the symmetrized graph. Phase k removes vertices with residual degree
+    < k until stable; removed vertices get coreness k-1. The driver bumps
+    ``k`` via ``on_event`` when a phase stabilizes (E11's scheduling need is
+    expressed as iteration structure, SURVEY.md §2.1)."""
+
+    combine = "sum"
+    identity = 0.0
+    frontier_only = True
+
+    def init_state(self, shard, N):
+        deg = shard.out_degree.astype(np.float64)  # symmetrized: out == degree
+        k = 1
+        removing = deg < k
+        core = np.zeros(shard.nv, dtype=np.int64)
+        core[removing] = k - 1
+        return {
+            "values": core,  # coreness (final output)
+            "deg": deg,
+            "alive": ~removing,
+            "active": removing,  # the set scattering -1s this superstep
+            "k": k,
+        }
+
+    def signal(self, shard, state):
+        return np.ones(shard.nv)
+
+    def apply(self, shard, state, agg, N):
+        k = state["k"]
+        alive = state["alive"]
+        state["deg"] = state["deg"] - np.where(alive, agg, 0.0)
+        newly = alive & (state["deg"] < k)
+        state["values"][newly] = k - 1
+        alive &= ~newly
+        state["active"] = newly
+        n = int(newly.sum())
+        return {
+            "delta": float(n),
+            "changed": n,
+            "active": n,
+            "alive": int(alive.sum()),
+        }
+
+    def on_event(self, shard, state, payload):
+        """Phase transition: raise k, immediately peel now-underdegree
+        vertices (no messages needed for the first wave)."""
+        k = int(payload["k"])
+        state["k"] = k
+        alive = state["alive"]
+        newly = alive & (state["deg"] < k)
+        state["values"][newly] = k - 1
+        alive &= ~newly
+        state["active"] = newly
+        return {"changed": int(newly.sum()), "alive": int(alive.sum())}
+
+    def state_columns(self):
+        return ["values", "deg", "alive", "active"]
+
+
+class DeltaPageRank(VertexProgram):
+    """A2 (libgraph-algs/page_rank.cpp — compute_pagerank2): push/delta
+    PageRank. Vertices accumulate incoming delta-mass; only vertices whose
+    pending delta exceeds ``tol`` push ``d * delta / outdeg`` onward.
+    Converges to the same fixpoint as :class:`PageRank`; the late-iteration
+    frontier shrinks, so edges processed per superstep drops (sparse mode)."""
+
+    combine = "sum"
+    identity = 0.0
+    frontier_only = True
+
+    def __init__(self, damping: float = 0.85, tol: float = 1e-9):
+        self.damping = damping
+        self.tol = tol
+
+    def init_state(self, shard, N):
+        base = (1.0 - self.damping) / max(N, 1)
+        return {
+            "values": np.full(shard.nv, base),
+            "pending": np.full(shard.nv, base),  # mass not yet pushed
+            "active": np.ones(shard.nv, dtype=bool),
+        }
+
+    def signal(self, shard, state):
+        outd = np.maximum(shard.out_degree, 1)
+        return np.where(
+            shard.out_degree > 0,
+            self.damping * state["pending"] / outd,
+            0.0,
+        )
+
+    def apply(self, shard, state, agg, N):
+        # pushed mass is now reflected downstream; absorb incoming deltas
+        pushed = state["active"]
+        state["pending"] = np.where(pushed, 0.0, state["pending"]) + agg
+        state["values"] = state["values"] + agg
+        # dangling vertices absorb mass terminally (matches pull-PR's
+        # no-dangling-redistribution semantics)
+        state["pending"][shard.out_degree == 0] = 0.0
+        nxt = np.abs(state["pending"]) > self.tol
+        state["active"] = nxt
+        n = int(nxt.sum())
+        return {
+            "delta": float(np.abs(state["pending"]).sum()),
+            "changed": n,
+            "active": n,
+        }
+
+    def state_columns(self):
+        return ["values", "pending", "active"]

@@ -1,0 +1,141 @@
+"""Algorithm correctness on closed-form fixtures (FIXTURES.md §4)."""
+
+import numpy as np
+import pytest
+
+from flashray import algorithms, fixtures
+from flashray.build import build_graph_from_arrays
+
+import oracles
+
+
+@pytest.fixture(scope="module")
+def tmp_graphs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("graphs")
+    cache = {}
+
+    def get(name, edges_fn, **kwargs):
+        if name not in cache:
+            src, dst = edges_fn()
+            cache[name] = (
+                build_graph_from_arrays(src, dst, str(base / name), num_partitions=4, **kwargs),
+                (src, dst),
+            )
+        return cache[name]
+
+    return get
+
+
+FIXES = {
+    "k3": fixtures.k3_edges,
+    "cycle3": fixtures.cycle3_edges,
+    "star8": fixtures.star_edges,
+    "two_components": fixtures.two_components_edges,
+    "path5": fixtures.path_edges,
+    "er100": fixtures.er_edges,
+}
+
+
+@pytest.mark.parametrize("name", list(FIXES))
+def test_pagerank_matches_dense_oracle(tmp_graphs, name):
+    graph, (src, dst) = tmp_graphs(name, FIXES[name])
+    df = algorithms.pagerank(graph, eps=1e-10)
+    want = oracles.pagerank_dense(src, dst, eps=1e-10)
+    got = dict(zip(df["vertex_id"], df["value"]))
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (name, v)
+
+
+def test_pagerank_k3_uniform(tmp_graphs):
+    graph, _ = tmp_graphs("k3", FIXES["k3"])
+    df = algorithms.pagerank(graph, eps=1e-10)
+    assert np.allclose(df["value"], 1 / 3, atol=1e-6)
+
+
+def test_pagerank_push_matches_pull(tmp_graphs):
+    graph, _ = tmp_graphs("er100", FIXES["er100"])
+    pull = algorithms.pagerank(graph, eps=1e-10)
+    push = algorithms.pagerank(graph, eps=1e-10, mode="push")
+    assert np.allclose(pull["value"], push["value"], atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["k3", "two_components", "path5", "er100"])
+def test_wcc_matches_union_find(tmp_graphs, name):
+    graph, (src, dst) = tmp_graphs(name, FIXES[name])
+    df = algorithms.wcc(graph)
+    want = oracles.wcc_minlabel(src, dst)
+    got = dict(zip(df["vertex_id"].astype(int), df["value"].astype(int)))
+    assert got == want
+
+
+def test_wcc_two_components_exact(tmp_graphs):
+    graph, _ = tmp_graphs("two_components", FIXES["two_components"])
+    df = algorithms.wcc(graph)
+    got = dict(zip(df["vertex_id"].astype(int), df["value"].astype(int)))
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+
+
+def test_label_propagation_seeds(tmp_graphs):
+    graph, _ = tmp_graphs("two_components", FIXES["two_components"])
+    df = algorithms.label_propagation(graph, {0: 7, 10: 9})
+    got = dict(zip(df["vertex_id"].astype(int), df["value"].astype(int)))
+    assert got == {0: 7, 1: 7, 2: 7, 10: 9, 11: 9}
+
+
+def test_label_propagation_unreached(tmp_graphs):
+    graph, _ = tmp_graphs("two_components", FIXES["two_components"])
+    df = algorithms.label_propagation(graph, {10: 3})
+    got = dict(zip(df["vertex_id"].astype(int), df["value"].astype(int)))
+    assert got == {0: -1, 1: -1, 2: -1, 10: 3, 11: 3}
+
+
+@pytest.mark.parametrize("name,seeds", [("path5", [0]), ("er100", [0]), ("two_components", [0])])
+def test_bfs_matches_oracle(tmp_graphs, name, seeds):
+    graph, (src, dst) = tmp_graphs(name, FIXES[name])
+    df = algorithms.bfs(graph, seeds)
+    want = oracles.bfs_dist(src, dst, seeds)
+    got = dict(zip(df["vertex_id"].astype(int), df["value"].astype(int)))
+    assert got == want
+
+
+@pytest.mark.parametrize("name", ["k3", "star8", "path5", "er100"])
+def test_kcore_matches_peeling(tmp_graphs, name):
+    graph, (src, dst) = tmp_graphs(name, FIXES[name])
+    df = algorithms.kcore(graph)
+    want = oracles.kcore_peel(src, dst)
+    got = dict(zip(df["vertex_id"].astype(int), df["value"].astype(int)))
+    assert got == want
+
+
+def test_pseudo_diameter_path(tmp_graphs):
+    graph, _ = tmp_graphs("path5", FIXES["path5"])
+    assert algorithms.pseudo_diameter(graph) == 4
+
+
+def test_skew_split_matches_unsplit(tmp_graphs, tmp_path):
+    """Vertical partitioning of the hub (E12) must not change results."""
+    src, dst = fixtures.star_edges(32)
+    g_split = build_graph_from_arrays(
+        src, dst, str(tmp_path / "star_split"), num_partitions=4, skew_threshold=8
+    )
+    assert len(g_split.meta.split_vertices) == 1  # the hub
+    g_plain, _ = tmp_graphs("star8", FIXES["star8"])
+    df = algorithms.pagerank(g_split, eps=1e-10)
+    want = oracles.pagerank_dense(src, dst, eps=1e-10)
+    got = dict(zip(df["vertex_id"], df["value"]))
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6
+    # frontier programs over the split hub too
+    wdf = algorithms.wcc(g_split)
+    assert set(wdf["value"].astype(int)) == {0}
+
+
+def test_lineage_metrics_present(tmp_graphs):
+    graph, _ = tmp_graphs("er100", FIXES["er100"])
+    df = algorithms.pagerank(graph, eps=1e-8)
+    lin = df.attrs["lineage"]
+    assert len(lin) >= 2
+    for rec in lin:
+        assert {"delta", "messages", "active", "iteration", "wall_sec"} <= set(rec)
+    assert lin[0]["messages"] == graph.meta.num_edges

@@ -1,44 +1,604 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in flashray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship pipeline at sf0.001 scale: synthetic transcripts →
+  edge extraction → partitioned graph build → PageRank to 1e-6; returns the
+  per-vertex rank Dataset.
+- ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+  datapipe additions). SQL-expressible ones have a DuckDB oracle in
+  ``oracle_sql()``; iterative graph algorithms are checked through
+  SQL-expressible *invariants* (e.g. WCC component-size histogram of the
+  reply-only graph == conversation-length histogram) plus the pytest
+  numeric oracles in tests/.
+
+Transcript inputs are generated deterministically (FIXTURES.md §1) both in
+Python (flashray.fixtures.make_transcripts) and in the oracle SQL
+(flashray.fixtures.transcripts_sql) — byte-identical by construction, no
+file side-channel.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_GRAPH_CACHE: dict[str, Any] = {}
+_CACHE_ROOT = "/tmp/flashray/cache_v1"
+
+
+def _tier(sf_dir: str) -> str:
+    from flashray import fixtures
+
+    return fixtures.tier_for_sf_dir(sf_dir)
+
+
+def _transcripts_ds(sf_dir: str):
+    import ray.data as rd
+
+    from flashray import fixtures
+
+    tier = _tier(sf_dir)
+    path = os.path.join(_CACHE_ROOT, f"transcripts_{tier}.parquet")
+    fixtures.write_transcripts(path, tier)
+    return rd.read_parquet(path)
+
+
+def _graph(sf_dir: str, *, symmetrize: bool, etypes=None) -> Any:
+    """Build (once per process+tier+flags) the transcript-derived graph."""
+    from flashray import extract
+    from flashray.build import Graph, build_graph
+
+    tier = _tier(sf_dir)
+    ekey = "all" if etypes is None else "-".join(sorted(etypes))
+    key = f"{tier}_{'sym' if symmetrize else 'dir'}_{ekey}"
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    path = os.path.join(_CACHE_ROOT, "graphs", key)
+    if os.path.exists(os.path.join(path, "meta.json")):
+        g = Graph.load(path)
+    else:
+        ds = _transcripts_ds(sf_dir)
+        kwargs = {} if etypes is None else {"etypes": tuple(etypes)}
+        edges = extract.extract_edges(ds, **kwargs)
+        g = build_graph(edges, path, num_partitions=8, symmetrize=symmetrize)
+    _GRAPH_CACHE[key] = g
+    return g
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: transcripts → edges → graph → PageRank (sf0.001 scale)."""
+    import ray.data as rd
+
+    from flashray import algorithms
+
+    g = _graph("/root/testdata/sf0.001", symmetrize=False)
+    out_dir = os.path.join(_CACHE_ROOT, "entry_pagerank")
+    algorithms.pagerank(g, eps=1e-6, out_dir=out_dir)
+    return rd.read_parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def _q_transcripts_passthrough(sf_dir: str):
+    from flashray import extract
+
+    return extract.normalize_transcripts(_transcripts_ds(sf_dir))
+
+
+def _q_extract_edges_keys(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from flashray import extract
+
+    ds = _transcripts_ds(sf_dir).map_batches(
+        extract.extract_edges_keys_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby(["src_key", "dst_key", "etype"]).aggregate(
+        Count(alias_name="weight")
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("weight"),
+            "weight",
+            b["weight"].cast(pa.float64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_reply_edges_keys(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = _q_extract_edges_keys(sf_dir)
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b["etype"], "reply")), batch_format="pyarrow"
+    )
+
+
+def _q_vertex_degrees_keys(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from flashray import extract
+
+    ds = _transcripts_ds(sf_dir).map_batches(
+        extract.extract_edges_keys_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "vertex_key": pa.concat_arrays(
+                    [b["src_key"].combine_chunks(), b["dst_key"].combine_chunks()]
+                ),
+                "out_degree": pa.array(
+                    np.r_[np.ones(n, dtype=np.int64), np.zeros(n, dtype=np.int64)]
+                ),
+                "in_degree": pa.array(
+                    np.r_[np.zeros(n, dtype=np.int64), np.ones(n, dtype=np.int64)]
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("vertex_key")
+        .aggregate(
+            Sum("out_degree", alias_name="out_degree"),
+            Sum("in_degree", alias_name="in_degree"),
+        )
+    )
+
+
+def _q_events_user_edges(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"],
+    )
+    return ds.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="weight"), Sum("value", alias_name="sum_value")
+    )
+
+
+def _tool_cooccur_edges_ds(sf_dir: str):
+    """Undirected tool co-occurrence edges: tools used within the same
+    hour-long time bucket, weight = number of buckets where both occur.
+    (Per-conversation co-occurrence is degenerate in this fixture: the role
+    cycle makes every tool turn of a conversation pick the same tool.)"""
+    import pandas as pd_
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from flashray.fixtures import EPOCH_US
+
+    ds = _transcripts_ds(sf_dir)
+
+    def hour_tool(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["tool"]))
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = ((ts.astype("int64") - EPOCH_US) // (3600 * 1_000_000)).astype(
+            np.int64
+        )
+        return pa.table({"hour": hour, "tool": b["tool"]})
+
+    distinct = (
+        ds.map_batches(hour_tool, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour", "tool"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def pairs(batch: pd_.DataFrame) -> pd_.DataFrame:
+        b = batch[["hour", "tool"]]
+        out = b.merge(b, on="hour")
+        out = out[out["tool_x"] < out["tool_y"]]
+        out = out.rename(columns={"tool_x": "tool_a", "tool_y": "tool_b"})
+        return out[["hour", "tool_a", "tool_b"]].astype(
+            {"hour": "int64", "tool_a": "str", "tool_b": "str"}
+        )
+
+    per_hour = distinct.groupby("hour").map_groups(pairs, batch_format="pandas")
+    return per_hour.groupby(["tool_a", "tool_b"]).aggregate(Count(alias_name="weight"))
+
+
+def _q_tool_cooccurrence(sf_dir: str):
+    return _tool_cooccur_edges_ds(sf_dir)
+
+
+def _q_triangles_tool_cooccur(sf_dir: str):
+    """Per-vertex triangle counts on the tool co-occurrence graph, keyed by
+    tool name (exact; SQL oracle = 3-way self-join)."""
+    import ray.data as rd
+
+    from flashray import triangles as tri
+    from flashray.build import build_graph
+    from flashray.ids import id64_array
+
+    edges = _tool_cooccur_edges_ds(sf_dir).to_pandas()
+    names = sorted(set(edges["tool_a"]) | set(edges["tool_b"]))
+    ids = id64_array(names)
+    id_of = dict(zip(names, ids))
+    name_of = {int(i): n for n, i in id_of.items()}
+    src = edges["tool_a"].map(id_of).to_numpy(dtype=np.int64)
+    dst = edges["tool_b"].map(id_of).to_numpy(dtype=np.int64)
+    from flashray.fixtures import edges_table
+
+    path = os.path.join(_CACHE_ROOT, "graphs", f"toolco_{_tier(sf_dir)}")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(
+        rd.from_arrow(
+            edges_table(np.r_[src, dst], np.r_[dst, src])
+        ),
+        path,
+        num_partitions=4,
+    )
+    df = tri.triangles(g).to_pandas()
+    df["tool"] = df["vertex_id"].map(lambda v: name_of[int(v)])
+    return df[["tool", "triangles"]]
+
+
+def _q_wcc_reply_sizes(sf_dir: str):
+    """WCC on the reply-only graph; output = component-size histogram.
+    Oracle invariant: reply edges connect exactly the turns of one
+    conversation, so sizes == conversation lengths."""
+    from flashray import algorithms
+
+    g = _graph(sf_dir, symmetrize=True, etypes=("reply",))
+    df = algorithms.wcc(g)
+    sizes = df.groupby("value").size().rename("size").reset_index()
+    hist = sizes.groupby("size").size().rename("n_components").reset_index()
+    hist["size"] = hist["size"].astype("int64")
+    hist["n_components"] = hist["n_components"].astype("int64")
+    return hist
+
+
+def _q_bfs_reply_depth(sf_dir: str):
+    """BFS from every conversation's turn-0 vertex on the directed
+    reply-only graph; output = depth histogram. Oracle invariant: depth of
+    a turn == its turn_idx."""
+    from flashray import algorithms, fixtures, ids
+
+    g = _graph(sf_dir, symmetrize=False, etypes=("reply",))
+    n, base, mod = fixtures.TIERS[_tier(sf_dir)]
+    convs = [f"conv{c:08d}" for c in range(n)]
+    seeds = ids.turn_vertex_ids(convs, np.zeros(n, dtype=np.int64))
+    df = algorithms.bfs(g, seeds.tolist())
+    hist = df.groupby("value").size().rename("n_vertices").reset_index()
+    hist = hist.rename(columns={"value": "depth"})
+    hist["depth"] = hist["depth"].astype("int64")
+    hist["n_vertices"] = hist["n_vertices"].astype("int64")
+    return hist
+
+
+def _q_kcore_reply_hist(sf_dir: str):
+    """Coreness histogram of the symmetrized reply-only graph (paths →
+    every vertex has coreness 1 when the conversation has ≥ 2 turns)."""
+    from flashray import algorithms
+
+    g = _graph(sf_dir, symmetrize=True, etypes=("reply",))
+    df = algorithms.kcore(g)
+    hist = df.groupby("value").size().rename("n_vertices").reset_index()
+    hist = hist.rename(columns={"value": "coreness"})
+    hist["coreness"] = hist["coreness"].astype("int64")
+    hist["n_vertices"] = hist["n_vertices"].astype("int64")
+    return hist
+
+
+def _q_pagerank(sf_dir: str):
+    from flashray import algorithms
+
+    g = _graph(sf_dir, symmetrize=False)
+    return algorithms.pagerank(g, eps=1e-6)
+
+
+def _q_pagerank_push(sf_dir: str):
+    from flashray import algorithms
+
+    g = _graph(sf_dir, symmetrize=False)
+    return algorithms.pagerank(g, eps=1e-6, mode="push")
+
+
+def _q_wcc_full(sf_dir: str):
+    from flashray import algorithms
+
+    g = _graph(sf_dir, symmetrize=True)
+    return algorithms.wcc(g)
+
+
+def _q_label_propagation(sf_dir: str):
+    from flashray import algorithms, ids
+
+    g = _graph(sf_dir, symmetrize=True)
+    seeds = {ids.role_vertex("user"): 0, ids.role_vertex("assistant"): 1}
+    return algorithms.label_propagation(g, seeds)
+
+
+def _q_triangles_transcript(sf_dir: str):
+    from flashray import triangles as tri
+
+    g = _graph(sf_dir, symmetrize=True)
+    return tri.triangles(g)
+
+
+def _q_scan_topk(sf_dir: str):
+    from flashray import triangles as tri
+
+    g = _graph(sf_dir, symmetrize=True)
+    return tri.topk_scan(g, 20)
+
+
+def _q_docs_token_stats(sf_dir: str):
+    import ray.data as rd
+
+    from flashray.datapipe import textstats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = textstats.add_text_stats(ds, concurrency=4).to_pandas()
+    return out[["doc_id", "token_count", "word_chars"]]
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from flashray.datapipe import dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = dedup.exact_dedup(ds).to_pandas()
+    return out[["keep_id", "n_copies"]]
+
+
+def _q_embeddings_knn(sf_dir: str):
+    """Exact cosine top-10 neighbours of vec_id 0 (float64, rank output)."""
+    import ray.data as rd
+
+    from flashray.datapipe import similarity
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = None
+    for b in ds.iter_batches(batch_size=512, batch_format="pandas"):
+        hit = b[b["vec_id"] == 0]
+        if len(hit):
+            q = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
+            break
+    res = similarity.knn_brute_force(ds, q[None, :], k=10, concurrency=4)
+    res = res.reset_index(drop=True)
+    res["rank"] = np.arange(1, len(res) + 1, dtype=np.int64)
+    return res[["rank", "vec_id"]]
+
+
+def _q_minhash_dup_groups(sf_dir: str):
+    import ray.data as rd
+
+    from flashray.datapipe import dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = dedup.candidate_pairs_minhash(ds, threshold=0.8, concurrency=4)
+    return dedup.duplicate_groups(pairs)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from flashray.datapipe import dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup.candidate_pairs_simhash(ds, max_hamming=3, concurrency=4)
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    import ray.data as rd
+
+    from flashray.datapipe import similarity
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.embedding_near_dups(ds, threshold=0.95)
+
+
+def _q_docs_langid(sf_dir: str):
+    import ray.data as rd
+
+    from flashray.datapipe import textstats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = textstats.add_lang_id(ds, concurrency=4).to_pandas()
+    return out[["doc_id", "lang_pred"]]
+
+
+def _q_docs_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from flashray.datapipe import textstats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = textstats.add_fingerprint(ds, concurrency=4).to_pandas()
+    return out[["doc_id", "fingerprint"]]
+
+
+def _q_media_features(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from flashray.datapipe import multimodal
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    media = multimodal.media_table_from_documents(docs)
+    return multimodal.image_features(rd.from_arrow(media))
+
+
+def _q_frame_samples(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from flashray.datapipe import multimodal
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    media = multimodal.media_table_from_documents(docs)
+    return multimodal.sample_frames(rd.from_arrow(media), frames_per_item=4)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "transcripts_passthrough": _q_transcripts_passthrough,
+        "extract_edges_keys": _q_extract_edges_keys,
+        "reply_edges_keys": _q_reply_edges_keys,
+        "vertex_degrees_keys": _q_vertex_degrees_keys,
+        "events_user_edges": _q_events_user_edges,
+        "tool_cooccurrence": _q_tool_cooccurrence,
+        "triangles_tool_cooccur": _q_triangles_tool_cooccur,
+        "wcc_reply_sizes": _q_wcc_reply_sizes,
+        "bfs_reply_depth": _q_bfs_reply_depth,
+        "kcore_reply_hist": _q_kcore_reply_hist,
+        "pagerank": _q_pagerank,
+        "pagerank_push": _q_pagerank_push,
+        "wcc_full": _q_wcc_full,
+        "label_propagation": _q_label_propagation,
+        "triangles_transcript": _q_triangles_transcript,
+        "scan_topk": _q_scan_topk,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "embeddings_knn": _q_embeddings_knn,
+        "minhash_dup_groups": _q_minhash_dup_groups,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "docs_langid": _q_docs_langid,
+        "docs_fingerprints": _q_docs_fingerprints,
+        "media_features": _q_media_features,
+        "frame_samples": _q_frame_samples,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views region..embeddings pre-registered at sf0.01)
+
+
+def _tsql() -> str:
+    from flashray import fixtures
+
+    return fixtures.transcripts_sql("sf0.01")
+
+
+def _edges_keys_sql() -> str:
+    return f"""
+WITH t AS ({_tsql()}),
+raw AS (
+  SELECT 'turn:' || a.conv_id || ':' || a.turn_idx AS src_key,
+         'turn:' || b.conv_id || ':' || b.turn_idx AS dst_key,
+         'reply' AS etype
+  FROM t a JOIN t b ON a.conv_id = b.conv_id AND a.turn_idx + 1 = b.turn_idx
+  UNION ALL
+  SELECT 'turn:' || conv_id || ':' || turn_idx, 'tool:' || tool, 'tool'
+  FROM t WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT 'turn:' || conv_id || ':' || turn_idx, 'role:' || role, 'role' FROM t
+)
+SELECT src_key, dst_key, etype, CAST(COUNT(*) AS DOUBLE) AS weight
+FROM raw GROUP BY 1, 2, 3"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tool_edges = f"""
+WITH t AS ({_tsql()}),
+ht AS (
+  SELECT DISTINCT
+    CAST(date_diff('second', TIMESTAMP '2026-01-01 00:00:00', ts) // 3600
+         AS BIGINT) AS hour,
+    tool
+  FROM t WHERE tool IS NOT NULL
+),
+pairs AS (
+  SELECT a.tool AS tool_a, b.tool AS tool_b
+  FROM ht a JOIN ht b ON a.hour = b.hour AND a.tool < b.tool
+)
+SELECT tool_a, tool_b, COUNT(*) AS weight FROM pairs GROUP BY 1, 2"""
+
+    return {
+        "transcripts_passthrough": _tsql(),
+        "extract_edges_keys": _edges_keys_sql(),
+        "reply_edges_keys": f"SELECT * FROM ({_edges_keys_sql()}) WHERE etype = 'reply'",
+        "vertex_degrees_keys": f"""
+WITH e AS ({_edges_keys_sql()}),
+x AS (
+  SELECT src_key AS vertex_key, CAST(weight AS BIGINT) AS o, 0 AS i FROM e
+  UNION ALL
+  SELECT dst_key, 0, CAST(weight AS BIGINT) FROM e
+)
+SELECT vertex_key, SUM(o) AS out_degree, SUM(i) AS in_degree
+FROM x GROUP BY 1""",
+        "events_user_edges": """
+SELECT user_id, event_type, COUNT(*) AS weight, SUM(value) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "tool_cooccurrence": tool_edges,
+        "triangles_tool_cooccur": f"""
+WITH e0 AS ({tool_edges}),
+e AS (SELECT tool_a AS a, tool_b AS b FROM e0
+      UNION ALL SELECT tool_b, tool_a FROM e0),
+tri AS (
+  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e2.b = e3.a AND e3.b = e1.a
+  WHERE e1.a < e1.b AND e1.b < e2.b
+),
+members AS (
+  SELECT v1 AS tool FROM tri UNION ALL SELECT v2 FROM tri UNION ALL SELECT v3 FROM tri
+)
+SELECT tool, COUNT(*) AS triangles FROM members GROUP BY 1""",
+        "wcc_reply_sizes": f"""
+WITH t AS ({_tsql()}),
+convs AS (SELECT conv_id, COUNT(*) AS size FROM t GROUP BY 1)
+SELECT size, COUNT(*) AS n_components FROM convs GROUP BY 1""",
+        "bfs_reply_depth": f"""
+WITH t AS ({_tsql()})
+SELECT CAST(turn_idx AS BIGINT) AS depth, COUNT(*) AS n_vertices
+FROM t GROUP BY 1""",
+        "kcore_reply_hist": f"""
+WITH t AS ({_tsql()}),
+convs AS (SELECT conv_id, COUNT(*) AS n FROM t GROUP BY 1)
+SELECT CASE WHEN n >= 2 THEN 1 ELSE 0 END AS coreness,
+       CAST(SUM(n) AS BIGINT) AS n_vertices
+FROM convs GROUP BY 1""",
+        "docs_token_stats": """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS token_count,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS word_chars
+FROM documents""",
+        "docs_exact_dedup": """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text""",
+        "embeddings_knn": """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                  e.vec_id ASC) AS BIGINT) AS rank,
+       e.vec_id
+FROM embeddings e, q
+ORDER BY 1 LIMIT 10""",
+    }

@@ -1,0 +1,186 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "edges_per_sec_per_superstep": ..., ...}
+
+The headline metric (BASELINE.json): edges-processed/sec per superstep,
+PageRank to 1e-6 convergence, on the transcript-derived edge table.
+
+``--scaling``: runs this script twice in fresh processes (num_cpus=8 and
+32) on the same pre-built input and reports both throughputs + scaling
+efficiency = (T_8 / T_32) / 4 (1.0 = linear). The partition count P is
+fixed (32) independent of session size — same layout at both levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+P = int(os.environ.get("FLASHRAY_BENCH_PARTITIONS", "32"))
+CACHE = "/tmp/flashray/bench_v1"
+
+
+def _tier() -> str:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from flashray import fixtures
+
+    return fixtures.tier_for_sf_dir(SF_DIR)
+
+
+def prepare_inputs(tier: str) -> dict:
+    """Build transcripts + graphs once (cached across bench processes so
+    scaling runs measure the engine, not the build)."""
+    import ray
+    import ray.data as rd
+
+    from flashray import extract, fixtures
+    from flashray.build import Graph, build_graph
+
+    tpath = os.path.join(CACHE, f"transcripts_{tier}.parquet")
+    fixtures.write_transcripts(tpath, tier)
+    out = {"transcripts": tpath}
+    for sym in (False, True):
+        key = f"{tier}_P{P}_{'sym' if sym else 'dir'}"
+        gpath = os.path.join(CACHE, "graphs", key)
+        if not os.path.exists(os.path.join(gpath, "meta.json")):
+            t0 = time.perf_counter()
+            edges = extract.extract_edges(rd.read_parquet(tpath))
+            build_graph(edges, gpath, num_partitions=P, symmetrize=sym)
+            out[f"build_{'sym' if sym else 'dir'}_sec"] = time.perf_counter() - t0
+        out[f"graph_{'sym' if sym else 'dir'}"] = gpath
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from flashray import algorithms, triangles
+    from flashray.build import Graph
+
+    tier = _tier()
+    info = prepare_inputs(tier)
+    g_dir = Graph.load(info["graph_dir"])
+    g_sym = Graph.load(info["graph_sym"])
+
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    # warm: one untimed pass over the edge partitions (OS page cache)
+    for root, _, files in os.walk(os.path.join(info["graph_dir"], "edges")):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                fh.read()
+
+    # headline: PageRank (pull) to 1e-6
+    t0 = time.perf_counter()
+    pr = algorithms.pagerank(g_dir, eps=1e-6)
+    queries["pagerank_pull"] = time.perf_counter() - t0
+    lin = pr.attrs["lineage"]
+    msgs = sum(r["messages"] for r in lin)
+    step_wall = sum(r["wall_sec"] for r in lin)
+    extra["pagerank_supersteps"] = len(lin)
+    extra["pagerank_edges_processed"] = msgs
+    extra["pagerank_superstep_wall_sec"] = step_wall
+    extra["edges_per_sec_per_superstep"] = msgs / max(step_wall, 1e-9)
+
+    t0 = time.perf_counter()
+    algorithms.pagerank(g_dir, eps=1e-6, mode="push")
+    queries["pagerank_push"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    wcc_df = algorithms.wcc(g_sym)
+    queries["wcc"] = time.perf_counter() - t0
+    extra["wcc_components"] = int(wcc_df["value"].nunique())
+
+    t0 = time.perf_counter()
+    extra["triangle_count"] = int(triangles.triangle_count(g_sym))
+    queries["triangles"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    algorithms.kcore(g_sym)
+    queries["kcore"] = time.perf_counter() - t0
+
+    ray.shutdown()
+    return {
+        "metric": "pagerank_to_1e-6_wall_sec (headline); edges/sec/superstep in extras",
+        "value": round(queries["pagerank_pull"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "num_partitions": P,
+        "graph_edges": g_dir.meta.num_edges,
+        "graph_vertices": g_dir.meta.num_vertices,
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extra.items()},
+    }
+
+
+def run_scaling() -> dict:
+    """Two fresh processes on the same pre-built input: num_cpus=8 vs 32."""
+    # pre-build inputs once so both levels measure the same engine work
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    prepare_inputs(_tier())
+    ray.shutdown()
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["edges_per_sec_per_superstep"]
+    tput_hi = hi["edges_per_sec_per_superstep"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (edges/sec/superstep, num_cpus 8 -> 32)",
+        "throughput_cpus8": round(tput_lo, 1),
+        "throughput_cpus32": round(tput_hi, 1),
+        "pagerank_sec_cpus8": lo["value"],
+        "pagerank_sec_cpus32": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+        "num_partitions": P,
+        "target": ">= 0.8",
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

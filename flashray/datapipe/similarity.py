@@ -1,0 +1,250 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_brute_force` — exact cosine top-k: each batch computes a numpy
+  matmul against a broadcast query matrix (``ray.put`` once, read per actor),
+  emits its local top-k, and a tiny global reduce merges per-batch winners.
+  This is the scale baseline: one streaming pass, no shuffle of the corpus.
+- :func:`knn_ivf` — IVF-style scale path: seeded k-means coarse centroids
+  (trained on a sample), corpus bucketed by nearest centroid; queries probe
+  only the ``nprobe`` nearest buckets.
+- :func:`embedding_near_dups` — near-duplicate pairs by cosine ≥ threshold,
+  candidates from random-hyperplane LSH buckets (seeded), verified exactly
+  in-bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _stack(col) -> np.ndarray:
+    """list<float> column (Arrow or pandas) → (n, d) float32 matrix."""
+    if isinstance(col, (pa.ChunkedArray, pa.Array)):
+        arr = col.to_numpy(zero_copy_only=False)
+    else:
+        arr = np.asarray(col)
+    return np.stack([np.asarray(v, dtype=np.float32) for v in arr])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+class _BruteForceScorer:
+    """Actor: holds the normalized query matrix; per batch emits local
+    top-k (query_id, vec_id, score) rows."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        self.q = _normalize(ray.get(queries_ref))  # (nq, d)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_stack(batch[self.vec_col]))  # (n, d)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        scores = self.q @ vecs.T  # (nq, n)
+        k = min(self.k, scores.shape[1])
+        top = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
+        nq = scores.shape[0]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), k)
+        vid = ids[top.ravel()]
+        sc = np.take_along_axis(scores, top, axis=1).ravel()
+        return pa.table(
+            {"query_id": qid, "vec_id": vid, "score": sc.astype(np.float64)}
+        )
+
+
+def knn_brute_force(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query row. Returns (query_id, vec_id,
+    score) sorted by (query_id, -score, vec_id); deterministic tie-break."""
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        _BruteForceScorer,
+        fn_constructor_args=(qref, k, vec_col, id_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return g
+
+    out = local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+def train_centroids(
+    ds: ray.data.Dataset,
+    *,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_frac: float = 1.0,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample (coarse quantizer)."""
+    sample = ds.select_columns([vec_col])
+    if sample_frac < 1.0:
+        sample = sample.random_sample(sample_frac, seed=seed)
+    X = _normalize(_stack(sample.to_pandas()[vec_col]))
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF top-k: probe only the nprobe nearest centroid buckets per query.
+    Approximate; recall grows with nprobe (nprobe=num_centroids → exact)."""
+    cent = train_centroids(
+        ds, num_centroids=num_centroids, vec_col=vec_col, seed=seed
+    )
+    cent_ref = ray.put(cent)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # query q may search bucket b only if b ∈ probe[q]
+    probe_mask_ref = ray.put(probe)
+    qref = ray.put(q)
+
+    class Scorer:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.q = ray.get(qref)
+            self.probe = ray.get(probe_mask_ref)
+            allowed = np.zeros((len(self.q), len(self.cent)), dtype=bool)
+            for i, row in enumerate(self.probe):
+                allowed[i, row] = True
+            self.allowed = allowed
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_stack(batch[vec_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            bucket = np.argmax(vecs @ self.cent.T, axis=1)  # (n,)
+            scores = self.q @ vecs.T  # (nq, n)
+            mask = self.allowed[:, bucket]  # (nq, n)
+            scores = np.where(mask, scores, -np.inf)
+            kk = min(k, scores.shape[1])
+            top = np.argpartition(-scores, kth=kk - 1, axis=1)[:, :kk]
+            nq = scores.shape[0]
+            qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            vid = ids[top.ravel()]
+            sc = np.take_along_axis(scores, top, axis=1).ravel()
+            keep = np.isfinite(sc)
+            return pa.table(
+                {
+                    "query_id": qid[keep],
+                    "vec_id": vid[keep],
+                    "score": sc[keep].astype(np.float64),
+                }
+            )
+
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        Scorer, batch_format="pyarrow", concurrency=concurrency
+    )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+
+    out = local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+def embedding_near_dups(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dim: int | None = None,
+) -> ray.data.Dataset:
+    """Cosine near-duplicate pairs (a < b, cosine ≥ threshold); candidates
+    from random-hyperplane LSH (same sign pattern), verified exactly."""
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim)).astype(np.float32)
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        vecs = _normalize(_stack(batch[vec_col]))
+        bits = (vecs @ pl.T) > 0  # (n, planes)
+        bucket = np.zeros(len(vecs), dtype=np.int64)
+        for i in range(pl.shape[0]):
+            bucket |= bits[:, i].astype(np.int64) << i
+        return pa.table(
+            {
+                "bucket": bucket,
+                id_col: batch[id_col],
+                "vec": pa.array(list(vecs.astype(np.float64))),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        V = np.stack([np.asarray(v) for v in g["vec"]])
+        S = V @ V.T
+        iu, ju = np.triu_indices(n, k=1)
+        m = S[iu, ju] >= threshold
+        return pd.DataFrame(
+            {"a": ids[iu[m]], "b": ids[ju[m]], "cosine": S[iu, ju][m]}
+        )
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))

@@ -1,0 +1,207 @@
+"""Explicit partitioned hash join for Ray Data.
+
+Ray 2.49 ships ``Dataset.join``, but its hash-shuffle aggregator actors
+reserve CPUs and starve small sessions (observed: a 4-CPU session makes a
+4-partition join crawl). This is the portable pattern from
+/opt/skills/guides/ray_guide.md "Joins and lookups": add a
+``bucket = hash(key) % B`` column to both sides, ``groupby("bucket")``
+once over the tagged union, and run a vectorized pandas merge per bucket.
+One shuffle, no extra actor pool, works at any session size; B bounds the
+per-task memory (raise B for bigger data; salt hot keys upstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from flashray.ids import _splitmix64
+
+
+def _key_hash(batch: pa.Table, on: list[str]) -> np.ndarray:
+    """Stable 64-bit hash of the join key columns (int64 or string)."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in on:
+            arr = batch[col]
+            if pa.types.is_integer(arr.type):
+                v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+            else:
+                strs = arr.to_numpy(zero_copy_only=False)
+                uniq, inv = np.unique(strs.astype("U"), return_inverse=True)
+                import zlib
+
+                codes = np.fromiter(
+                    (zlib.crc32(u.encode()) for u in uniq),
+                    dtype=np.uint64,
+                    count=len(uniq),
+                )
+                v = codes[inv]
+            h = _splitmix64(h ^ v)
+    return h
+
+
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """Arrow schema of a Dataset regardless of block format (pandas-block
+    object columns are assumed to be strings)."""
+    sch = ds.schema()
+    if sch is None:
+        raise ValueError(
+            "Dataset has no schema (empty?) — pass an explicit schema to "
+            "bucket_hash_join"
+        )
+    bs = sch.base_schema
+    if isinstance(bs, pa.Schema):
+        return bs
+    fields = []
+    for n, t in zip(bs.names, bs.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+        else:
+            try:
+                fields.append(pa.field(n, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, ValueError, TypeError):
+                fields.append(pa.field(n, pa.string()))
+    return pa.schema(fields)
+
+
+def bucket_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+    right_on: list[str] | None = None,
+    suffixes: tuple[str, str] = ("", "_r"),
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Hash-partitioned join; both sides shuffled once on the bucket key.
+
+    Pass ``left_schema``/``right_schema`` when a side may be empty (an
+    empty Dataset reports no schema) or to skip the schema-peek execution."""
+    on = list(on)
+    right_on = list(right_on) if right_on is not None else on
+
+    def tag(side: int, keys: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            bucket = (_key_hash(b, keys) % np.uint64(num_buckets)).astype(np.int64)
+            return b.append_column("__bucket", pa.array(bucket)).append_column(
+                "__side", pa.array(np.full(b.num_rows, side, dtype=np.int8))
+            )
+
+        return fn
+
+    lt = left.map_batches(tag(0, on), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(
+        tag(1, right_on), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # union needs one schema: suffix right-side columns, pad both sides
+    lsch = left_schema if left_schema is not None else _arrow_schema(left)
+    rsch = right_schema if right_schema is not None else _arrow_schema(right)
+    lcols = [f.name for f in lsch]
+    rcols = [f.name for f in rsch]
+    ren = {
+        c: (c + suffixes[1] if (c in lcols and c not in right_on) else c)
+        for c in rcols
+    }
+    rkeys = [ren[c] for c in right_on]
+
+    def pad(cols_here, all_cols, rename=None):
+        # pad with typed ZERO sentinels, never nulls: an int64 column with
+        # nulls becomes float64 in pandas, silently corrupting 63-bit ids
+        # (> 2^53). The padded values are never read — merge() splits the
+        # sides apart before joining.
+        def fn(b: pa.Table) -> pa.Table:
+            if rename:
+                b = b.rename_columns(
+                    [rename.get(c, c) for c in b.column_names]
+                )
+            for c, typ in all_cols:
+                if c not in b.column_names:
+                    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                        filler = pa.array([""] * b.num_rows, type=typ)
+                    elif pa.types.is_timestamp(typ):
+                        filler = pa.array(
+                            np.zeros(b.num_rows, dtype="int64"), type=pa.int64()
+                        ).cast(typ)
+                    else:
+                        filler = pa.array(
+                            np.zeros(b.num_rows, dtype=typ.to_pandas_dtype())
+                        ).cast(typ)
+                    b = b.append_column(c, filler)
+            return b.select([c for c, _ in all_cols] + ["__bucket", "__side"])
+
+        return fn
+
+    lschema = [(f.name, f.type) for f in lsch]
+    rschema = [
+        (ren[f.name], f.type) for f in rsch if ren[f.name] not in dict(lschema)
+    ]
+    all_cols = lschema + rschema
+    lt = lt.map_batches(pad(lcols, all_cols), batch_format="pyarrow")
+    rt = rt.map_batches(pad(rcols, all_cols, ren), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    lout = [c for c, _ in lschema]
+    rout = [c for c, _ in rschema]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0]
+        rg = g[g["__side"] == 1]
+        lv = lg[lout]
+        rv = rg[rout + [k for k in rkeys if k not in rout]]
+        merged = lv.merge(
+            rv, left_on=on, right_on=rkeys, how="inner" if how == "inner" else how
+        )
+        drop = [k for k in rkeys if k not in on and k not in rout]
+        merged = merged.drop(columns=drop, errors="ignore")
+        # the tagged union nulls the other side's columns, which floats
+        # int64 dtypes in pandas; restore them where no nulls survived
+        for c, typ in all_cols:
+            if c in merged.columns and pa.types.is_integer(typ):
+                col = merged[c]
+                if col.dtype != np.int64 and not col.isna().any():
+                    merged[c] = col.astype(np.int64)
+        return merged
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def pairs_within_groups(
+    group_codes: np.ndarray, values: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fully vectorized unordered-pair expansion: for each group (sorted,
+    contiguous ``group_codes``), emit every pair (values[i], values[j]) with
+    i < j in-group. Returns (v1, v2, group_code_per_pair) with v1 < v2 when
+    ``values`` is sorted ascending within each group.
+
+    Used for wedge generation: millions of tiny adjacency groups with zero
+    Python-per-group overhead (triangular-index inversion)."""
+    if len(group_codes) == 0:
+        e = np.empty(0, dtype=values.dtype)
+        return e, e, np.empty(0, dtype=group_codes.dtype)
+    change = np.empty(len(group_codes), dtype=bool)
+    change[0] = True
+    change[1:] = group_codes[1:] != group_codes[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.r_[starts, len(group_codes)])
+    pc = counts * (counts - 1) // 2
+    total = int(pc.sum())
+    if total == 0:
+        e = np.empty(0, dtype=values.dtype)
+        return e, e, np.empty(0, dtype=group_codes.dtype)
+    gidx = np.repeat(np.arange(len(starts)), pc)
+    pair_start = np.r_[0, np.cumsum(pc)[:-1]]
+    r = np.arange(total) - pair_start[gidx]  # pair rank within group
+    c = counts[gidx].astype(np.float64)
+    # triangular inversion: row i such that  i*(2c-i-1)/2 <= r
+    i = np.floor((2 * c - 1 - np.sqrt((2 * c - 1) ** 2 - 8 * r)) / 2).astype(np.int64)
+    off = (i * (2 * counts[gidx] - i - 1)) // 2
+    j = (r - off + i + 1).astype(np.int64)
+    s = starts[gidx]
+    return values[s + i], values[s + j], group_codes[s]

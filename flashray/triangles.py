@@ -1,0 +1,234 @@
+"""Triangle counting + scan statistics as a Ray Data wedge-join dataflow.
+
+Reference: ``libgraph-algs/undirected_triangle_graph.cpp`` —
+``compute_undirected_triangles`` (SURVEY.md §2.2 A5): the reference fetches
+neighbors' adjacency lists via async SSD random access (E9
+``request_vertices``); with no remote random access in Ray Data, the
+neighborhood-intersection is restructured as a join (SURVEY.md §2.1 E9):
+
+1. canonical undirected edges (one row per edge; for a symmetrized graph a
+   plain ``src < dst`` filter — no shuffle),
+2. degree-orient each edge low→high by (degree, id) — bounds each vertex's
+   oriented out-degree by the graph degeneracy, so super-hubs do not
+   explode the wedge count (the reference's degree-ordering trick),
+3. wedges: every pair (b1, b2) in a center's oriented adjacency, generated
+   fully vectorized (flashray.joins.pairs_within_groups — no per-group
+   Python),
+4. close wedges against the oriented edge set on the id-canonical pair key;
+   every match is one triangle, counted exactly once (the center is the
+   (deg,id)-smallest member).
+
+Joins use flashray.joins.bucket_hash_join (single groupby shuffle per join,
+vectorized pandas merge per bucket) — Ray 2.49's Dataset.join aggregator
+pool starves small CPU sessions.
+
+Scan statistics (A7/A8, ``libgraph-algs/local_scan_graph.cpp`` /
+``topK_scan_graph.cpp``): scan1(v) = deg(v) + triangles(v) = edge count in
+the closed 1-hop neighborhood; top-k = sort + limit over the scan vector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from flashray.build import Graph
+from flashray.joins import bucket_hash_join, pairs_within_groups
+
+
+def _canonical_undirected(graph: Graph) -> ray.data.Dataset:
+    """One row per undirected edge (lo, hi), self-loops dropped."""
+    edges = graph.edges_dataset(columns=["src", "dst"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        if graph.meta.symmetrized:
+            # both directions present exactly once -> keep src < dst
+            m = src < dst
+            return pa.table({"lo": src[m], "hi": dst[m]})
+        m = src != dst
+        return pa.table(
+            {"lo": np.minimum(src[m], dst[m]), "hi": np.maximum(src[m], dst[m])}
+        )
+
+    out = edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+    if graph.meta.symmetrized:
+        return out
+    return (
+        out.groupby(["lo", "hi"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    )
+
+
+def _degree_table(graph: Graph, und: ray.data.Dataset) -> ray.data.Dataset:
+    """(vertex_id, deg) with deg = undirected degree."""
+    if graph.meta.symmetrized:
+        ds = graph.vertices_dataset(columns=["vertex_id", "out_degree"])
+        return ds.map_batches(
+            lambda b: b.rename_columns(
+                ["deg" if c == "out_degree" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def expand(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vertex_id": np.concatenate([lo, hi]),
+                "deg": np.ones(2 * len(lo), dtype=np.int64),
+            }
+        )
+
+    return (
+        und.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vertex_id")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+
+
+def _oriented_edges(graph: Graph, num_buckets: int) -> ray.data.Dataset:
+    """Degree-orient canonical edges: a -> b iff (deg(a), a) < (deg(b), b)."""
+    und = _canonical_undirected(graph)
+    deg = _degree_table(graph, und)
+    I64 = pa.int64()
+    j = bucket_hash_join(
+        und, deg, ["lo"], right_on=["vertex_id"], num_buckets=num_buckets,
+        left_schema=pa.schema([("lo", I64), ("hi", I64)]),
+        right_schema=pa.schema([("vertex_id", I64), ("deg", I64)]),
+    )
+    # columns now: lo, hi, deg  (deg of lo)
+    j = j.map_batches(
+        lambda b: b.rename_columns(
+            ["deg_lo" if c == "deg" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucket_hash_join(
+        j, deg, ["hi"], right_on=["vertex_id"], num_buckets=num_buckets,
+        left_schema=pa.schema([("lo", I64), ("hi", I64), ("deg_lo", I64)]),
+        right_schema=pa.schema([("vertex_id", I64), ("deg", I64)]),
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        dlo = b["deg_lo"].to_numpy(zero_copy_only=False)
+        dhi = b["deg"].to_numpy(zero_copy_only=False)
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        return pa.table(
+            {
+                "a": np.where(lo_first, lo, hi),
+                "b": np.where(lo_first, hi, lo),
+            }
+        )
+
+    return j.map_batches(orient, batch_format="pyarrow")
+
+
+def _closed_wedges(graph: Graph, num_buckets: int) -> ray.data.Dataset:
+    oriented = _oriented_edges(graph, num_buckets)
+
+    def bucket_by_center(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "cbucket", pa.array((a % num_buckets).astype(np.int64))
+        )
+
+    def wedges_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["b"].to_numpy(), g["a"].to_numpy()))
+        a = g["a"].to_numpy()[order]
+        b = g["b"].to_numpy()[order]
+        w1, w2, center = pairs_within_groups(a, b)
+        return pd.DataFrame({"w1": w1, "w2": w2, "center": center})
+
+    wedges = (
+        oriented.map_batches(
+            bucket_by_center, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("cbucket")
+        .map_groups(wedges_of_bucket, batch_format="pandas")
+    )
+
+    def okey(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"w1": np.minimum(a, bb), "w2": np.maximum(a, bb)})
+
+    closing = oriented.map_batches(okey, batch_format="pyarrow")
+    I64 = pa.int64()
+    return bucket_hash_join(
+        wedges, closing, ["w1", "w2"], num_buckets=num_buckets,
+        left_schema=pa.schema([("w1", I64), ("w2", I64), ("center", I64)]),
+        right_schema=pa.schema([("w1", I64), ("w2", I64)]),
+    )
+
+
+def triangles(graph: Graph, *, num_buckets: int | None = None) -> ray.data.Dataset:
+    """Per-vertex triangle counts: Dataset (vertex_id, triangles). Vertices
+    in no triangle are absent (left-join the vertex table for zeros)."""
+    B = num_buckets or max(16, graph.num_partitions)
+    closed = _closed_wedges(graph, B)
+
+    def to_members(b: pa.Table) -> pa.Table:
+        w1 = b["w1"].to_numpy(zero_copy_only=False)
+        w2 = b["w2"].to_numpy(zero_copy_only=False)
+        c = b["center"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vertex_id": np.concatenate([w1, w2, c]),
+                "triangles": np.ones(3 * len(c), dtype=np.int64),
+            }
+        )
+
+    return (
+        closed.map_batches(to_members, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vertex_id")
+        .aggregate(Sum("triangles", alias_name="triangles"))
+    )
+
+
+def triangle_count(graph: Graph, *, num_buckets: int | None = None) -> int:
+    """Global triangle count (each triangle once)."""
+    B = num_buckets or max(16, graph.num_partitions)
+    return _closed_wedges(graph, B).count()
+
+
+def scan_statistic(graph: Graph, *, num_buckets: int | None = None) -> ray.data.Dataset:
+    """A7: scan1(v) = deg(v) + triangles(v). Returns (vertex_id, scan)."""
+    B = num_buckets or max(16, graph.num_partitions)
+    tri = triangles(graph, num_buckets=B)
+    und = _canonical_undirected(graph)
+    deg = _degree_table(graph, und)
+    j = bucket_hash_join(
+        deg,
+        tri,
+        ["vertex_id"],
+        how="left",
+        num_buckets=B,
+        left_schema=pa.schema([("vertex_id", pa.int64()), ("deg", pa.int64())]),
+        # triangles may be empty (triangle-free graph) -> schema unknowable
+        right_schema=pa.schema(
+            [("vertex_id", pa.int64()), ("triangles", pa.int64())]
+        ),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["triangles"].fillna(0).astype(np.int64)
+        return pd.DataFrame(
+            {"vertex_id": b["vertex_id"].astype(np.int64), "scan": b["deg"].astype(np.int64) + t}
+        )
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+def topk_scan(graph: Graph, k: int = 10, *, num_buckets: int | None = None):
+    """A8: the K highest scan-statistic vertices."""
+    return scan_statistic(graph, num_buckets=num_buckets).sort(
+        ["scan", "vertex_id"], descending=[True, False]
+    ).limit(k)

@@ -1,0 +1,187 @@
+"""Dedup / similarity / textstats / multimodal operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from flashray.datapipe import dedup, multimodal, similarity, textstats
+
+
+def _docs_with_dups():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long trip home",
+        "sphinx of black quartz judge my vow before the winter ends",
+        "how vexingly quick daft zebras jump over fences in the park",
+    ]
+    rows = []
+    did = 0
+    for i, t in enumerate(base):
+        rows.append({"doc_id": did, "text": t}); did += 1
+        rows.append({"doc_id": did, "text": t}); did += 1  # exact dup
+        words = t.split()
+        words[-1] = "changed"
+        rows.append({"doc_id": did, "text": " ".join(words)}); did += 1  # near dup
+    # unrelated docs
+    for j in range(8):
+        rows.append({"doc_id": did, "text": f"totally unrelated document number {j} with words w{j}a w{j}b w{j}c w{j}d w{j}e w{j}f w{j}g"}); did += 1
+    return pd.DataFrame(rows)
+
+
+def test_exact_dedup():
+    df = _docs_with_dups()
+    out = dedup.exact_dedup(rd.from_pandas(df)).to_pandas()
+    n_dups = int((out["n_copies"] > 1).sum())
+    assert n_dups == 4  # each base text appears exactly twice
+    # the survivor is the min doc_id of each exact-dup pair
+    dup_keep = set(out[out["n_copies"] > 1]["keep_id"].astype(int))
+    assert dup_keep == {0, 3, 6, 9}
+    assert out["n_copies"].sum() == len(df)
+
+
+def test_minhash_near_dups():
+    df = _docs_with_dups()
+    pairs = dedup.candidate_pairs_minhash(
+        rd.from_pandas(df), threshold=0.5, concurrency=2
+    ).to_pandas()
+    got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+    # exact dups must be found; near-dups (one word changed) should be too
+    for b in [0, 3, 6, 9]:
+        assert (b, b + 1) in got
+        assert (b, b + 2) in got or (b + 1, b + 2) in got
+    # unrelated docs must not pair with the base docs
+    for a, b in got:
+        assert a < 12 and b < 12
+
+
+def test_duplicate_groups_union_find():
+    df = _docs_with_dups()
+    pairs = dedup.candidate_pairs_minhash(rd.from_pandas(df), threshold=0.5)
+    groups = dedup.duplicate_groups(pairs)
+    gmap = dict(zip(groups["doc_id"], groups["group"]))
+    for b in [0, 3, 6, 9]:
+        assert gmap[b] == b and gmap[b + 1] == b and gmap[b + 2] == b
+
+
+def test_duplicate_groups_wcc_engine(tmp_path):
+    df = _docs_with_dups()
+    pairs = dedup.candidate_pairs_minhash(rd.from_pandas(df), threshold=0.5)
+    via_uf = dedup.duplicate_groups(pairs)
+    via_wcc = dedup.duplicate_groups(pairs, scratch_dir=str(tmp_path / "pairg"))
+    a = dict(zip(via_uf["doc_id"].astype(int), via_uf["group"].astype(int)))
+    b = dict(zip(via_wcc["doc_id"].astype(int), via_wcc["group"].astype(int)))
+    assert a == b
+
+
+def test_simhash_pairs():
+    df = _docs_with_dups()
+    pairs = dedup.candidate_pairs_simhash(rd.from_pandas(df), max_hamming=4).to_pandas()
+    got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+    for b in [0, 3, 6, 9]:
+        assert (b, b + 1) in got  # identical text -> hamming 0
+
+
+def test_ngram_jaccard_exact_values():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b c d e f", "a b c d e f"],
+        }
+    )
+    pairs = dedup.candidate_pairs_ngram_jaccard(
+        rd.from_pandas(df), threshold=0.9
+    ).to_pandas()
+    assert len(pairs) == 1
+    assert pairs["jaccard"].iloc[0] == 1.0
+
+
+def _emb_table(n=64, d=16, seed=1):
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, d)).astype(np.float32)
+    return pa.table({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(V)}), V
+
+
+def test_knn_brute_force_matches_numpy():
+    t, V = _emb_table()
+    Q = V[:3] + 0.01
+    got = similarity.knn_brute_force(rd.from_arrow(t), Q, k=5, concurrency=2)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Vn.T
+    for q in range(3):
+        want = np.argsort(-S[q])[:5]
+        sub = got[got["query_id"] == q]
+        assert sub["vec_id"].tolist() == want.tolist()
+        assert np.allclose(sub["score"], S[q][want], atol=1e-5)
+
+
+def test_knn_ivf_high_recall_when_probing_all():
+    t, V = _emb_table(128, 16)
+    Q = V[:4]
+    exact = similarity.knn_brute_force(rd.from_arrow(t), Q, k=5)
+    ivf = similarity.knn_ivf(
+        rd.from_arrow(t), Q, k=5, num_centroids=8, nprobe=8
+    )
+    for q in range(4):
+        assert ivf[ivf["query_id"] == q]["vec_id"].tolist() == exact[
+            exact["query_id"] == q
+        ]["vec_id"].tolist()
+
+
+def test_embedding_near_dups():
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((32, 16)).astype(np.float32)
+    V[10] = V[4] * 1.5  # same direction -> cosine 1
+    t = pa.table({"vec_id": np.arange(32, dtype=np.int64), "embedding": list(V)})
+    pairs = similarity.embedding_near_dups(
+        rd.from_arrow(t), threshold=0.99
+    ).to_pandas()
+    got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+    assert (4, 10) in got
+
+
+def test_textstats_and_langid():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat and the dog sat in a box for a while",
+                "der hund und die katze ist nicht da und ich bin hier",
+                "12345 !!!",
+            ],
+        }
+    )
+    out = textstats.add_text_stats(rd.from_pandas(df), concurrency=1).to_pandas()
+    assert out["token_count"].tolist() == [12, 12, 2]
+    assert out.loc[2, "digit_ratio"] > 0.5
+    lang = textstats.add_lang_id(rd.from_pandas(df), concurrency=1).to_pandas()
+    assert lang["lang_pred"].tolist() == ["en", "de", "und"]
+
+
+def test_fingerprint_deterministic():
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["abc", "abc", "abd"]})
+    out = textstats.add_fingerprint(rd.from_pandas(df), concurrency=1).to_pandas()
+    f = out["fingerprint"].tolist()
+    assert f[0] == f[1] != f[2]
+
+
+def test_multimodal_stub_pipeline():
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    media = multimodal.media_table_from_documents(docs.slice(0, 50))
+    feats = multimodal.image_features(rd.from_arrow(media)).to_pandas()
+    assert len(feats) == 50
+    assert {"px_mean", "px_std", "shape"} <= set(feats.columns)
+    frames = multimodal.sample_frames(rd.from_arrow(media), frames_per_item=3).to_pandas()
+    assert len(frames) == 150
+    # deterministic: same payload -> same fingerprints
+    again = multimodal.sample_frames(rd.from_arrow(media), frames_per_item=3).to_pandas()
+    assert (frames["frame_fingerprint"].values == again["frame_fingerprint"].values).all()
+
+
+def test_real_decoder_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.ImageFeatures(use_real_decoder=True)

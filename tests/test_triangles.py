@@ -1,0 +1,84 @@
+"""Triangle counting + scan statistics vs brute-force oracles."""
+
+import numpy as np
+import pytest
+
+from flashray import fixtures, triangles
+from flashray.build import build_graph_from_arrays
+
+import oracles
+
+
+@pytest.fixture(scope="module")
+def graphs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("tri")
+    cache = {}
+
+    def get(name, edges_fn):
+        if name not in cache:
+            src, dst = edges_fn()
+            cache[name] = (
+                build_graph_from_arrays(src, dst, str(base / name), num_partitions=4),
+                (src, dst),
+            )
+        return cache[name]
+
+    return get
+
+
+@pytest.mark.parametrize(
+    "name,fn",
+    [
+        ("k3", fixtures.k3_edges),
+        ("star8", fixtures.star_edges),
+        ("path5", fixtures.path_edges),
+        ("er100", fixtures.er_edges),
+    ],
+)
+def test_per_vertex_triangles(graphs, name, fn):
+    graph, (src, dst) = graphs(name, fn)
+    got_df = triangles.triangles(graph).to_pandas()
+    got = (
+        dict(zip(got_df["vertex_id"].astype(int), got_df["triangles"].astype(int)))
+        if len(got_df)
+        else {}
+    )
+    want = oracles.triangles_per_vertex(src, dst)
+    want_nonzero = {v: c for v, c in want.items() if c > 0}
+    assert got == want_nonzero
+
+
+def test_global_count(graphs):
+    graph, (src, dst) = graphs("er100", fixtures.er_edges)
+    want = sum(oracles.triangles_per_vertex(src, dst).values()) // 3
+    assert triangles.triangle_count(graph) == want
+
+
+def test_k3_exact(graphs):
+    graph, _ = graphs("k3", fixtures.k3_edges)
+    assert triangles.triangle_count(graph) == 1
+    df = triangles.triangles(graph).to_pandas()
+    assert sorted(df["triangles"]) == [1, 1, 1]
+
+
+def test_scan_statistic(graphs):
+    graph, (src, dst) = graphs("er100", fixtures.er_edges)
+    tri = oracles.triangles_per_vertex(src, dst)
+    # degree on symmetrized-free build: vertices table out_degree counts
+    # directed rows; fixture lists both directions so out_degree == degree
+    deg = {}
+    for s in src:
+        deg[int(s)] = deg.get(int(s), 0) + 1
+    got = triangles.scan_statistic(graph).to_pandas()
+    gmap = dict(zip(got["vertex_id"].astype(int), got["scan"].astype(int)))
+    for v in deg:
+        assert gmap[v] == deg[v] + tri.get(v, 0), v
+
+
+def test_topk_scan(graphs):
+    graph, _ = graphs("er100", fixtures.er_edges)
+    full = triangles.scan_statistic(graph).to_pandas()
+    want = full.sort_values(["scan", "vertex_id"], ascending=[False, True]).head(5)
+    got = triangles.topk_scan(graph, 5).to_pandas()
+    assert got["vertex_id"].tolist() == want["vertex_id"].tolist()
+    assert got["scan"].tolist() == want["scan"].tolist()

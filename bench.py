@@ -85,7 +85,9 @@ def run_bench() -> dict:
     g_sym = Graph.load(info["graph_sym"])
 
     queries: dict[str, float] = {}
-    extra: dict = {}
+    extra: dict = {
+        k: round(v, 3) for k, v in info.items() if k.startswith("build_")
+    }
 
     # warm: one untimed pass over the edge partitions (OS page cache)
     for root, _, files in os.walk(os.path.join(info["graph_dir"], "edges")):
@@ -99,10 +101,11 @@ def run_bench() -> dict:
     queries["pagerank_pull"] = time.perf_counter() - t0
     lin = pr.attrs["lineage"]
     msgs = sum(r["messages"] for r in lin)
-    step_wall = sum(r["wall_sec"] for r in lin)
+    step_wall = pr.attrs["superstep_wall_sec"]  # true elapsed (pipelined)
     extra["pagerank_supersteps"] = len(lin)
     extra["pagerank_edges_processed"] = msgs
     extra["pagerank_superstep_wall_sec"] = step_wall
+    extra["pagerank_engine_init_sec"] = pr.attrs["engine_init_sec"]
     extra["edges_per_sec_per_superstep"] = msgs / max(step_wall, 1e-9)
 
     t0 = time.perf_counter()

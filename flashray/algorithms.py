@@ -59,18 +59,27 @@ def pagerank(
     prog = (
         PageRank(damping) if mode == "pull" else DeltaPageRank(damping, tol=eps * 1e-3)
     )
+    import time as _time
+
+    t0 = _time.perf_counter()
     with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
+        t_init = _time.perf_counter() - t0
         _maybe_resume(eng, checkpoint_dir, resume)
-        while eng.iteration < max_iters:
-            m = eng.step()
-            _maybe_checkpoint(eng, checkpoint_dir, checkpoint_interval)
-            if m["delta"] < eps:
-                break
+        t1 = _time.perf_counter()
+        eng.run(
+            lambda m: m["delta"] < eps,
+            max_iters=max_iters,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_interval=checkpoint_interval if checkpoint_dir else 0,
+        )
+        t_steps = _time.perf_counter() - t1
         if checkpoint_dir is not None:
             eng.checkpoint(checkpoint_dir)
         result = _finish(eng, out_dir)
         lineage = list(eng.lineage)
-    return _with_lineage(result, lineage)
+    return _with_lineage(
+        result, lineage, engine_init_sec=t_init, superstep_wall_sec=t_steps
+    )
 
 
 def _frontier_loop(
@@ -85,20 +94,29 @@ def _frontier_loop(
     actor_cpus,
     postprocess=None,
 ):
+    import time as _time
+
+    t0 = _time.perf_counter()
     with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
+        t_init = _time.perf_counter() - t0
         _maybe_resume(eng, checkpoint_dir, resume)
-        while eng.iteration < max_iters:
-            m = eng.step()
-            _maybe_checkpoint(eng, checkpoint_dir, checkpoint_interval)
-            if m["changed"] == 0:
-                break
+        t1 = _time.perf_counter()
+        eng.run(
+            lambda m: m["changed"] == 0,
+            max_iters=max_iters,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_interval=checkpoint_interval if checkpoint_dir else 0,
+        )
+        t_steps = _time.perf_counter() - t1
         if checkpoint_dir is not None:
             eng.checkpoint(checkpoint_dir)
         result = _finish(eng, out_dir)
         if postprocess is not None and out_dir is None:
             result = postprocess(result)
         lineage = list(eng.lineage)
-    return _with_lineage(result, lineage)
+    return _with_lineage(
+        result, lineage, engine_init_sec=t_init, superstep_wall_sec=t_steps
+    )
 
 
 def wcc(graph: Graph, *, max_iters: int = 200, out_dir=None, checkpoint_dir=None,
@@ -205,10 +223,14 @@ def degrees(graph: Graph):
     return graph.vertices_dataset()
 
 
-def _with_lineage(result, lineage):
-    """Attach per-superstep lineage metrics to a DataFrame result."""
+def _with_lineage(result, lineage, **timings):
+    """Attach per-superstep lineage metrics + engine timings to a
+    DataFrame result. With the pipelined runner, per-superstep wall_sec
+    values overlap — use ``superstep_wall_sec`` (true elapsed) for
+    throughput."""
     try:
         result.attrs["lineage"] = lineage
+        result.attrs.update(timings)
     except AttributeError:
         pass
     return result

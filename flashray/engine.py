@@ -4,28 +4,38 @@ Rebuild of ``flash-graph/graph_engine.h/.cpp`` — ``graph_engine`` +
 ``worker_thread`` (SURVEY.md §2.1 E1–E13, §3.1 steps 5–7). Mapping:
 
 - reference worker threads pinned to NUMA-partitioned vertex ranges →
-  one ``ShardActor`` per edge partition (P fixed at graph build; the
-  partition→actor mapping is explicit and stable across supersteps and
-  restarts — SURVEY.md §7.3's core invariant);
-- per-thread message queues + superstep barrier → an explicit all-to-all
-  exchange of *pre-combined* partial aggregates (map-side combine via
-  reduceat == the reference's multicast/E7 I/O dedup; a hot destination
-  receives ≤ P partials regardless of in-degree);
-- SAFS page cache → the Ray object store: partial arrays move between
-  actors as object refs, zero-copy for numpy;
-- ``wait4complete`` (E2) → the driver awaiting all ``apply`` futures and
-  summing their metric dicts.
+  A ``ShardActor``s, each owning P/A partitions (P fixed at graph build;
+  partition ownership ``actor = part % A`` is explicit and stable across
+  supersteps — SURVEY.md §7.3's core invariant. A adapts to the session
+  size; P never does);
+- per-thread message queues + superstep barrier → an all-to-all exchange
+  of *pre-combined* per-(sender-partition → destination-partition) partial
+  aggregates (map-side combine via reduceat == the reference's multicast
+  E7 I/O dedup; a hot destination receives ≤ P partials regardless of
+  in-degree);
+- SAFS page cache → the Ray object store: each sender actor publishes ONE
+  partials object per superstep; numpy arrays inside are zero-copy reads;
+- ``wait4complete`` (E2) → the driver awaiting the fused round's metric
+  objects.
+
+Per superstep the engine runs ONE fused RPC round (``apply_scatter``):
+apply superstep k, then immediately scatter for k+1 from the fresh state.
+The driver only materializes the tiny metric/split-signal object; partial
+aggregates flow actor→actor by reference. Measured on this machine, the
+unfused 2-round × P²-object exchange cost ~35 ms/superstep at P=32 — the
+fused single-round layout is what makes small supersteps cheap.
+
+Determinism: reduceat is order-stable and the reduce side combines partials
+in fixed sender-partition order (p = 0..P-1) regardless of how partitions
+are packed onto actors — results are bit-identical across parallelism
+levels, actor counts, and checkpoint/resume.
 
 Why raw actors and not ``Dataset.map_batches`` here: the inner loop mutates
-per-partition vertex state across iterations and must route each partition's
-aggregate back to the *owning* actor. ``map_batches`` actor pools do not
-guarantee batch→actor affinity, which would silently break state ownership;
-everything around the loop (extraction, graph build, triangles, results,
-datapipe) stays in the Dataset API. See SURVEY.md §7.3.
-
-The message exchange is deterministic: reduceat is order-stable and the
-reduce side combines partials in fixed sender order, so results are
-bit-identical across parallelism levels and across checkpoint/resume.
+per-partition vertex state across iterations and must route each
+partition's aggregate back to the *owning* actor. ``map_batches`` actor
+pools do not guarantee batch→actor affinity. Everything around the loop
+(extraction, graph build, triangles, results, datapipe) stays in the
+Dataset API.
 """
 
 from __future__ import annotations
@@ -53,7 +63,7 @@ def _read_part(base: str, part: int, columns: list[str]) -> pa.Table:
 
 @ray.remote
 class ShardActor:
-    """Owns one partition: CSR block + per-vertex program state.
+    """Owns a set of partitions: CSR blocks + per-vertex program state.
 
     Reference analogue: one ``worker_thread`` + its slice of the
     ``NUMA_graph_index`` vertex-state array (flash-graph/graph_index.h)."""
@@ -61,196 +71,331 @@ class ShardActor:
     def __init__(
         self,
         graph_path: str,
-        part: int,
+        parts: list[int],
         P: int,
+        A: int,
         program: VertexProgram,
         N: int,
         split_ids: np.ndarray,
+        num_threads: int = 1,
     ):
-        self.part = part
+        self.parts = list(parts)
         self.P = P
+        self.A = A
         self.program = program
         self.N = N
         self.split_ids = np.asarray(split_ids, dtype=np.int64)
+        # per-partition work (scatter / combine+apply) runs on a thread
+        # pool: the hot numpy kernels (gather, reduceat, fancy-indexed
+        # add/minimum) release the GIL, so one actor drives several cores —
+        # fewer actors per node means fewer Ray tasks per superstep, which
+        # is the dominant fixed cost (~0.5 ms/task measured)
+        self.pool = None
+        if num_threads > 1 and len(self.parts) > 1:
+            from concurrent.futures import ThreadPoolExecutor
 
-        vt = _read_part(
-            os.path.join(graph_path, "vertices"),
-            part,
-            ["vertex_id", "out_degree", "in_degree"],
-        )
-        et = _read_part(
-            os.path.join(graph_path, "edges"), part, ["src", "dst", "weight"]
-        )
-        self.shard = csr.build_shard(
-            part,
-            P,
-            vt["vertex_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-            vt["out_degree"].to_numpy(zero_copy_only=False).astype(np.int64),
-            vt["in_degree"].to_numpy(zero_copy_only=False).astype(np.int64),
-            et["src"].to_numpy(zero_copy_only=False).astype(np.int64),
-            et["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
-            et["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
-            if et.num_rows
-            else None,
-        )
-        # mirror srcs -> position in the global (sorted) split-id list
-        self.mirror_map = np.searchsorted(self.split_ids, self.shard.mirror_ids)
-        if len(self.shard.mirror_ids) and not (
-            (self.mirror_map < len(self.split_ids))
-            & (self.split_ids[np.minimum(self.mirror_map, max(len(self.split_ids) - 1, 0))]
-               == self.shard.mirror_ids)
-        ).all():
-            raise AssertionError(f"shard {part}: mirror src not in split list")
-        # owned split vertices -> (global split position, local vertex index)
-        owned_splits = self.split_ids[self.split_ids % P == part]
-        self.split_global_pos = np.searchsorted(self.split_ids, owned_splits)
-        self.split_local_idx = np.searchsorted(self.shard.vertex_ids, owned_splits)
+            self.pool = ThreadPoolExecutor(max_workers=num_threads)
 
-        self.state = program.init_state(self.shard, N)
-        self.incoming_idx: list[np.ndarray] | None = None
+        self.shards: dict[int, csr.ShardData] = {}
+        self.states: dict[int, dict] = {}
+        self.mirror_map: dict[int, np.ndarray] = {}
+        self.split_pos: dict[int, np.ndarray] = {}
+        self.split_idx: dict[int, np.ndarray] = {}
+        for p in self.parts:
+            vt = _read_part(
+                os.path.join(graph_path, "vertices"),
+                p,
+                ["vertex_id", "out_degree", "in_degree"],
+            )
+            et = _read_part(
+                os.path.join(graph_path, "edges"), p, ["src", "dst", "weight"]
+            )
+            shard = csr.build_shard(
+                p,
+                P,
+                vt["vertex_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                vt["out_degree"].to_numpy(zero_copy_only=False).astype(np.int64),
+                vt["in_degree"].to_numpy(zero_copy_only=False).astype(np.int64),
+                et["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                et["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                et["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+                if et.num_rows
+                else None,
+            )
+            self.shards[p] = shard
+            self.states[p] = program.init_state(shard, N)
+            mm = np.searchsorted(self.split_ids, shard.mirror_ids)
+            if len(shard.mirror_ids) and not (
+                (mm < len(self.split_ids))
+                & (
+                    self.split_ids[np.minimum(mm, max(len(self.split_ids) - 1, 0))]
+                    == shard.mirror_ids
+                )
+            ).all():
+                raise AssertionError(f"shard {p}: mirror src not in split list")
+            self.mirror_map[p] = mm
+            owned_splits = self.split_ids[self.split_ids % P == p]
+            self.split_pos[p] = np.searchsorted(self.split_ids, owned_splits)
+            self.split_idx[p] = np.searchsorted(shard.vertex_ids, owned_splits)
+
+        # incoming_idx[q][p] = local positions in q's vertex array for the
+        # dst ids announced by sender partition p (static topology)
+        self.incoming_idx: dict[int, list[np.ndarray]] = {}
         self.last_messages = 0
 
     def ready(self) -> bool:
         return True
 
-    def outgoing_ids(self):
-        return self.shard.outgoing_dst_ids()
+    # -- topology handshake -------------------------------------------------
 
-    def set_incoming(self, *dst_id_arrays):
-        idxs = []
-        for arr in dst_id_arrays:
-            arr = np.asarray(arr, dtype=np.int64)
-            idx = np.searchsorted(self.shard.vertex_ids, arr)
-            if len(arr) and not (
-                self.shard.vertex_ids[
-                    np.minimum(idx, max(self.shard.nv - 1, 0))
-                ]
-                == arr
-            ).all():
-                raise AssertionError(f"shard {self.part}: unknown incoming dst")
-            idxs.append(idx)
-        self.incoming_idx = idxs
+    def outgoing_ids(self) -> dict[int, list[np.ndarray]]:
+        return {p: self.shards[p].outgoing_dst_ids() for p in self.parts}
+
+    def set_incoming(self, *actor_outgoing) -> bool:
+        """actor_outgoing: A dicts {sender_part: [dst_ids per dest part]}."""
+        for q in self.parts:
+            per_sender = []
+            for p in range(self.P):
+                arr = np.asarray(
+                    actor_outgoing[p % self.A][p][q], dtype=np.int64
+                )
+                sh = self.shards[q]
+                idx = np.searchsorted(sh.vertex_ids, arr)
+                if len(arr) and not (
+                    sh.vertex_ids[np.minimum(idx, max(sh.nv - 1, 0))] == arr
+                ).all():
+                    raise AssertionError(f"part {q}: unknown incoming dst")
+                per_sender.append(idx)
+            self.incoming_idx[q] = per_sender
         return True
 
-    def _masked_signal(self) -> np.ndarray:
-        sig = self.program.signal(self.shard, self.state)
+    # -- superstep ----------------------------------------------------------
+
+    def _masked_signal(self, p: int) -> np.ndarray:
+        sig = self.program.signal(self.shards[p], self.states[p])
         if self.program.frontier_only:
-            sig = np.where(self.state["active"], sig, self.program.identity)
+            sig = np.where(
+                self.states[p]["active"], sig, self.program.identity
+            )
         return sig
 
-    def split_signal(self):
-        """Signals of split vertices owned here (already frontier-masked)."""
-        sig = self._masked_signal()
-        return self.split_global_pos, sig[self.split_local_idx]
-
-    def scatter(self, mirror_signals=None):
-        """E3/E4/E6: per-edge messages → per-(dst partition, dst) partials."""
-        sh = self.shard
+    def _scatter_part(self, p: int, mirror_signals):
         prog = self.program
-        sig = self._masked_signal()
+        sh = self.shards[p]
+        sig = self._masked_signal(p)
         signal_by_code = np.full(
-            len(sh.src_list), prog.identity, dtype=sig.dtype if sig.size else np.float64
+            len(sh.src_list),
+            prog.identity,
+            dtype=sig.dtype if sig.size else prog.dtype,
         )
         signal_by_code[sh.owned_codes] = sig[sh.owned_idx]
         if len(sh.mirror_codes):
             signal_by_code[sh.mirror_codes] = np.asarray(mirror_signals)[
-                self.mirror_map
+                self.mirror_map[p]
             ]
-        # edges processed this superstep (for the lineage metrics / headline
-        # throughput): count edges whose source actually emitted
         counts = np.diff(sh.src_code_starts)
-        self.last_messages = int(counts[signal_by_code != prog.identity].sum())
-        return csr.scatter_partials(
+        msgs = int(counts[signal_by_code != prog.identity].sum())
+        partials = csr.scatter_partials(
             sh,
             signal_by_code,
             combine=prog.combine,
             identity=prog.identity,
             use_weights=prog.use_weights,
         )
+        return msgs, partials
 
-    def apply(self, *partials):
-        """E5/E8: combine incoming partials, run the vertex update."""
-        sh = self.shard
-        prog = self.program
-        agg = np.full(sh.nv, prog.identity, dtype=prog.dtype)
-        for idx, partial in zip(self.incoming_idx, partials):
-            if len(partial) == 0:
-                continue
-            if prog.combine == "sum":
-                agg[idx] += partial
-            else:
-                agg[idx] = np.minimum(agg[idx], partial)
-        metrics = prog.apply(sh, self.state, agg, self.N)
-        metrics["messages"] = self.last_messages
-        return metrics
+    def _scatter_all(self, mirror_signals) -> dict[int, list[np.ndarray]]:
+        if self.pool is not None:
+            results = list(
+                self.pool.map(
+                    lambda p: (p, self._scatter_part(p, mirror_signals)),
+                    self.parts,
+                )
+            )
+        else:
+            results = [
+                (p, self._scatter_part(p, mirror_signals)) for p in self.parts
+            ]
+        self.last_messages = sum(m for _, (m, _) in results)
+        return {p: partials for p, (_, partials) in results}
 
-    def on_event(self, payload: dict):
-        return self.program.on_event(self.shard, self.state, payload)
+    def _split_meta(self) -> tuple[np.ndarray, np.ndarray]:
+        """(global positions, frontier-masked signals) of owned split
+        vertices, for the driver's next mirror broadcast."""
+        pos, sig = [], []
+        for p in self.parts:
+            if len(self.split_pos[p]):
+                s = self._masked_signal(p)
+                pos.append(self.split_pos[p])
+                sig.append(s[self.split_idx[p]])
+        if pos:
+            return np.concatenate(pos), np.concatenate(sig)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=self.program.dtype)
 
-    def values_table(self) -> pa.Table:
-        return pa.table(
-            {
-                "vertex_id": pa.array(self.shard.vertex_ids),
-                "value": pa.array(self.state["values"]),
-            }
+    def scatter_only(self, mirror_signals=None):
+        """Bootstrap round: scatter from the initial/restored state."""
+        partials = self._scatter_all(mirror_signals)
+        pos, sig = self._split_meta()
+        return (
+            {"metrics": None, "split_pos": pos, "split_sig": sig,
+             "messages": self.last_messages},
+            partials,
         )
 
-    def write_values(self, out_dir: str) -> str:
-        os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"part-{self.part:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(self.values_table(), tmp)
-        os.replace(tmp, path)
-        return path
+    def _mirror_from_metas(self, metas) -> np.ndarray | None:
+        if not len(self.split_ids):
+            return None
+        full = np.full(
+            len(self.split_ids), self.program.identity, dtype=self.program.dtype
+        )
+        for m in metas:
+            pos, sig = m["split_pos"], m["split_sig"]
+            if len(pos):
+                full[pos] = sig
+        return full
 
-    def checkpoint(self, ckpt_dir: str, iteration: int) -> str:
-        """Per-partition state snapshot (SURVEY.md §3.3: the reference has
-        none — rerun-on-failure; this is a rebuild addition per the north
-        rule)."""
+    def apply_scatter(self, *objs):
+        """Fused round: apply superstep k (combine incoming partials, run
+        the vertex update E5/E8), then scatter for k+1 from the new state.
+
+        ``objs`` = A meta objects of round k-1 followed by A partials
+        objects of round k-1 (each ``{sender_part: [arrays per dest
+        part]}``). The mirror broadcast for the k+1 scatter is assembled
+        here from the metas — the driver never sits in the superstep loop,
+        so rounds chain purely through object dependencies and can be
+        pipelined. Combine order is global sender-partition order (p =
+        0..P-1): deterministic for any actor count."""
+        metas = objs[: self.A]
+        partials_objs = objs[self.A :]
+        prog = self.program
+        metrics: dict = {}
+        sent_messages = self.last_messages
+
+        def combine_apply(q: int) -> dict:
+            sh = self.shards[q]
+            agg = np.full(sh.nv, prog.identity, dtype=prog.dtype)
+            idx_by_sender = self.incoming_idx[q]
+            for p in range(self.P):
+                partial = partials_objs[p % self.A][p][q]
+                if len(partial) == 0:
+                    continue
+                idx = idx_by_sender[p]
+                if prog.combine == "sum":
+                    agg[idx] += partial
+                else:
+                    agg[idx] = np.minimum(agg[idx], partial)
+            return prog.apply(sh, self.states[q], agg, self.N)
+
+        if self.pool is not None:
+            per_part = list(self.pool.map(combine_apply, self.parts))
+        else:
+            per_part = [combine_apply(q) for q in self.parts]
+        for m in per_part:
+            for k, v in m.items():
+                metrics[k] = metrics.get(k, 0) + v
+        metrics["messages"] = sent_messages
+        mirror_signals = self._mirror_from_metas(metas)
+        partials = self._scatter_all(mirror_signals)
+        pos, sig = self._split_meta()
+        return (
+            {"metrics": metrics, "split_pos": pos, "split_sig": sig,
+             "messages": self.last_messages},
+            partials,
+        )
+
+    def initial_mirror(self):
+        return self._split_meta()
+
+    def on_event(self, payload: dict) -> dict:
+        agg: dict = {}
+        for p in self.parts:
+            m = self.program.on_event(self.shards[p], self.states[p], payload)
+            for k, v in m.items():
+                agg[k] = agg.get(k, 0) + v
+        return agg
+
+    # -- results / checkpoints ----------------------------------------------
+
+    def values_table(self) -> pa.Table:
+        tables = [
+            pa.table(
+                {
+                    "vertex_id": pa.array(self.shards[p].vertex_ids),
+                    "value": pa.array(self.states[p]["values"]),
+                }
+            )
+            for p in self.parts
+        ]
+        return pa.concat_tables(tables)
+
+    def write_values(self, out_dir: str) -> list[str]:
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for p in self.parts:
+            path = os.path.join(out_dir, f"part-{p:05d}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(
+                pa.table(
+                    {
+                        "vertex_id": pa.array(self.shards[p].vertex_ids),
+                        "value": pa.array(self.states[p]["values"]),
+                    }
+                ),
+                tmp,
+            )
+            os.replace(tmp, path)
+            paths.append(path)
+        return paths
+
+    def checkpoint(self, ckpt_dir: str, iteration: int) -> bool:
+        """Per-partition state snapshot (reference has none — SURVEY.md
+        §3.3; rebuild addition per the north rule). Files are keyed by
+        partition, so a run may resume with a different actor count."""
         d = os.path.join(ckpt_dir, f"iter_{iteration:06d}")
         os.makedirs(d, exist_ok=True)
-        cols = {"vertex_id": pa.array(self.shard.vertex_ids)}
-        for name in self.program.state_columns():
-            arr = self.state[name]
-            if arr.dtype == bool:
-                arr = arr.astype(np.uint8)
-            cols[name] = pa.array(arr)
-        path = os.path.join(d, f"part-{self.part:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(pa.table(cols), tmp)
-        os.replace(tmp, path)
-        return path
+        for p in self.parts:
+            cols = {"vertex_id": pa.array(self.shards[p].vertex_ids)}
+            for name in self.program.state_columns():
+                arr = self.states[p][name]
+                if arr.dtype == bool:
+                    arr = arr.astype(np.uint8)
+                cols[name] = pa.array(arr)
+            path = os.path.join(d, f"part-{p:05d}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(pa.table(cols), tmp)
+            os.replace(tmp, path)
+        return True
 
     def restore(self, ckpt_dir: str, iteration: int) -> bool:
         d = os.path.join(ckpt_dir, f"iter_{iteration:06d}")
-        t = pq.read_table(os.path.join(d, f"part-{self.part:05d}.parquet"))
-        vids = t["vertex_id"].to_numpy(zero_copy_only=False)
-        if not np.array_equal(vids, self.shard.vertex_ids):
-            raise AssertionError(f"shard {self.part}: checkpoint vertex mismatch")
-        for name in self.program.state_columns():
-            arr = t[name].to_numpy(zero_copy_only=False)
-            if self.state[name].dtype == bool:
-                arr = arr.astype(bool)
-            else:
-                arr = arr.astype(self.state[name].dtype)
-            self.state[name] = arr
-        return True
-
-    def set_state_scalar(self, key: str, value):
-        self.state[key] = value
+        for p in self.parts:
+            t = pq.read_table(os.path.join(d, f"part-{p:05d}.parquet"))
+            vids = t["vertex_id"].to_numpy(zero_copy_only=False)
+            if not np.array_equal(vids, self.shards[p].vertex_ids):
+                raise AssertionError(f"part {p}: checkpoint vertex mismatch")
+            for name in self.program.state_columns():
+                arr = t[name].to_numpy(zero_copy_only=False)
+                if self.states[p][name].dtype == bool:
+                    arr = arr.astype(bool)
+                else:
+                    arr = arr.astype(self.states[p][name].dtype)
+                self.states[p][name] = arr
         return True
 
 
 class Engine:
     """Driver-side superstep loop (E1/E2). Algorithms own the iteration
-    policy; the engine owns actors, the exchange, metrics, checkpoints."""
+    policy; the engine owns actors, the fused exchange, metrics,
+    checkpoints."""
 
     def __init__(
         self,
         graph: Graph,
         program: VertexProgram,
         *,
+        num_actors: int | None = None,
         actor_cpus: float | None = None,
+        threads_per_actor: int | None = None,
     ):
         self.graph = graph
         self.program = program
@@ -259,77 +404,172 @@ class Engine:
         self.split_ids = np.asarray(
             sorted(graph.meta.split_vertices), dtype=np.int64
         )
+        total = ray.cluster_resources().get("CPU", P)
+        if threads_per_actor is None:
+            # measured trade-off on this hardware: Ray-task overhead is
+            # ~0.5 ms/task (scales with actor count), the in-actor thread
+            # pool loses ~20% to the GIL-held Python in the combine loop.
+            # 2 threads/actor wins at >=16 cores; plain 1:1 below that.
+            threads_per_actor = 2 if total >= 16 else 1
+        if num_actors is None:
+            num_actors = max(1, min(P, int(total) // threads_per_actor))
+        A = num_actors
+        self.A = A
         if actor_cpus is None:
-            total = ray.cluster_resources().get("CPU", P)
-            actor_cpus = max(0.05, min(1.0, total / max(P, 1) * 0.8))
+            actor_cpus = max(
+                0.05, min(float(threads_per_actor), total / max(A, 1) * 0.8)
+            )
+        parts_of = [[p for p in range(P) if p % A == a] for a in range(A)]
         self.actors = [
             ShardActor.options(num_cpus=actor_cpus).remote(
-                graph.path, p, P, program, graph.meta.num_vertices, self.split_ids
+                graph.path,
+                parts_of[a],
+                P,
+                A,
+                program,
+                graph.meta.num_vertices,
+                self.split_ids,
+                num_threads=threads_per_actor,
             )
-            for p in range(P)
+            for a in range(A)
         ]
         ray.get([a.ready.remote() for a in self.actors])
-        out_refs = [
-            a.outgoing_ids.options(num_returns=P).remote() for a in self.actors
-        ]
+        out_refs = [a.outgoing_ids.remote() for a in self.actors]
         ray.get(
-            [
-                self.actors[q].set_incoming.remote(
-                    *[out_refs[p][q] for p in range(P)]
-                )
-                for q in range(P)
-            ]
+            [a.set_incoming.remote(*out_refs) for a in self.actors]
         )
-        self.iteration = 0
+        self.iteration = 0  # supersteps whose metrics have been collected
+        self.submitted = 0  # supersteps submitted to the pipeline
         self.lineage: list[dict] = []
+        self._meta_refs: list | None = None  # last round's meta refs
+        self._partial_refs: list | None = None  # last round's partials refs
+        self._pending: list = []  # queue of (meta_refs, t_submit)
 
-    def step(self) -> dict:
-        t0 = time.perf_counter()
-        mirror_ref = None
+    # -- internals ----------------------------------------------------------
+
+    def _bootstrap(self) -> None:
+        mirror = None
         if len(self.split_ids):
-            sig_parts = ray.get(
-                [a.split_signal.remote() for a in self.actors]
-            )
+            metas = [
+                {"split_pos": p, "split_sig": s}
+                for p, s in ray.get(
+                    [a.initial_mirror.remote() for a in self.actors]
+                )
+            ]
             full = np.full(
                 len(self.split_ids),
                 self.program.identity,
                 dtype=self.program.dtype,
             )
-            for pos, vals in sig_parts:
-                full[pos] = vals
-            mirror_ref = ray.put(full)
-        scatter_refs = [
-            a.scatter.options(num_returns=self.P).remote(mirror_ref)
+            for m in metas:
+                if len(m["split_pos"]):
+                    full[m["split_pos"]] = m["split_sig"]
+            mirror = full
+        rounds = [
+            a.scatter_only.options(num_returns=2).remote(mirror)
             for a in self.actors
         ]
-        apply_refs = [
-            self.actors[q].apply.remote(
-                *[scatter_refs[p][q] for p in range(self.P)]
+        self._meta_refs = [r[0] for r in rounds]
+        self._partial_refs = [r[1] for r in rounds]
+
+    def _submit_round(self) -> None:
+        if self._partial_refs is None:
+            self._bootstrap()
+        rounds = [
+            a.apply_scatter.options(num_returns=2).remote(
+                *self._meta_refs, *self._partial_refs
             )
-            for q in range(self.P)
+            for a in self.actors
         ]
-        per_shard = ray.get(apply_refs)
+        self._meta_refs = [r[0] for r in rounds]
+        self._partial_refs = [r[1] for r in rounds]
+        self._pending.append((self._meta_refs, time.perf_counter()))
+        self.submitted += 1
+
+    def _collect_one(self) -> dict:
+        meta_refs, t_submit = self._pending.pop(0)
+        metas = ray.get(meta_refs)
         agg: dict = {}
-        for m in per_shard:
-            for k, v in m.items():
+        for m in metas:
+            for k, v in (m["metrics"] or {}).items():
                 agg[k] = agg.get(k, 0) + v
         agg["iteration"] = self.iteration
-        agg["wall_sec"] = time.perf_counter() - t0
+        agg["wall_sec"] = time.perf_counter() - t_submit
         self.lineage.append(agg)
         self.iteration += 1
         return agg
 
+    def step(self) -> dict:
+        """Run one superstep synchronously (submit + collect); returns the
+        summed per-partition metrics."""
+        self._submit_round()
+        return self._collect_one()
+
+    def run(
+        self,
+        stop,
+        *,
+        max_iters: int = 10_000,
+        depth: int = 4,
+        checkpoint_dir: str | None = None,
+        checkpoint_interval: int = 0,
+        on_checkpoint=None,
+    ) -> dict | None:
+        """Pipelined superstep loop: keep up to ``depth`` rounds in flight;
+        rounds chain actor→actor through object dependencies, so per-round
+        driver/scheduler latency overlaps with actor compute. ``stop`` is a
+        predicate over collected metrics (which lag the pipeline head by up
+        to ``depth`` supersteps — the extra supersteps are no-ops for
+        frontier programs and extra convergence for PageRank; iteration
+        counts and results stay deterministic because the stop decision is
+        made on the same deterministic metric stream)."""
+        last = None
+        while self.submitted < max_iters:
+            self._submit_round()
+            if len(self._pending) >= depth:
+                last = self._collect_one()
+                if stop(last):
+                    break
+                if (
+                    checkpoint_interval
+                    and checkpoint_dir is not None
+                    and self.iteration % checkpoint_interval == 0
+                ):
+                    self.checkpoint(checkpoint_dir)
+        while self._pending:
+            last = self._collect_one()
+            if (
+                checkpoint_interval
+                and checkpoint_dir is not None
+                and self.iteration % checkpoint_interval == 0
+            ):
+                self.checkpoint(checkpoint_dir)
+        return last
+
+    def drain(self) -> None:
+        while self._pending:
+            self._collect_one()
+
+    def _rescatter(self) -> None:
+        """Refresh outstanding scatter output after a state mutation
+        (broadcast event or restore)."""
+        self.drain()
+        self._partial_refs = None  # forces bootstrap scatter on next round
+
     def broadcast_event(self, payload: dict) -> dict:
+        self.drain()
         results = ray.get([a.on_event.remote(payload) for a in self.actors])
         agg: dict = {}
         for m in results:
             for k, v in m.items():
                 agg[k] = agg.get(k, 0) + v
+        self._rescatter()
         return agg
 
     def checkpoint(self, ckpt_dir: str) -> None:
         from flashray.checkpoint import write_lineage
 
+        self.drain()
         ray.get(
             [a.checkpoint.remote(ckpt_dir, self.iteration) for a in self.actors]
         )
@@ -342,11 +582,10 @@ class Engine:
         ray.get([a.restore.remote(ckpt_dir, iteration) for a in self.actors])
         self.iteration = iteration
         self.lineage = lineage
+        self._partial_refs = None  # force re-scatter from restored state
         return iteration
 
     def values_pandas(self):
-        import pandas as pd
-
         tables = ray.get([a.values_table.remote() for a in self.actors])
         return pa.concat_tables(tables).to_pandas()
 

@@ -30,6 +30,7 @@ TIERS = {
     "small": (200, 4, 10),  # ~1.7k turns
     "sf0.01": (2_000, 5, 26),  # ~35k turns (driver correctness)
     "bench": (20_000, 5, 46),  # ~550k turns (sf0.1-equivalent)
+    "xl": (250_000, 5, 46),  # ~6.9M turns (~15M edges; scaling runs)
 }
 
 

@@ -134,6 +134,26 @@ def _degree_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+def _part_writer(base: str, columns: list[str]):
+    """map_groups writer: one parquet file per partition value (hive-style
+    dir layout), atomic rename. Exactly P files instead of blocks×P —
+    Ray's ``partition_cols`` writer emits one file per (block, value)."""
+    import pyarrow.parquet as pq
+
+    def write_group(g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        d = os.path.join(base, f"part={part}")
+        os.makedirs(d, exist_ok=True)
+        out = os.path.join(d, "data.parquet")
+        tmp = out + f".tmp{os.getpid()}"
+        pq.write_table(g.select(columns), tmp)
+        os.replace(tmp, out)
+        return pa.table({"part": pa.array([part], type=pa.int32()),
+                         "rows": pa.array([g.num_rows], type=pa.int64())})
+
+    return write_group
+
+
 def build_graph(
     edges: ray.data.Dataset,
     path: str,
@@ -147,9 +167,26 @@ def build_graph(
 
     ``edges`` must carry EDGE_SCHEMA columns. ``skew_threshold=None`` means
     "auto": 32 × the average out-degree, at least 512.
+
+    Pass structure (each heavy stage runs exactly once — a lazy Dataset
+    consumed twice would re-execute the whole upstream pipeline):
+
+    1. [shuffle] symmetrize? → exact dedup → temp parquet (streamed)
+    2. [shuffle] degree table from temp → one vertices file per partition
+    3. split-vertex detection: pushed-down filter over the vertex table
+    4. [shuffle] temp edges + part column → one edges file per partition
     """
+    import shutil
+
     P = num_partitions
     os.makedirs(path, exist_ok=True)
+    for sub in ("edges", "vertices", "meta.json"):
+        target = os.path.join(path, sub)
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        elif os.path.exists(target):
+            os.remove(target)
+    tmp_edges = os.path.join(path, "_tmp_edges")
 
     if symmetrize:
         edges = edges.map_batches(
@@ -158,11 +195,13 @@ def build_graph(
         dedup = True
     if dedup:
         edges = dedup_edges(edges)
+    edges.write_parquet(tmp_edges, mode="overwrite")
 
-    # One pass for the vertex/degree table (shuffle key: vertex_id int64,
-    # with Ray Data's partial+final combine doing the map-side aggregation).
+    # pass 2: vertex/degree table (shuffle key: vertex_id int64; Ray Data's
+    # hash aggregate does map-side partial + reduce-side final combine)
     degrees = (
-        edges.map_batches(_degree_rows, batch_format="pyarrow", zero_copy_batch=True)
+        ray.data.read_parquet(tmp_edges, columns=["src", "dst"])
+        .map_batches(_degree_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("vertex_id")
         .aggregate(
             Sum("out_degree", alias_name="out_degree"),
@@ -174,27 +213,28 @@ def build_graph(
         v = batch["vertex_id"].to_numpy(zero_copy_only=False)
         return batch.append_column("part", pa.array((v % P).astype(np.int32)))
 
-    degrees = degrees.map_batches(
-        add_vpart, batch_format="pyarrow", zero_copy_batch=True
+    vstats = (
+        degrees.map_batches(add_vpart, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(
+            _part_writer(
+                os.path.join(path, "vertices"),
+                ["vertex_id", "out_degree", "in_degree"],
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
     )
-    degrees.write_parquet(
-        os.path.join(path, "vertices"), partition_cols=["part"], mode="overwrite"
-    )
+    num_vertices = int(vstats["rows"].sum())
 
-    # Degree stats via a distributed aggregate (never the full table on the
-    # driver); split-vertex detection via a pushed-down row filter — the
-    # result is small by construction (degree > threshold).
+    # pass 3 (cheap): stats + split-vertex detection from the vertex table
     from ray.data.aggregate import Count
 
     import pyarrow.compute as pc
 
-    stats = (
-        ray.data.read_parquet(
-            os.path.join(path, "vertices"), columns=["out_degree"]
-        )
-        .aggregate(Sum("out_degree", alias_name="e"), Count(alias_name="v"))
-    )
-    num_vertices = int(stats["v"])
+    stats = ray.data.read_parquet(
+        os.path.join(path, "vertices"), columns=["out_degree"]
+    ).aggregate(Sum("out_degree", alias_name="e"))
     num_edges_total = int(stats["e"])
     if skew_threshold is None:
         avg = max(1, num_edges_total // max(1, num_vertices))
@@ -221,12 +261,22 @@ def build_graph(
             part = np.where(is_split, ((src + dst) % P).astype(np.int32), part)
         return batch.append_column("part", pa.array(part))
 
-    edges_p = edges.map_batches(
-        add_epart, batch_format="pyarrow", zero_copy_batch=True
+    # pass 4: hash-partitioned edge files (one per partition)
+    (
+        ray.data.read_parquet(tmp_edges)
+        .map_batches(add_epart, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(
+            _part_writer(
+                os.path.join(path, "edges"),
+                ["src", "dst", "etype", "weight", "ts"],
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
-    edges_p.write_parquet(
-        os.path.join(path, "edges"), partition_cols=["part"], mode="overwrite"
-    )
+
+    shutil.rmtree(tmp_edges, ignore_errors=True)
 
     meta = GraphMeta(
         path=path,

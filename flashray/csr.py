@@ -158,23 +158,21 @@ def scatter_partials(
     combine: str,
     identity,
     use_weights: bool = False,
-) -> list[np.ndarray]:
+) -> np.ndarray:
     """Dense scatter: per-edge messages → per-(destination partition, dst)
-    partial aggregates via reduceat. Returns P arrays aligned with
-    ``outgoing_dst_ids()``."""
+    partial aggregates via reduceat. Returns ONE contiguous array with one
+    entry per group, ordered by (dest partition, dst) — the slice for
+    destination q is ``[qranges[q], qranges[q+1])`` (static offsets the
+    receiver learned at handshake). One buffer per partition keeps the
+    plasma store write O(1) objects (measured: 128 small buffers per
+    return cost ~10 ms/actor/superstep in object-store writes)."""
     msgs = signal_by_code[shard.edge_src_code]
     if use_weights:
         msgs = msgs * shard.edge_weight
     if shard.ne == 0:
-        return [np.empty(0, dtype=msgs.dtype) for _ in range(shard.P)]
+        return np.empty(0, dtype=msgs.dtype)
     if combine == "sum":
-        partial = np.add.reduceat(msgs, shard.group_starts)
-    elif combine == "min":
-        partial = np.minimum.reduceat(msgs, shard.group_starts)
-    else:
-        raise ValueError(combine)
-    out = []
-    for q in range(shard.P):
-        lo, hi = shard.qranges[q], shard.qranges[q + 1]
-        out.append(partial[lo:hi])
-    return out
+        return np.add.reduceat(msgs, shard.group_starts)
+    if combine == "min":
+        return np.minimum.reduceat(msgs, shard.group_starts)
+    raise ValueError(combine)

@@ -139,8 +139,11 @@ class ShardActor:
             self.split_idx[p] = np.searchsorted(shard.vertex_ids, owned_splits)
 
         # incoming_idx[q][p] = local positions in q's vertex array for the
-        # dst ids announced by sender partition p (static topology)
+        # dst ids announced by sender partition p; incoming_slice[q][p] =
+        # (lo, hi) bounds into sender p's contiguous partial array
+        # (static topology, exchanged once at handshake)
         self.incoming_idx: dict[int, list[np.ndarray]] = {}
+        self.incoming_slice: dict[int, list[tuple[int, int]]] = {}
         self.last_messages = 0
 
     def ready(self) -> bool:
@@ -152,21 +155,28 @@ class ShardActor:
         return {p: self.shards[p].outgoing_dst_ids() for p in self.parts}
 
     def set_incoming(self, *actor_outgoing) -> bool:
-        """actor_outgoing: A dicts {sender_part: [dst_ids per dest part]}."""
+        """actor_outgoing: A dicts {sender_part: [dst_ids per dest part]}.
+        Also derives, per (sender part, own part), the slice bounds into the
+        sender's contiguous partial array (= cumulative group counts)."""
         for q in self.parts:
             per_sender = []
+            per_slice = []
             for p in range(self.P):
-                arr = np.asarray(
-                    actor_outgoing[p % self.A][p][q], dtype=np.int64
-                )
+                out_p = actor_outgoing[p % self.A][p]
+                arr = np.asarray(out_p[q], dtype=np.int64)
                 sh = self.shards[q]
                 idx = np.searchsorted(sh.vertex_ids, arr)
                 if len(arr) and not (
                     sh.vertex_ids[np.minimum(idx, max(sh.nv - 1, 0))] == arr
                 ).all():
                     raise AssertionError(f"part {q}: unknown incoming dst")
-                per_sender.append(idx)
+                # keep intp: numpy fancy indexing converts (and copies)
+                # any other integer dtype on every use
+                per_sender.append(idx.astype(np.intp))
+                lo = sum(len(out_p[qq]) for qq in range(q))
+                per_slice.append((lo, lo + len(arr)))
             self.incoming_idx[q] = per_sender
+            self.incoming_slice[q] = per_slice
         return True
 
     # -- superstep ----------------------------------------------------------
@@ -275,10 +285,12 @@ class ShardActor:
             sh = self.shards[q]
             agg = np.full(sh.nv, prog.identity, dtype=prog.dtype)
             idx_by_sender = self.incoming_idx[q]
+            slice_by_sender = self.incoming_slice[q]
             for p in range(self.P):
-                partial = partials_objs[p % self.A][p][q]
-                if len(partial) == 0:
+                lo, hi = slice_by_sender[p]
+                if hi == lo:
                     continue
+                partial = partials_objs[p % self.A][p][lo:hi]
                 idx = idx_by_sender[p]
                 if prog.combine == "sum":
                     agg[idx] += partial
@@ -313,6 +325,14 @@ class ShardActor:
             for k, v in m.items():
                 agg[k] = agg.get(k, 0) + v
         return agg
+
+    def reset_state(self) -> bool:
+        """Re-initialize program state (used to measure steady-state
+        superstep throughput after a warmup run)."""
+        for p in self.parts:
+            self.states[p] = self.program.init_state(self.shards[p], self.N)
+        self.last_messages = 0
+        return True
 
     # -- results / checkpoints ----------------------------------------------
 
@@ -549,6 +569,17 @@ class Engine:
     def drain(self) -> None:
         while self._pending:
             self._collect_one()
+
+    def reset(self) -> None:
+        """Drain and reset program state / iteration counters (for
+        warmup-then-measure benchmarking)."""
+        self.drain()
+        ray.get([a.reset_state.remote() for a in self.actors])
+        self.iteration = 0
+        self.submitted = 0
+        self.lineage = []
+        self._partial_refs = None
+        self._meta_refs = None
 
     def _rescatter(self) -> None:
         """Refresh outstanding scatter output after a state mutation

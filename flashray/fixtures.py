@@ -31,6 +31,7 @@ TIERS = {
     "sf0.01": (2_000, 5, 26),  # ~35k turns (driver correctness)
     "bench": (20_000, 5, 46),  # ~550k turns (sf0.1-equivalent)
     "xl": (250_000, 5, 46),  # ~6.9M turns (~15M edges; scaling runs)
+    "xxl": (500_000, 5, 46),  # ~13.7M turns (~30M edges; scaling runs)
 }
 
 

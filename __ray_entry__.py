@@ -30,7 +30,7 @@ import pandas as pd
 import pyarrow as pa
 
 _GRAPH_CACHE: dict[str, Any] = {}
-_CACHE_ROOT = "/tmp/flashray/cache_v1"
+_CACHE_ROOT = "/tmp/flashray/cache_v2"
 
 
 def _tier(sf_dir: str) -> str:
@@ -466,6 +466,62 @@ def _q_frame_samples(sf_dir: str):
     return multimodal.sample_frames(rd.from_arrow(media), frames_per_item=4)
 
 
+def _q_events_tumbling(sf_dir: str):
+    import ray.data as rd
+
+    from flashray.datapipe import windows
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return windows.tumbling_window(ds, window_sec=3600)
+
+
+def _q_events_sliding(sf_dir: str):
+    import ray.data as rd
+
+    from flashray.datapipe import windows
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return windows.sliding_window(ds, window_sec=3600, slide_sec=900)
+
+
+def _q_events_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from flashray.datapipe import windows
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return windows.session_window(ds, gap_sec=1800)
+
+
+def _q_subgraph_convs(sf_dir: str):
+    """A16 subgraph fetch: induced subgraph on {turn vertices of convs
+    0..19} ∪ {role vertices}; output = per-etype edge count."""
+    from ray.data.aggregate import Count
+
+    from flashray import api, fixtures, ids
+
+    g = _graph(sf_dir, symmetrize=False)
+    n, base, mod = fixtures.TIERS[_tier(sf_dir)]
+    keep = []
+    for c in range(20):
+        conv = f"conv{c:08d}"
+        turns = base + (c % mod)
+        keep.extend(
+            ids.turn_vertex_ids([conv] * turns, np.arange(turns)).tolist()
+        )
+    for r in ("user", "assistant", "tool"):
+        keep.append(ids.role_vertex(r))
+    edges = api.subgraph_edges(g, keep)
+    return edges.groupby("etype").aggregate(Count(alias_name="n_edges"))
+
+
+def _q_pagerank_weighted(sf_dir: str):
+    from flashray import algorithms
+
+    g = _graph(sf_dir, symmetrize=False)
+    return algorithms.pagerank(g, eps=1e-6, weighted=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcripts_passthrough": _q_transcripts_passthrough,
@@ -494,6 +550,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": _q_docs_fingerprints,
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
+        "events_tumbling_1h": _q_events_tumbling,
+        "events_sliding_1h_15m": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
+        "subgraph_convs": _q_subgraph_convs,
+        "pagerank_weighted": _q_pagerank_weighted,
     }
 
 
@@ -593,6 +654,51 @@ FROM documents""",
         "docs_exact_dedup": """
 SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY text""",
+        "events_tumbling_1h": """
+SELECT user_id,
+       epoch_us(ts) // 3600000000 * 3600 AS window_start,
+       COUNT(*) AS n_events, SUM(value) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2""",
+        "events_sliding_1h_15m": """
+SELECT user_id,
+       (epoch_us(ts) // 900000000 - k.range) * 900 AS window_start,
+       COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM events, range(0, 4) k
+WHERE (epoch_us(ts) // 900000000 - k.range) >= 0
+GROUP BY 1, 2""",
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, ts, value, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(us) // 1000000 AS session_start,
+       MAX(us) // 1000000 AS session_end,
+       COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM s GROUP BY user_id, sid""",
+        "subgraph_convs": f"""
+WITH t AS ({_tsql()}),
+tset AS (SELECT conv_id, turn_idx FROM t
+         WHERE CAST(substr(conv_id, 5) AS BIGINT) < 20),
+reply AS (
+  SELECT 1 FROM tset a JOIN tset b
+  ON a.conv_id = b.conv_id AND a.turn_idx + 1 = b.turn_idx
+),
+role AS (SELECT 1 FROM tset)
+SELECT 'reply' AS etype, COUNT(*) AS n_edges FROM reply
+UNION ALL
+SELECT 'role', COUNT(*) FROM role""",
         "embeddings_knn": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT CAST(ROW_NUMBER() OVER (

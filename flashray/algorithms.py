@@ -48,6 +48,7 @@ def pagerank(
     eps: float = 1e-6,
     max_iters: int = 200,
     mode: str = "pull",
+    weighted: bool = False,
     out_dir: str | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
@@ -55,9 +56,12 @@ def pagerank(
     actor_cpus: float | None = None,
 ):
     """A1/A2. ``mode='pull'`` = dense power iteration (compute_pagerank);
-    ``mode='push'`` = delta/frontier PageRank (compute_pagerank2)."""
+    ``mode='push'`` = delta/frontier PageRank (compute_pagerank2).
+    ``weighted=True`` distributes rank proportionally to edge weights."""
     prog = (
-        PageRank(damping) if mode == "pull" else DeltaPageRank(damping, tol=eps * 1e-3)
+        PageRank(damping, weighted=weighted)
+        if mode == "pull"
+        else DeltaPageRank(damping, tol=eps * 1e-3)
     )
     import time as _time
 

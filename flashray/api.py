@@ -1,0 +1,67 @@
+"""Graph-level utility operators (FGlib.h surface beyond the algorithms).
+
+- :func:`subgraph_edges` / :func:`induced_subgraph` — A16
+  (FGlib.h — ``fetch_subgraph``): induced subgraph on a vertex set via a
+  broadcast semi-join (``ray.put`` the set once, vectorized ``np.isin``
+  per batch — no shuffle).
+- :func:`window_edges` / :func:`window_graph` — A14 equivalence
+  (libgraph-algs/sstsg.cpp consumes timestamped edges): the edge table
+  carries ``ts``, so any algorithm over a time window is a pushed-down
+  row-filter + rebuild, compositionally (SURVEY.md §2.2 A14).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from flashray.build import Graph, build_graph
+
+
+def subgraph_edges(graph: Graph, vertex_ids) -> ray.data.Dataset:
+    """Edges whose BOTH endpoints are in ``vertex_ids`` (induced subgraph).
+    The vertex set is broadcast once through the object store."""
+    vs = np.sort(np.asarray(list(vertex_ids), dtype=np.int64))
+    ref = ray.put(vs)
+
+    def keep(b: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        m = np.isin(src, s) & np.isin(dst, s)
+        return b.filter(pa.array(m))
+
+    return graph.edges_dataset(
+        columns=["src", "dst", "etype", "weight", "ts"]
+    ).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def induced_subgraph(
+    graph: Graph, vertex_ids, path: str, **build_kwargs
+) -> Graph:
+    """Materialize the induced subgraph as a new partitioned graph."""
+    build_kwargs.setdefault("num_partitions", graph.num_partitions)
+    build_kwargs.setdefault("dedup", False)  # already deduped
+    return build_graph(subgraph_edges(graph, vertex_ids), path, **build_kwargs)
+
+
+def window_edges(graph: Graph, t0, t1) -> ray.data.Dataset:
+    """Edges with ``t0 <= ts < t1`` (row-group filter pushed to the read)."""
+    lo = pa.scalar(np.datetime64(t0, "us"), type=pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(t1, "us"), type=pa.timestamp("us"))
+    return ray.data.read_parquet(
+        f"{graph.path}/edges",
+        columns=["src", "dst", "etype", "weight", "ts"],
+        filter=(pc.field("ts") >= lo) & (pc.field("ts") < hi),
+    )
+
+
+def window_graph(graph: Graph, t0, t1, path: str, **build_kwargs) -> Graph:
+    """Materialize the time-windowed edge set as a new partitioned graph —
+    run any algorithm on it for the reference's time-series capability."""
+    build_kwargs.setdefault("num_partitions", graph.num_partitions)
+    build_kwargs.setdefault("dedup", False)
+    return build_graph(window_edges(graph, t0, t1), path, **build_kwargs)

@@ -119,9 +119,11 @@ def _symmetrize_batch(batch: pa.Table) -> pa.Table:
 
 def _degree_rows(batch: pa.Table) -> pa.Table:
     """Map-side expansion for the degree table: each edge contributes one
-    out-degree row for src and one in-degree row for dst."""
+    out-degree row for src (carrying its weight for the weighted degree)
+    and one in-degree row for dst."""
     src = batch["src"].to_numpy(zero_copy_only=False)
     dst = batch["dst"].to_numpy(zero_copy_only=False)
+    w = batch["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
     ones = np.ones(len(src), dtype=np.int64)
     zeros = np.zeros(len(src), dtype=np.int64)
     return pa.Table.from_arrays(
@@ -129,8 +131,9 @@ def _degree_rows(batch: pa.Table) -> pa.Table:
             pa.array(np.concatenate([src, dst])),
             pa.array(np.concatenate([ones, zeros])),
             pa.array(np.concatenate([zeros, ones])),
+            pa.array(np.concatenate([w, np.zeros(len(src))])),
         ],
-        names=["vertex_id", "out_degree", "in_degree"],
+        names=["vertex_id", "out_degree", "in_degree", "w_out_degree"],
     )
 
 
@@ -200,12 +203,13 @@ def build_graph(
     # pass 2: vertex/degree table (shuffle key: vertex_id int64; Ray Data's
     # hash aggregate does map-side partial + reduce-side final combine)
     degrees = (
-        ray.data.read_parquet(tmp_edges, columns=["src", "dst"])
+        ray.data.read_parquet(tmp_edges, columns=["src", "dst", "weight"])
         .map_batches(_degree_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("vertex_id")
         .aggregate(
             Sum("out_degree", alias_name="out_degree"),
             Sum("in_degree", alias_name="in_degree"),
+            Sum("w_out_degree", alias_name="w_out_degree"),
         )
     )
 
@@ -219,7 +223,7 @@ def build_graph(
         .map_groups(
             _part_writer(
                 os.path.join(path, "vertices"),
-                ["vertex_id", "out_degree", "in_degree"],
+                ["vertex_id", "out_degree", "in_degree", "w_out_degree"],
             ),
             batch_format="pyarrow",
         )

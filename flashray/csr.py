@@ -33,6 +33,7 @@ class ShardData:
     vertex_ids: np.ndarray  # int64[nv]
     out_degree: np.ndarray  # int64[nv]
     in_degree: np.ndarray  # int64[nv]
+    w_out_degree: np.ndarray  # float64[nv] — sum of out-edge weights
     # edges of this partition, sorted by (dst_part, dst)
     edge_src_code: np.ndarray  # int32[ne] — index into src_list
     edge_weight: np.ndarray  # float64[ne]
@@ -76,12 +77,16 @@ def build_shard(
     src: np.ndarray,
     dst: np.ndarray,
     weight: np.ndarray | None = None,
+    w_out_degree: np.ndarray | None = None,
 ) -> ShardData:
     """Construct a shard from its vertex-table partition + edge partition."""
+    if w_out_degree is None:
+        w_out_degree = out_degree.astype(np.float64)
     order = np.argsort(vertex_ids, kind="stable")
     vertex_ids = vertex_ids[order]
     out_degree = out_degree[order]
     in_degree = in_degree[order]
+    w_out_degree = np.asarray(w_out_degree, dtype=np.float64)[order]
 
     ne = len(src)
     if weight is None:
@@ -136,6 +141,7 @@ def build_shard(
         vertex_ids=vertex_ids,
         out_degree=out_degree,
         in_degree=in_degree,
+        w_out_degree=w_out_degree,
         edge_src_code=edge_src_code,
         edge_weight=weight_s,
         src_list=src_list,

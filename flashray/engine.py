@@ -102,11 +102,18 @@ class ShardActor:
         self.split_pos: dict[int, np.ndarray] = {}
         self.split_idx: dict[int, np.ndarray] = {}
         for p in self.parts:
-            vt = _read_part(
-                os.path.join(graph_path, "vertices"),
-                p,
-                ["vertex_id", "out_degree", "in_degree"],
-            )
+            vcols = ["vertex_id", "out_degree", "in_degree"]
+            vdir = os.path.join(graph_path, "vertices")
+            try:
+                vt = _read_part(vdir, p, vcols + ["w_out_degree"])
+                w_out = (
+                    vt["w_out_degree"].to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                )
+            except (KeyError, pa.lib.ArrowInvalid):
+                # graphs built before weighted degrees existed
+                vt = _read_part(vdir, p, vcols)
+                w_out = None
             et = _read_part(
                 os.path.join(graph_path, "edges"), p, ["src", "dst", "weight"]
             )
@@ -121,6 +128,7 @@ class ShardActor:
                 et["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
                 if et.num_rows
                 else None,
+                w_out_degree=w_out,
             )
             self.shards[p] = shard
             self.states[p] = program.init_state(shard, N)

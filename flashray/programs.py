@@ -54,8 +54,10 @@ class PageRank(VertexProgram):
     combine = "sum"
     identity = 0.0
 
-    def __init__(self, damping: float = 0.85):
+    def __init__(self, damping: float = 0.85, weighted: bool = False):
         self.damping = damping
+        self.weighted = weighted
+        self.use_weights = weighted
 
     def init_state(self, shard, N):
         return {
@@ -64,6 +66,11 @@ class PageRank(VertexProgram):
         }
 
     def signal(self, shard, state):
+        if self.weighted:
+            # per-edge message = rank * w(e) / W(u); the engine multiplies
+            # by w(e) (use_weights), the signal carries rank / W(u)
+            wd = shard.w_out_degree
+            return np.where(wd > 0, state["values"] / np.maximum(wd, 1e-300), 0.0)
         outd = shard.out_degree
         return np.where(outd > 0, state["values"] / np.maximum(outd, 1), 0.0)
 

@@ -43,6 +43,28 @@ def pagerank_dense(src, dst, d=0.85, eps=1e-6, max_iter=200):
     return dict(zip(verts.tolist(), rank.tolist()))
 
 
+def pagerank_weighted_dense(src, dst, w, d=0.85, eps=1e-6, max_iter=500):
+    """Weighted PageRank: rank flows proportionally to edge weight."""
+    verts = _vertices(src, dst)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    s = np.array([idx[v] for v in src])
+    t = np.array([idx[v] for v in dst])
+    w = np.asarray(w, dtype=float)
+    wout = np.zeros(n)
+    np.add.at(wout, s, w)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        np.add.at(contrib, t, rank[s] * w / np.maximum(wout[s], 1e-300))
+        new = (1 - d) / n + d * contrib
+        delta = np.abs(new - rank).sum()
+        rank = new
+        if delta < eps:
+            break
+    return dict(zip(verts.tolist(), rank.tolist()))
+
+
 def wcc_minlabel(src, dst):
     verts = _vertices(src, dst)
     idx = {v: i for i, v in enumerate(verts)}

@@ -1,0 +1,88 @@
+"""Graph-level operators: subgraph fetch (A16), time windows (A14),
+weighted PageRank."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from flashray import algorithms, api, fixtures
+from flashray.build import build_graph, build_graph_from_arrays
+
+import oracles
+
+
+@pytest.fixture(scope="module")
+def er_graph(tmp_path_factory):
+    src, dst = fixtures.er_edges()
+    g = build_graph_from_arrays(
+        src, dst, str(tmp_path_factory.mktemp("apig") / "er"), num_partitions=4
+    )
+    return g, (src, dst)
+
+
+def test_induced_subgraph_pagerank(er_graph, tmp_path):
+    g, (src, dst) = er_graph
+    keep = set(range(0, 50))
+    m = np.isin(src, list(keep)) & np.isin(dst, list(keep))
+    sub = api.induced_subgraph(g, keep, str(tmp_path / "sub"), num_partitions=4)
+    assert sub.meta.num_edges == int(m.sum())
+    df = algorithms.pagerank(sub, eps=1e-10)
+    want = oracles.pagerank_dense(src[m], dst[m], eps=1e-10)
+    got = dict(zip(df["vertex_id"], df["value"]))
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6
+
+
+def test_window_edges(tmp_path):
+    # fixture edges all share one ts; build a small graph with varying ts
+    src = np.arange(20, dtype=np.int64)
+    dst = (src + 1) % 20
+    ts = (fixtures.EPOCH_US + src * 1_000_000).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "src": src,
+            "dst": dst,
+            "etype": ["fix"] * 20,
+            "weight": np.ones(20),
+            "ts": ts,
+        }
+    )
+    g = build_graph(rd.from_arrow(t), str(tmp_path / "wg"), num_partitions=4)
+    win = api.window_edges(
+        g, "2026-01-01T00:00:05", "2026-01-01T00:00:15"
+    ).to_pandas()
+    assert len(win) == 10
+    assert set(win["src"]) == set(range(5, 15))
+    wg = api.window_graph(
+        g, "2026-01-01T00:00:05", "2026-01-01T00:00:15", str(tmp_path / "wg2")
+    )
+    assert wg.meta.num_edges == 10
+
+
+def test_weighted_pagerank(tmp_path):
+    src, dst = fixtures.er_edges(60, 0.08, seed=7)
+    w = ((src + dst) % 3 + 1).astype(float)
+    t = pa.table(
+        {
+            "src": src,
+            "dst": dst,
+            "etype": ["fix"] * len(src),
+            "weight": w,
+            "ts": np.full(len(src), fixtures.EPOCH_US).astype("datetime64[us]"),
+        }
+    )
+    g = build_graph(
+        rd.from_arrow(t), str(tmp_path / "weighted"), num_partitions=4, dedup=False
+    )
+    df = algorithms.pagerank(g, eps=1e-10, weighted=True)
+    want = oracles.pagerank_weighted_dense(src, dst, w, eps=1e-10)
+    got = dict(zip(df["vertex_id"], df["value"]))
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, v
+    # unweighted on the same graph must differ (sanity that the flag works)
+    un = algorithms.pagerank(g, eps=1e-10)
+    assert not np.allclose(
+        df.sort_values("vertex_id")["value"], un.sort_values("vertex_id")["value"]
+    )

@@ -440,6 +440,20 @@ def _q_docs_fingerprints(sf_dir: str):
     return out[["doc_id", "fingerprint"]]
 
 
+def _q_docs_quality(sf_dir: str):
+    import ray.data as rd
+
+    from flashray.datapipe import textstats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = textstats.add_text_stats(ds, concurrency=4).to_pandas()
+    return out[
+        ["doc_id", "avg_token_len", "punct_ratio", "digit_ratio", "stopword_ratio"]
+    ]
+
+
 def _q_media_features(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -515,6 +529,20 @@ def _q_subgraph_convs(sf_dir: str):
     return edges.groupby("etype").aggregate(Count(alias_name="n_edges"))
 
 
+def _q_scc_reply_hist(sf_dir: str):
+    """SCC on the directed reply-only graph. The graph is a DAG, so every
+    SCC is a singleton — the size histogram is exactly (1, n_turns)."""
+    from flashray import scc as scc_mod
+
+    g = _graph(sf_dir, symmetrize=False, etypes=("reply",))
+    df = scc_mod.scc(
+        g, scratch_dir=os.path.join(_CACHE_ROOT, f"scc_{_tier(sf_dir)}")
+    )
+    sizes = df.groupby("value").size().rename("size").reset_index()
+    hist = sizes.groupby("size").size().rename("n_components").reset_index()
+    return hist.astype({"size": "int64", "n_components": "int64"})
+
+
 def _q_pagerank_weighted(sf_dir: str):
     from flashray import algorithms
 
@@ -547,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "docs_langid": _q_docs_langid,
+        "docs_quality": _q_docs_quality,
         "docs_fingerprints": _q_docs_fingerprints,
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
@@ -555,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
+        "scc_reply_hist": _q_scc_reply_hist,
     }
 
 
@@ -646,6 +676,9 @@ convs AS (SELECT conv_id, COUNT(*) AS n FROM t GROUP BY 1)
 SELECT CASE WHEN n >= 2 THEN 1 ELSE 0 END AS coreness,
        CAST(SUM(n) AS BIGINT) AS n_vertices
 FROM convs GROUP BY 1""",
+        "scc_reply_hist": f"""
+WITH t AS ({_tsql()})
+SELECT CAST(1 AS BIGINT) AS size, COUNT(*) AS n_components FROM t""",
         "docs_token_stats": """
 SELECT doc_id,
        CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS token_count,

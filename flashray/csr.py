@@ -49,6 +49,9 @@ class ShardData:
     # src-sorted view for sparse-frontier scatter
     src_code_starts: np.ndarray  # int64[ns+1] — CSR over codes in src-sorted order
     src_order: np.ndarray  # int64[ne] — edge indices sorted by src code
+    # optional per-edge channel tag (e.g. 0=fwd / 1=bwd in a bidirected
+    # graph; programs may mask scatter per channel)
+    edge_channel: np.ndarray | None = None  # int8[ne], dst-sorted order
 
     @property
     def nv(self) -> int:
@@ -78,6 +81,7 @@ def build_shard(
     dst: np.ndarray,
     weight: np.ndarray | None = None,
     w_out_degree: np.ndarray | None = None,
+    channel: np.ndarray | None = None,
 ) -> ShardData:
     """Construct a shard from its vertex-table partition + edge partition."""
     if w_out_degree is None:
@@ -97,6 +101,7 @@ def build_shard(
     dst_s = dst[eorder]
     dpart_s = dst_part[eorder]
     weight_s = weight[eorder].astype(np.float64)
+    channel_s = channel[eorder].astype(np.int8) if channel is not None else None
 
     if ne:
         new_group = np.empty(ne, dtype=bool)
@@ -154,6 +159,7 @@ def build_shard(
         qranges=qranges,
         src_code_starts=src_code_starts,
         src_order=src_order,
+        edge_channel=channel_s,
     )
 
 
@@ -164,6 +170,7 @@ def scatter_partials(
     combine: str,
     identity,
     use_weights: bool = False,
+    edge_mask: np.ndarray | None = None,
 ) -> np.ndarray:
     """Dense scatter: per-edge messages → per-(destination partition, dst)
     partial aggregates via reduceat. Returns ONE contiguous array with one
@@ -175,10 +182,14 @@ def scatter_partials(
     msgs = signal_by_code[shard.edge_src_code]
     if use_weights:
         msgs = msgs * shard.edge_weight
+    if edge_mask is not None:
+        msgs = np.where(edge_mask, msgs, identity)
     if shard.ne == 0:
         return np.empty(0, dtype=msgs.dtype)
     if combine == "sum":
         return np.add.reduceat(msgs, shard.group_starts)
     if combine == "min":
         return np.minimum.reduceat(msgs, shard.group_starts)
+    if combine == "max":
+        return np.maximum.reduceat(msgs, shard.group_starts)
     raise ValueError(combine)

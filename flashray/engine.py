@@ -114,9 +114,20 @@ class ShardActor:
                 # graphs built before weighted degrees existed
                 vt = _read_part(vdir, p, vcols)
                 w_out = None
+            ecols = ["src", "dst", "weight"]
+            uses_channels = getattr(program, "uses_channels", False)
+            if uses_channels:
+                ecols.append("etype")
             et = _read_part(
-                os.path.join(graph_path, "edges"), p, ["src", "dst", "weight"]
+                os.path.join(graph_path, "edges"), p, ecols
             )
+            channel = None
+            if uses_channels and et.num_rows:
+                cmap = program.channel_map
+                ety = et["etype"].to_numpy(zero_copy_only=False)
+                uniq, inv = np.unique(ety, return_inverse=True)
+                codes = np.asarray([cmap[u] for u in uniq], dtype=np.int8)
+                channel = codes[inv]
             shard = csr.build_shard(
                 p,
                 P,
@@ -129,6 +140,7 @@ class ShardActor:
                 if et.num_rows
                 else None,
                 w_out_degree=w_out,
+                channel=channel,
             )
             self.shards[p] = shard
             self.states[p] = program.init_state(shard, N)
@@ -219,6 +231,7 @@ class ShardActor:
             combine=prog.combine,
             identity=prog.identity,
             use_weights=prog.use_weights,
+            edge_mask=prog.edge_mask(sh, self.states[p]),
         )
         return msgs, partials
 
@@ -302,8 +315,10 @@ class ShardActor:
                 idx = idx_by_sender[p]
                 if prog.combine == "sum":
                     agg[idx] += partial
-                else:
+                elif prog.combine == "min":
                     agg[idx] = np.minimum(agg[idx], partial)
+                else:
+                    agg[idx] = np.maximum(agg[idx], partial)
             return prog.apply(sh, self.states[q], agg, self.N)
 
         if self.pool is not None:

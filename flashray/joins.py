@@ -105,10 +105,15 @@ def bucket_hash_join(
     rsch = right_schema if right_schema is not None else _arrow_schema(right)
     lcols = [f.name for f in lsch]
     rcols = [f.name for f in rsch]
-    ren = {
-        c: (c + suffixes[1] if (c in lcols and c not in right_on) else c)
-        for c in rcols
-    }
+    ren = {}
+    for c in rcols:
+        if c in right_on:
+            # a right key keeps its name only when it IS the matching left
+            # key; otherwise a collision with a left column must be suffixed
+            o = on[right_on.index(c)]
+            ren[c] = c if c == o or c not in lcols else c + suffixes[1]
+        else:
+            ren[c] = c + suffixes[1] if c in lcols else c
     rkeys = [ren[c] for c in right_on]
 
     def pad(cols_here, all_cols, rename=None):

@@ -28,6 +28,13 @@ class VertexProgram:
     dtype = np.float64
     frontier_only: bool = False  # inactive sources send the identity
     use_weights: bool = False
+    uses_channels: bool = False  # shards load per-edge etype channels
+    channel_map: dict = {}  # etype string -> int8 channel code
+
+    def edge_mask(self, shard: "ShardData", state: dict):
+        """Optional per-edge scatter mask (e.g. restrict to one channel
+        of a bidirected graph); None = all edges."""
+        return None
 
     def init_state(self, shard: ShardData, N: int) -> dict:
         raise NotImplementedError

@@ -92,10 +92,46 @@ def _degree_table(graph: Graph, und: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+BROADCAST_VERTEX_LIMIT = 20_000_000  # ~240 MB of (id, deg) arrays
+
+
 def _oriented_edges(graph: Graph, num_buckets: int) -> ray.data.Dataset:
-    """Degree-orient canonical edges: a -> b iff (deg(a), a) < (deg(b), b)."""
+    """Degree-orient canonical edges: a -> b iff (deg(a), a) < (deg(b), b).
+
+    Small-side optimization: when the vertex table fits comfortably in the
+    object store, broadcast (sorted ids, degrees) once and orient with a
+    vectorized searchsorted per batch — no join shuffles. The partitioned
+    hash-join path remains for vertex tables beyond the broadcast limit."""
     und = _canonical_undirected(graph)
     deg = _degree_table(graph, und)
+
+    if graph.meta.num_vertices <= BROADCAST_VERTEX_LIMIT:
+        import ray as _ray
+
+        dpd = deg.to_pandas()
+        order = np.argsort(dpd["vertex_id"].to_numpy())
+        ids_ref = _ray.put(dpd["vertex_id"].to_numpy()[order])
+        deg_ref = _ray.put(dpd["deg"].to_numpy()[order])
+
+        def orient_bcast(b: pa.Table) -> pa.Table:
+            ids = _ray.get(ids_ref)
+            dg = _ray.get(deg_ref)
+            lo = b["lo"].to_numpy(zero_copy_only=False)
+            hi = b["hi"].to_numpy(zero_copy_only=False)
+            dlo = dg[np.searchsorted(ids, lo)]
+            dhi = dg[np.searchsorted(ids, hi)]
+            lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+            return pa.table(
+                {
+                    "a": np.where(lo_first, lo, hi),
+                    "b": np.where(lo_first, hi, lo),
+                }
+            )
+
+        return und.map_batches(
+            orient_bcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     I64 = pa.int64()
     j = bucket_hash_join(
         und, deg, ["lo"], right_on=["vertex_id"], num_buckets=num_buckets,
@@ -197,6 +233,65 @@ def triangle_count(graph: Graph, *, num_buckets: int | None = None) -> int:
     """Global triangle count (each triangle once)."""
     B = num_buckets or max(16, graph.num_partitions)
     return _closed_wedges(graph, B).count()
+
+
+def directed_triangle_count(
+    graph: Graph, *, num_buckets: int | None = None
+) -> int:
+    """A6 (libgraph-algs/triangle_graph.cpp — compute_directed_triangles):
+    directed 3-cycles u→v→w→u, each counted once (u = cyclic minimum).
+
+    Dataflow: paths u→v→w from a self-join of the (deduped) directed edge
+    set on v, then a closure join against edges on (w, u). Bucketed hash
+    joins as in the undirected case."""
+    B = num_buckets or max(16, graph.num_partitions)
+    edges = graph.edges_dataset(columns=["src", "dst"])
+
+    def dedup_dir(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        m = src != dst
+        return pa.table({"src": src[m], "dst": dst[m]})
+
+    e = (
+        edges.map_batches(dedup_dir, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    I64 = pa.int64()
+    esch = pa.schema([("src", I64), ("dst", I64)])
+
+    # paths u→v→w: join e (as u→v) with e (as v→w) on v
+    paths = bucket_hash_join(
+        e,
+        e,
+        ["dst"],
+        right_on=["src"],
+        num_buckets=B,
+        left_schema=esch,
+        right_schema=esch,
+        suffixes=("", "_2"),
+    )
+
+    def clean(b: pa.Table) -> pa.Table:
+        u = b["src"].to_numpy(zero_copy_only=False)
+        w = b["dst_2"].to_numpy(zero_copy_only=False)
+        # u is the cyclic minimum -> each 3-cycle counted exactly once
+        m = (u != w) & (u < b["dst"].to_numpy(zero_copy_only=False)) & (u < w)
+        return pa.table({"w": w[m], "u": u[m]})
+
+    paths = paths.map_batches(clean, batch_format="pyarrow")
+    closed = bucket_hash_join(
+        paths,
+        e,
+        ["w", "u"],
+        right_on=["src", "dst"],
+        num_buckets=B,
+        left_schema=pa.schema([("w", I64), ("u", I64)]),
+        right_schema=esch,
+    )
+    return closed.count()
 
 
 def scan_statistic(graph: Graph, *, num_buckets: int | None = None) -> ray.data.Dataset:

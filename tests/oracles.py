@@ -160,3 +160,62 @@ def bfs_dist(src, dst, seeds):
                     nxt.append(v)
         frontier = nxt
     return {int(v): int(dist[idx[v]]) for v in verts}
+
+
+def scc_tarjan(src, dst):
+    """Iterative Tarjan; returns {vertex: min member id of its SCC}."""
+    verts = _vertices(src, dst)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    adj = [[] for _ in range(n)]
+    for a, b in zip(src, dst):
+        adj[idx[a]].append(idx[b])
+    index = [-1] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack = []
+    comp = [-1] * n
+    counter = [0]
+    comps = []
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == -1:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                comps.append(members)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    out = {}
+    for members in comps:
+        label = min(int(verts[m]) for m in members)
+        for m in members:
+            out[int(verts[m])] = label
+    return out

@@ -82,3 +82,33 @@ def test_topk_scan(graphs):
     got = triangles.topk_scan(graph, 5).to_pandas()
     assert got["vertex_id"].tolist() == want["vertex_id"].tolist()
     assert got["scan"].tolist() == want["scan"].tolist()
+
+
+def test_directed_cycle3(tmp_path):
+    src, dst = fixtures.cycle3_edges()
+    g = build_graph_from_arrays(src, dst, str(tmp_path / "c3"), num_partitions=4)
+    assert triangles.directed_triangle_count(g) == 1
+    # the undirected K3 (both directions) has 2 directed 3-cycles
+    s2, d2 = fixtures.k3_edges()
+    g2 = build_graph_from_arrays(s2, d2, str(tmp_path / "k3d"), num_partitions=4)
+    assert triangles.directed_triangle_count(g2) == 2
+
+
+def test_directed_triangles_er(tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n = 40
+    adj = (rng.random((n, n)) < 0.1) & ~np.eye(n, dtype=bool)
+    src, dst = np.nonzero(adj)
+    g = build_graph_from_arrays(
+        src.astype(np.int64), dst.astype(np.int64), str(tmp_path / "erd"), num_partitions=4
+    )
+    want = 0
+    for u in range(n):
+        for v in range(n):
+            if adj[u, v]:
+                for w in range(n):
+                    if adj[v, w] and adj[w, u] and u < v and u < w and u != w:
+                        want += 1
+    assert triangles.directed_triangle_count(g) == want

@@ -543,6 +543,20 @@ def _q_scc_reply_hist(sf_dir: str):
     return hist.astype({"size": "int64", "n_components": "int64"})
 
 
+def _q_betweenness_sampled(sf_dir: str):
+    """Sampled Brandes betweenness (8 seeded sources) on the directed
+    reply-only graph (not SQL-expressible — rows-only check; exact-vs-
+    Brandes oracle coverage lives in tests/test_betweenness.py)."""
+    from flashray import betweenness
+
+    g = _graph(sf_dir, symmetrize=False, etypes=("reply",))
+    return betweenness.betweenness(
+        g,
+        scratch_dir=os.path.join(_CACHE_ROOT, f"bc_{_tier(sf_dir)}"),
+        sources=8,
+    )
+
+
 def _q_pagerank_weighted(sf_dir: str):
     from flashray import algorithms
 
@@ -585,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
         "scc_reply_hist": _q_scc_reply_hist,
+        "betweenness_sampled": _q_betweenness_sampled,
     }
 
 

@@ -1,0 +1,178 @@
+"""Betweenness centrality (A13, ``libgraph-algs/betweenness.cpp`` [U]) —
+Brandes' algorithm from (sampled) sources on the superstep engine.
+
+Per source s, over the channel-tagged bidirected graph
+(flashray.scc.build_bidirected):
+
+- **forward**: level-synchronous BFS on the fwd channel accumulating
+  shortest-path counts σ: the level-ℓ frontier scatters σ, unvisited
+  receivers join level ℓ+1 with σ = Σ incoming (sum combine). Because only
+  the exact frontier scatters, every received contribution crosses a
+  shortest-path DAG edge.
+- **backward**: from the deepest level down, the level-ℓ set scatters
+  (1+δ)/σ on the bwd channel; receivers *at level ℓ-1* accumulate
+  δ += σ_u · Σ msgs (the dist check rejects non-DAG bwd edges).
+- **accumulate**: bc += δ for every vertex except s.
+
+``betweenness(graph, sources=K)`` samples K sources deterministically
+(seeded) and scales by N/K for the standard estimator (Brandes & Pich
+2007). Exact when sources >= N (all vertices).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from flashray.build import Graph
+from flashray.csr import INT_IDENTITY
+from flashray.engine import Engine
+from flashray.programs import VertexProgram
+from flashray.scc import BWD, FWD, build_bidirected
+
+
+class BrandesProgram(VertexProgram):
+    dtype = np.float64
+    combine = "sum"
+    identity = 0.0
+    frontier_only = True
+    uses_channels = True
+    channel_map = {"fwd": FWD, "bwd": BWD}
+    _channel = FWD
+
+    def init_state(self, shard, N):
+        return {
+            "values": np.zeros(shard.nv),  # bc accumulator
+            "dist": np.full(shard.nv, INT_IDENTITY, dtype=np.int64),
+            "sigma": np.zeros(shard.nv),
+            "delta": np.zeros(shard.nv),
+            "active": np.zeros(shard.nv, dtype=bool),
+            "phase": "idle",
+            "level": 0,
+        }
+
+    def edge_mask(self, shard, state):
+        if shard.edge_channel is None:
+            return None
+        return shard.edge_channel == self._channel
+
+    def signal(self, shard, state):
+        if state["phase"] == "fwd":
+            return state["sigma"]
+        # backward: (1 + delta) / sigma for the current level set
+        sig = np.zeros(shard.nv)
+        m = state["sigma"] > 0
+        sig[m] = (1.0 + state["delta"][m]) / state["sigma"][m]
+        return sig
+
+    def apply(self, shard, state, agg, N):
+        if state["phase"] == "fwd":
+            state["level"] += 1
+            newly = (state["dist"] == INT_IDENTITY) & (agg > 0)
+            state["dist"][newly] = state["level"]
+            state["sigma"][newly] = agg[newly]
+            state["active"] = newly
+            n = int(newly.sum())
+            return {"changed": n, "active": n}
+        # backward: accept only at exactly one level up the DAG
+        lvl = state["level"] - 1
+        accept = state["dist"] == lvl
+        state["delta"][accept] += state["sigma"][accept] * agg[accept]
+        state["level"] = lvl
+        state["active"] = accept
+        return {"changed": int(lvl > 0), "active": int(accept.sum())}
+
+    def on_event(self, shard, state, payload):
+        ph = payload["phase"]
+        state["phase"] = ph
+        if ph == "fwd":
+            self._channel = FWD
+            s = payload["source"]
+            state["dist"].fill(INT_IDENTITY)
+            state["sigma"].fill(0.0)
+            state["delta"].fill(0.0)
+            state["active"] = np.zeros(shard.nv, dtype=bool)
+            state["level"] = 0
+            pos = np.searchsorted(shard.vertex_ids, s)
+            if pos < shard.nv and shard.vertex_ids[pos] == s:
+                state["dist"][pos] = 0
+                state["sigma"][pos] = 1.0
+                state["active"][pos] = True
+            return {}
+        if ph == "bwd":
+            self._channel = BWD
+            state["level"] = int(payload["level"])
+            state["active"] = state["dist"] == state["level"]
+            return {}
+        if ph == "accumulate":
+            s = payload["source"]
+            add = state["delta"].copy()
+            pos = np.searchsorted(shard.vertex_ids, s)
+            if pos < shard.nv and shard.vertex_ids[pos] == s:
+                add[pos] = 0.0
+            state["values"] += add
+            return {}
+        return {}
+
+    def state_columns(self):
+        return ["values", "dist", "sigma", "delta", "active"]
+
+
+def betweenness(
+    graph: Graph,
+    *,
+    scratch_dir: str,
+    sources: int | list | None = 16,
+    seed: int = 42,
+    normalize: bool = True,
+    actor_cpus: float | None = None,
+):
+    """Approximate (sampled) or exact betweenness. ``sources`` is a count
+    (deterministic seeded sample of vertices) or an explicit vertex list;
+    None = all vertices (exact)."""
+    bi_path = os.path.join(scratch_dir, "bidirected")
+    if not os.path.exists(os.path.join(bi_path, "meta.json")):
+        build_bidirected(graph, bi_path)
+    bi = Graph.load(bi_path)
+
+    all_vertices = None
+    if sources is None or isinstance(sources, int):
+        all_vertices = (
+            graph.vertices_dataset(columns=["vertex_id"])
+            .to_pandas()["vertex_id"]
+            .to_numpy()
+        )
+        all_vertices = np.sort(all_vertices)
+        if sources is None or sources >= len(all_vertices):
+            src_list = all_vertices.tolist()
+        else:
+            rng = np.random.default_rng(seed)
+            src_list = np.sort(
+                rng.choice(all_vertices, size=sources, replace=False)
+            ).tolist()
+    else:
+        src_list = sorted(int(v) for v in sources)
+
+    with Engine(bi, BrandesProgram(), actor_cpus=actor_cpus) as eng:
+        for s in src_list:
+            eng.broadcast_event({"phase": "fwd", "source": int(s)})
+            max_dist = 0
+            while eng.step()["changed"] > 0:
+                max_dist += 1
+            if max_dist > 0:
+                eng.broadcast_event({"phase": "bwd", "level": max_dist})
+                level = max_dist
+                while level > 0:
+                    eng.step()
+                    level -= 1
+            eng.broadcast_event({"phase": "accumulate", "source": int(s)})
+        df = eng.values_pandas().sort_values("vertex_id").reset_index(drop=True)
+    if normalize and not isinstance(sources, list):
+        n_all = (
+            len(all_vertices)
+            if all_vertices is not None
+            else graph.meta.num_vertices
+        )
+        df["value"] = df["value"] * (n_all / max(len(src_list), 1))
+    return df

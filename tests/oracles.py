@@ -219,3 +219,39 @@ def scc_tarjan(src, dst):
         for m in members:
             out[int(verts[m])] = label
     return out
+
+
+def betweenness_brandes(src, dst):
+    """Exact directed betweenness (Brandes 2001), unnormalized."""
+    from collections import deque
+
+    verts = _vertices(src, dst)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    adj = [[] for _ in range(n)]
+    for a, b in zip(src, dst):
+        adj[idx[a]].append(idx[b])
+    bc = np.zeros(n)
+    for s in range(n):
+        sigma = np.zeros(n); sigma[s] = 1
+        dist = np.full(n, -1); dist[s] = 0
+        order = []
+        preds = [[] for _ in range(n)]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = np.zeros(n)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {int(v): float(bc[idx[v]]) for v in verts}

@@ -52,6 +52,17 @@ class ShardData:
     # optional per-edge channel tag (e.g. 0=fwd / 1=bwd in a bidirected
     # graph; programs may mask scatter per channel)
     edge_channel: np.ndarray | None = None  # int8[ne], dst-sorted order
+    # lazy: group id of each edge (for sparse-frontier scatter)
+    _edge_group: np.ndarray | None = None
+
+    def edge_group(self) -> np.ndarray:
+        if self._edge_group is None:
+            eg = np.zeros(self.ne, dtype=np.int64)
+            if self.ne:
+                eg[self.group_starts[1:]] = 1
+                np.cumsum(eg, out=eg)
+            self._edge_group = eg
+        return self._edge_group
 
     @property
     def nv(self) -> int:
@@ -193,3 +204,51 @@ def scatter_partials(
     if combine == "max":
         return np.maximum.reduceat(msgs, shard.group_starts)
     raise ValueError(combine)
+
+
+def scatter_partials_sparse(
+    shard: ShardData,
+    signal_by_code: np.ndarray,
+    active_codes: np.ndarray,
+    *,
+    combine: str,
+    identity,
+    use_weights: bool = False,
+    edge_mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """Sparse-frontier scatter: touch only the out-edges of active source
+    codes (via the src-sorted CSR), aggregate per group, fill the identity
+    elsewhere. Same G-length contiguous output as the dense path — the
+    exchange format is unchanged; only the per-edge compute shrinks from
+    O(E) to O(frontier edges) + an O(G) identity fill."""
+    out = np.full(len(shard.group_starts), identity, dtype=signal_by_code.dtype)
+    if shard.ne == 0 or len(active_codes) == 0:
+        return out
+    # edge indices (dst-sorted order) of all active sources
+    spans = [
+        shard.src_order[shard.src_code_starts[c] : shard.src_code_starts[c + 1]]
+        for c in active_codes
+    ]
+    eidx = np.concatenate(spans) if spans else np.empty(0, dtype=np.int64)
+    if edge_mask is not None:
+        eidx = eidx[edge_mask[eidx]]
+    if len(eidx) == 0:
+        return out
+    msgs = signal_by_code[shard.edge_src_code[eidx]]
+    if use_weights:
+        msgs = msgs * shard.edge_weight[eidx]
+    groups = shard.edge_group()[eidx]
+    order = np.argsort(groups, kind="stable")
+    groups = groups[order]
+    msgs = msgs[order]
+    starts = np.flatnonzero(np.r_[True, groups[1:] != groups[:-1]])
+    if combine == "sum":
+        red = np.add.reduceat(msgs, starts)
+    elif combine == "min":
+        red = np.minimum.reduceat(msgs, starts)
+    elif combine == "max":
+        red = np.maximum.reduceat(msgs, starts)
+    else:
+        raise ValueError(combine)
+    out[groups[starts]] = red
+    return out

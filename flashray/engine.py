@@ -224,15 +224,35 @@ class ShardActor:
                 self.mirror_map[p]
             ]
         counts = np.diff(sh.src_code_starts)
-        msgs = int(counts[signal_by_code != prog.identity].sum())
-        partials = csr.scatter_partials(
-            sh,
-            signal_by_code,
-            combine=prog.combine,
-            identity=prog.identity,
-            use_weights=prog.use_weights,
-            edge_mask=prog.edge_mask(sh, self.states[p]),
-        )
+        active_mask = signal_by_code != prog.identity
+        msgs = int(counts[active_mask].sum())
+        emask = prog.edge_mask(sh, self.states[p])
+        # sparse-frontier path: when few sources are active, touch only
+        # their out-edges (A2/BFS late iterations) — exchange format is
+        # identical, so receivers are oblivious
+        if (
+            prog.frontier_only
+            and len(sh.src_list)
+            and msgs * 8 < sh.ne
+        ):
+            partials = csr.scatter_partials_sparse(
+                sh,
+                signal_by_code,
+                np.flatnonzero(active_mask),
+                combine=prog.combine,
+                identity=prog.identity,
+                use_weights=prog.use_weights,
+                edge_mask=emask,
+            )
+        else:
+            partials = csr.scatter_partials(
+                sh,
+                signal_by_code,
+                combine=prog.combine,
+                identity=prog.identity,
+                use_weights=prog.use_weights,
+                edge_mask=emask,
+            )
         return msgs, partials
 
     def _scatter_all(self, mirror_signals) -> dict[int, list[np.ndarray]]:

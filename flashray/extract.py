@@ -149,6 +149,85 @@ def extract_edges(
     return ds
 
 
+def extract_edges_sorted(
+    transcripts: ray.data.Dataset,
+    *,
+    etypes: tuple[str, ...] = ETYPES,
+) -> ray.data.Dataset:
+    """Reply-edge extraction for transcripts with SPARSE / gapped turn_idx
+    (general sources; the dense-index arithmetic of :func:`extract_edges`
+    does not apply). Per-conversation sort + shift inside a ``groupby`` —
+    conversations are small, so a group always fits one task (stated
+    ordering assumption, ray_guide.md 'Streaming-shaped workloads')."""
+    import pandas as pd
+
+    from flashray.fixtures import EPOCH_US  # noqa: F401  (doc anchor)
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        conv = g["conv_id"].iloc[0]
+        ch = ids.conv_hashes([conv])[0]
+        tv = ids.turn_vertex_ids_from_hashes(
+            np.full(len(g), ch), g["turn_idx"].to_numpy()
+        )
+        rows = []
+        if "reply" in etypes and len(g) > 1:
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "src": tv[:-1],
+                        "dst": tv[1:],
+                        "etype": "reply",
+                        "weight": 1.0,
+                        "ts": g["ts"].to_numpy()[1:],
+                    }
+                )
+            )
+        if "tool" in etypes:
+            m = g["tool"].notna().to_numpy()
+            if m.any():
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "src": tv[m],
+                            "dst": ids.id64_array(
+                                np.char.add(
+                                    "tool:", g["tool"].to_numpy()[m].astype("U32")
+                                )
+                            ),
+                            "etype": "tool",
+                            "weight": 1.0,
+                            "ts": g["ts"].to_numpy()[m],
+                        }
+                    )
+                )
+        if "role" in etypes:
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "src": tv,
+                        "dst": ids.id64_array(
+                            np.char.add("role:", g["role"].to_numpy().astype("U32"))
+                        ),
+                        "etype": "role",
+                        "weight": 1.0,
+                        "ts": g["ts"].to_numpy(),
+                    }
+                )
+            )
+        if not rows:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"),
+                 "etype": pd.Series(dtype="str"), "weight": pd.Series(dtype="float64"),
+                 "ts": pd.Series(dtype="datetime64[us]")}
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    return transcripts.groupby("conv_id").map_groups(
+        per_conv, batch_format="pandas"
+    )
+
+
 def dedup_edges(raw_edges: ray.data.Dataset) -> ray.data.Dataset:
     """Exact dedup: (src, dst, etype) → weight = count, ts = min(ts).
 

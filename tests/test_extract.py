@@ -112,3 +112,29 @@ def test_turn_ids_stable_and_distinct():
     assert (a == b).all()
     assert len(np.unique(a)) == len(a)  # no collisions at this scale
     assert (a >= 0).all()
+
+
+def test_extract_sorted_gapped_turns():
+    """extract_edges_sorted handles sparse turn_idx; on dense input it must
+    agree with the arithmetic extractor."""
+    t = fixtures.transcripts_for_tier("unit")
+    dense = extract.dedup_edges(extract.extract_edges(rd.from_arrow(t))).to_pandas()
+    sorted_ = extract.dedup_edges(
+        extract.extract_edges_sorted(rd.from_arrow(t))
+    ).to_pandas()
+    key = ["src", "dst", "etype"]
+    a = dense.sort_values(key).reset_index(drop=True)
+    b = sorted_.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in key + ["weight"]:
+        assert (a[c].values == b[c].values).all(), c
+
+    # gapped: drop every 3rd turn -> reply edges follow the REMAINING order
+    pdf = t.to_pandas()
+    gapped = pdf[pdf["turn_idx"] % 3 != 2]
+    out = extract.extract_edges_sorted(rd.from_pandas(gapped)).to_pandas()
+    n_reply = (out["etype"] == "reply").sum()
+    want_reply = sum(
+        max(0, n - 1) for n in gapped.groupby("conv_id").size()
+    )
+    assert n_reply == want_reply

@@ -159,6 +159,19 @@ def _q_vertex_degrees_keys(sf_dir: str):
     )
 
 
+def _round_col(ds, col, nd=6):
+    """Round a float column (both the Ray query and its DuckDB oracle round
+    sums to 6dp: summation order differs between engines by last-ulp
+    amounts, which an exact value-hash would flag)."""
+    import pandas as pd_
+
+    def r(b: pd_.DataFrame) -> pd_.DataFrame:
+        b[col] = b[col].round(nd)
+        return b
+
+    return ds.map_batches(r, batch_format="pandas")
+
+
 def _q_events_user_edges(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -167,9 +180,10 @@ def _q_events_user_edges(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_type", "value"],
     )
-    return ds.groupby(["user_id", "event_type"]).aggregate(
+    out = ds.groupby(["user_id", "event_type"]).aggregate(
         Count(alias_name="weight"), Sum("value", alias_name="sum_value")
     )
+    return _round_col(out, "sum_value")
 
 
 def _tool_cooccur_edges_ds(sf_dir: str):
@@ -486,7 +500,7 @@ def _q_events_tumbling(sf_dir: str):
     from flashray.datapipe import windows
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
-    return windows.tumbling_window(ds, window_sec=3600)
+    return _round_col(windows.tumbling_window(ds, window_sec=3600), "sum_value")
 
 
 def _q_events_sliding(sf_dir: str):
@@ -495,7 +509,9 @@ def _q_events_sliding(sf_dir: str):
     from flashray.datapipe import windows
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
-    return windows.sliding_window(ds, window_sec=3600, slide_sec=900)
+    return _round_col(
+        windows.sliding_window(ds, window_sec=3600, slide_sec=900), "sum_value"
+    )
 
 
 def _q_events_sessions(sf_dir: str):
@@ -504,7 +520,7 @@ def _q_events_sessions(sf_dir: str):
     from flashray.datapipe import windows
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
-    return windows.session_window(ds, gap_sec=1800)
+    return _round_col(windows.session_window(ds, gap_sec=1800), "sum_value")
 
 
 def _q_subgraph_convs(sf_dir: str):
@@ -661,7 +677,8 @@ x AS (
 SELECT vertex_key, SUM(o) AS out_degree, SUM(i) AS in_degree
 FROM x GROUP BY 1""",
         "events_user_edges": """
-SELECT user_id, event_type, COUNT(*) AS weight, SUM(value) AS sum_value
+SELECT user_id, event_type, COUNT(*) AS weight,
+       ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
         "tool_cooccurrence": tool_edges,
         "triangles_tool_cooccur": f"""
@@ -705,13 +722,13 @@ FROM documents GROUP BY text""",
         "events_tumbling_1h": """
 SELECT user_id,
        epoch_us(ts) // 3600000000 * 3600 AS window_start,
-       COUNT(*) AS n_events, SUM(value) AS sum_value,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value,
        MIN(value) AS min_value, MAX(value) AS max_value
 FROM events GROUP BY 1, 2""",
         "events_sliding_1h_15m": """
 SELECT user_id,
        (epoch_us(ts) // 900000000 - k.range) * 900 AS window_start,
-       COUNT(*) AS n_events, SUM(value) AS sum_value
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
 FROM events, range(0, 4) k
 WHERE (epoch_us(ts) // 900000000 - k.range) >= 0
 GROUP BY 1, 2""",
@@ -733,7 +750,7 @@ s AS (
 SELECT user_id,
        MIN(us) // 1000000 AS session_start,
        MAX(us) // 1000000 AS session_end,
-       COUNT(*) AS n_events, SUM(value) AS sum_value
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid""",
         "subgraph_convs": f"""
 WITH t AS ({_tsql()}),

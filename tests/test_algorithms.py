@@ -139,3 +139,32 @@ def test_lineage_metrics_present(tmp_graphs):
     for rec in lin:
         assert {"delta", "messages", "active", "iteration", "wall_sec"} <= set(rec)
     assert lin[0]["messages"] == graph.meta.num_edges
+
+
+def test_skew_tier_pipeline(tmp_path):
+    """FIXTURES.md skew variant: one super-hot tool vertex; the symmetrized
+    graph splits it vertically and results still match the dense oracle."""
+    import ray.data as rd
+
+    from flashray import extract
+    from flashray.build import build_graph
+
+    t = fixtures.transcripts_for_tier("small", skew=True)
+    g = build_graph(
+        extract.extract_edges(rd.from_arrow(t)),
+        str(tmp_path / "skewg"),
+        num_partitions=8,
+        symmetrize=True,
+        skew_threshold=100,
+    )
+    assert len(g.meta.split_vertices) >= 1  # the hot tool and/or role hubs
+    df = algorithms.pagerank(g, eps=1e-10)
+    edges = g.edges_dataset(columns=["src", "dst"]).to_pandas()
+    want = oracles.pagerank_dense(
+        edges["src"].to_numpy(), edges["dst"].to_numpy(), eps=1e-10
+    )
+    got = dict(zip(df["vertex_id"], df["value"]))
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6
+    w = algorithms.wcc(g)
+    assert w["value"].nunique() == 1

@@ -1,0 +1,53 @@
+"""Parallelism-invariance (FIXTURES.md §5): identical results from fresh
+processes at different num_cpus (different actor/thread layouts)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPT = """
+import sys, json, ray
+ray.init(address="local", num_cpus=int(sys.argv[1]), include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from flashray import algorithms, extract, fixtures
+from flashray.build import build_graph
+import shutil
+out = sys.argv[2]
+path = fixtures.write_transcripts("/tmp/flashray/par_test/transcripts.parquet", "small")
+shutil.rmtree(out, ignore_errors=True)
+g = build_graph(extract.extract_edges(rd.read_parquet(path)), out,
+                num_partitions=8, symmetrize=True)
+pr = algorithms.pagerank(g, eps=1e-10).sort_values("vertex_id")
+wc = algorithms.wcc(g).sort_values("vertex_id")
+print(json.dumps({
+    "pr": pr["value"].tolist(),
+    "wcc": wc["value"].astype(int).tolist(),
+    "vids": pr["vertex_id"].astype(int).tolist(),
+}))
+ray.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_results_identical_across_num_cpus(tmp_path):
+    results = {}
+    for ncpu in (2, 8):
+        out = subprocess.run(
+            [sys.executable, "-c", SCRIPT, str(ncpu), str(tmp_path / f"g{ncpu}")],
+            capture_output=True, text=True, cwd=REPO, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    a, b = results[2], results[8]
+    assert a["vids"] == b["vids"]
+    assert a["wcc"] == b["wcc"]  # exact
+    assert np.array_equal(np.asarray(a["pr"]), np.asarray(b["pr"]))  # bit-identical

@@ -280,6 +280,19 @@ def _q_wcc_reply_sizes(sf_dir: str):
     return hist
 
 
+def _q_wcc_mapreduce_sizes(sf_dir: str):
+    """Same component-size-histogram invariant as wcc_reply_sizes, computed
+    by the log-rounds large-star/small-star Dataset backend instead of the
+    superstep engine (two independent implementations, one oracle)."""
+    from flashray import cc_mapreduce
+
+    g = _graph(sf_dir, symmetrize=True, etypes=("reply",))
+    df = cc_mapreduce.wcc_mapreduce(g)
+    sizes = df.groupby("value").size().rename("size").reset_index()
+    hist = sizes.groupby("size").size().rename("n_components").reset_index()
+    return hist.astype({"size": "int64", "n_components": "int64"})
+
+
 def _q_bfs_reply_depth(sf_dir: str):
     """BFS from every conversation's turn-0 vertex on the directed
     reply-only graph; output = depth histogram. Oracle invariant: depth of
@@ -590,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_cooccurrence": _q_tool_cooccurrence,
         "triangles_tool_cooccur": _q_triangles_tool_cooccur,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
+        "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
         "bfs_reply_depth": _q_bfs_reply_depth,
         "kcore_reply_hist": _q_kcore_reply_hist,
         "pagerank": _q_pagerank,
@@ -695,6 +709,10 @@ members AS (
 )
 SELECT tool, COUNT(*) AS triangles FROM members GROUP BY 1""",
         "wcc_reply_sizes": f"""
+WITH t AS ({_tsql()}),
+convs AS (SELECT conv_id, COUNT(*) AS size FROM t GROUP BY 1)
+SELECT size, COUNT(*) AS n_components FROM convs GROUP BY 1""",
+        "wcc_mapreduce_sizes": f"""
 WITH t AS ({_tsql()}),
 convs AS (SELECT conv_id, COUNT(*) AS size FROM t GROUP BY 1)
 SELECT size, COUNT(*) AS n_components FROM convs GROUP BY 1""",

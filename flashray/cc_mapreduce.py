@@ -1,0 +1,163 @@
+"""Connected components in logarithmic rounds (large-star / small-star).
+
+Alternative WCC backend (SURVEY.md §2.2 A3; PAPERS.md — *Finding connected
+components in MapReduce in logarithmic rounds*, ICDE 2013): a pure Ray Data
+dataflow with no actor state, converging in O(log n) rounds regardless of
+graph diameter — the right backend when the diameter is huge and the
+superstep engine's min-label propagation (O(diameter) supersteps) would
+crawl.
+
+Per round over the undirected edge multiset:
+
+- **large-star(u)**: m = min(Γ(u) ∪ {u}); for every neighbor v > u emit
+  (v, m) — strictly-larger neighbors re-attach to the local minimum.
+- **small-star(u)** (edges oriented larger→smaller): m = min(N(u) ∪ {u});
+  emit (x, m) for x ∈ N(u) ∪ {u}, x ≠ m.
+
+Both phases are bucketed ``groupby`` + fully vectorized in-group numpy
+(sort + reduceat minima; no per-vertex Python). Each round materializes —
+an unmaterialized round chain would re-execute all prior rounds on every
+consumption. Convergence = 64-bit edge-multiset checksum stable.
+
+The final edge set is a star forest: every surviving edge is
+(child, component-min); roots label themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from flashray.build import Graph
+from flashray.ids import _splitmix64
+
+
+def _canonical_edges(graph: Graph) -> ray.data.Dataset:
+    edges = graph.edges_dataset(columns=["src", "dst"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        m = src != dst
+        return pa.table(
+            {"a": np.maximum(src[m], dst[m]), "b": np.minimum(src[m], dst[m])}
+        )
+
+    out = edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def _star_round(
+    edges: ray.data.Dataset, *, large: bool, num_buckets: int, dedup: bool = True
+) -> ray.data.Dataset:
+    """One large-star or small-star phase. Input/output: unordered edges
+    as (a, b) with a > b, deduped."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        if large:
+            # both orientations: every endpoint sees its full neighborhood
+            u = np.concatenate([a, b])
+            v = np.concatenate([b, a])
+        else:
+            # larger-first orientation only
+            u, v = a, b
+        bucket = (u % num_buckets).astype(np.int64)
+        return pa.table({"u": u, "v": v, "bucket": bucket})
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        # min neighbor per u (v sorted within group -> first element), then
+        # m = min(min_v, u)
+        m_per_group = np.minimum(v[starts], u[starts])
+        gidx = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        m = m_per_group[gidx]  # per-row local minimum of the row's u
+        if large:
+            keep = v > u
+            out_a, out_b = v[keep], m[keep]
+        else:
+            # emit (x, m) for x in N(u) ∪ {u}, x != m
+            xa = np.concatenate([v, u[starts]])
+            xb = np.concatenate([m, m_per_group])
+            keep = xa != xb
+            out_a, out_b = xa[keep], xb[keep]
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    out = (
+        edges.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(star, batch_format="pandas")
+    )
+    if dedup:
+        return (
+            out.groupby(["a", "b"])
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+        )
+    return out
+
+
+def _checksum(edges: ray.data.Dataset) -> tuple[int, int, int]:
+    """Order-insensitive multiset checksum. The per-row hash is split into
+    32-bit halves so the Sum aggregate never overflows int64 (an int64
+    overflow makes Ray mix numpy-wrapped partials with Python bigints
+    depending on block layout — a NONdeterministic checksum). Exact up to
+    ~2^31 edges; beyond that this backend's convergence check would need a
+    modular tree-sum."""
+
+    def h(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = _splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ bb)
+        return pa.table(
+            {
+                "h_hi": (x >> np.uint64(32)).astype(np.int64),
+                "h_lo": (x & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "n": np.ones(len(a), dtype=np.int64),
+            }
+        )
+
+    agg = edges.map_batches(h, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("h_hi", alias_name="h_hi"),
+        Sum("h_lo", alias_name="h_lo"),
+        Sum("n", alias_name="n"),
+    )
+    return (int(agg["h_hi"] or 0), int(agg["h_lo"] or 0), int(agg["n"] or 0))
+
+
+def wcc_mapreduce(
+    graph: Graph,
+    *,
+    num_buckets: int | None = None,
+    max_rounds: int = 64,
+) -> pd.DataFrame:
+    """WCC labels (min member id per component) in O(log n) rounds.
+    Returns (vertex_id, value), matching ``algorithms.wcc`` semantics."""
+    B = num_buckets or max(16, graph.num_partitions)
+    edges = _canonical_edges(graph).materialize()
+    prev = None
+    for _ in range(max_rounds):
+        # dedup only once per round (after small-star): duplicate edges do
+        # not change star minima, and each skipped dedup saves a shuffle
+        mid = _star_round(edges, large=True, num_buckets=B, dedup=False)
+        edges = _star_round(mid, large=False, num_buckets=B).materialize()
+        sig = _checksum(edges)
+        if sig == prev:
+            break
+        prev = sig
+
+    labels = edges.groupby("a").aggregate(Min("b", alias_name="value"))
+    child = labels.to_pandas().rename(columns={"a": "vertex_id"})
+    verts = graph.vertices_dataset(columns=["vertex_id"]).to_pandas()
+    out = verts.merge(child, on="vertex_id", how="left")
+    out["value"] = out["value"].fillna(out["vertex_id"]).astype("int64")
+    return out.sort_values("vertex_id").reset_index(drop=True)

@@ -200,17 +200,19 @@ def build_graph(
         edges = dedup_edges(edges)
     edges.write_parquet(tmp_edges, mode="overwrite")
 
-    # pass 2: vertex/degree table (shuffle key: vertex_id int64; Ray Data's
-    # hash aggregate does map-side partial + reduce-side final combine)
-    degrees = (
+    # pass 2: vertex/degree table — bucketed vectorized aggregate (vertex
+    # ids are near-unique keys; see joins.bucket_group_agg)
+    from flashray.joins import bucket_group_agg
+
+    degrees = bucket_group_agg(
         ray.data.read_parquet(tmp_edges, columns=["src", "dst", "weight"])
-        .map_batches(_degree_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vertex_id")
-        .aggregate(
-            Sum("out_degree", alias_name="out_degree"),
-            Sum("in_degree", alias_name="in_degree"),
-            Sum("w_out_degree", alias_name="w_out_degree"),
-        )
+        .map_batches(_degree_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["vertex_id"],
+        {
+            "out_degree": ("out_degree", "sum"),
+            "in_degree": ("in_degree", "sum"),
+            "w_out_degree": ("w_out_degree", "sum"),
+        },
     )
 
     def add_vpart(batch: pa.Table) -> pa.Table:

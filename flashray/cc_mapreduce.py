@@ -47,7 +47,9 @@ def _canonical_edges(graph: Graph) -> ray.data.Dataset:
         )
 
     out = edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
-    return out.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    from flashray.joins import bucket_group_agg
+
+    return bucket_group_agg(out, ["a", "b"], None)
 
 
 def _star_round(
@@ -97,11 +99,9 @@ def _star_round(
         .map_groups(star, batch_format="pandas")
     )
     if dedup:
-        return (
-            out.groupby(["a", "b"])
-            .aggregate(Count(alias_name="_n"))
-            .drop_columns(["_n"])
-        )
+        from flashray.joins import bucket_group_agg
+
+        return bucket_group_agg(out, ["a", "b"], None)
     return out
 
 
@@ -155,7 +155,9 @@ def wcc_mapreduce(
             break
         prev = sig
 
-    labels = edges.groupby("a").aggregate(Min("b", alias_name="value"))
+    from flashray.joins import bucket_group_agg
+
+    labels = bucket_group_agg(edges, ["a"], {"value": ("b", "min")})
     child = labels.to_pandas().rename(columns={"a": "vertex_id"})
     verts = graph.vertices_dataset(columns=["vertex_id"]).to_pandas()
     out = verts.merge(child, on="vertex_id", how="left")

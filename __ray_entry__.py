@@ -85,7 +85,110 @@ def entry() -> Any:
 
 
 # ---------------------------------------------------------------------------
-# queries
+# helpers shared by oracle-checked graph queries
+
+
+def _vertex_key_map(sf_dir: str) -> "pd.DataFrame":
+    """(vertex_id, vertex_key) for every transcript entity — lets a hashed-id
+    Ray result be compared against a string-keyed DuckDB oracle. Constant
+    per tier; 35k rows at the driver's correctness scale."""
+    from flashray import fixtures, ids
+
+    t = fixtures.transcripts_for_tier(_tier(sf_dir))
+    conv = t["conv_id"].to_numpy(zero_copy_only=False)
+    ti = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    role = t["role"].to_numpy(zero_copy_only=False)
+    tool = t["tool"].to_numpy(zero_copy_only=False)
+
+    turn_ids = ids.turn_vertex_ids(conv, ti)
+    turn_keys = np.char.add(
+        np.char.add(np.char.add("turn:", conv.astype("U32")), ":"),
+        ti.astype("U10"),
+    )
+    rows = [pd.DataFrame({"vertex_id": turn_ids, "vertex_key": turn_keys})]
+    uroles = sorted(set(role.tolist()))
+    rows.append(
+        pd.DataFrame(
+            {
+                "vertex_id": [ids.role_vertex(r) for r in uroles],
+                "vertex_key": [f"role:{r}" for r in uroles],
+            }
+        )
+    )
+    utools = sorted({x for x in tool.tolist() if x is not None})
+    rows.append(
+        pd.DataFrame(
+            {
+                "vertex_id": [ids.tool_vertex(x) for x in utools],
+                "vertex_key": [f"tool:{x}" for x in utools],
+            }
+        )
+    )
+    uconvs = sorted(set(conv.tolist()))
+    rows.append(
+        pd.DataFrame(
+            {
+                "vertex_id": ids.conv_hashes(uconvs),
+                "vertex_key": [f"conv:{c}" for c in uconvs],
+            }
+        )
+    )
+    out = pd.concat(rows, ignore_index=True)
+    out["vertex_id"] = out["vertex_id"].astype(np.int64)
+    return out.drop_duplicates("vertex_id")
+
+
+def _keyed(df: "pd.DataFrame", sf_dir: str) -> "pd.DataFrame":
+    """vertex_id → vertex_key (inner merge against the entity key map)."""
+    keys = _vertex_key_map(sf_dir)
+    return df.merge(keys, on="vertex_id", how="inner")
+
+
+_PR_ITERS = 40  # fixed iteration count shared by Ray queries + SQL oracles
+
+
+def _pagerank_sql(weighted: bool, iters: int = _PR_ITERS) -> str:
+    """Unrolled power iteration over the string-keyed edge list — an exact
+    value oracle for the engine's PageRank (same formula: rank =
+    0.15/N + 0.85 * Σ incoming, no dangling redistribution, fixed
+    iteration count, init 1/N). Output (vertex_key, rank_x_n) rounded to
+    6 dp on the N-scaled rank."""
+    if weighted:
+        contrib = "SUM(r.r * e.weight / wd.wd)"
+        degree_cte = "SELECT src_key, SUM(weight) AS wd FROM e GROUP BY 1"
+        deg_join = "JOIN wd ON wd.src_key = e.src_key"
+        deg_name = "wd"
+    else:
+        contrib = "SUM(r.r / od.od)"
+        degree_cte = "SELECT src_key, COUNT(*) AS od FROM e GROUP BY 1"
+        deg_join = "JOIN od ON od.src_key = e.src_key"
+        deg_name = "od"
+    # AS MATERIALIZED: without it DuckDB inlines the 40-deep CTE chain into
+    # one exponential plan (measured: >4 min vs 2 s at sf0.01)
+    parts = [
+        f"WITH e AS MATERIALIZED ({_edges_keys_sql()}),",
+        f"{deg_name} AS MATERIALIZED ({degree_cte}),",
+        "v AS MATERIALIZED (SELECT DISTINCT vertex_key FROM"
+        " (SELECT src_key AS vertex_key"
+        " FROM e UNION SELECT dst_key FROM e)),",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM v),",
+        "r0 AS MATERIALIZED"
+        " (SELECT vertex_key, 1.0 / nn.n AS r FROM v CROSS JOIN nn),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vertex_key,"
+            f" 0.15 / nn.n + 0.85 * COALESCE(s.c, 0) AS r"
+            f" FROM v CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst_key AS k, {contrib} AS c"
+            f" FROM e JOIN r{i-1} r ON e.src_key = r.vertex_key {deg_join}"
+            f" GROUP BY 1) s ON s.k = v.vertex_key),"
+        )
+    parts.append(
+        f"fin AS (SELECT vertex_key, ROUND(r * nn.n, 6) AS rank_x_n"
+        f" FROM r{iters} CROSS JOIN nn)\nSELECT * FROM fin"
+    )
+    return "\n".join(parts)
 
 
 def _q_transcripts_passthrough(sf_dir: str):
@@ -326,46 +429,104 @@ def _q_kcore_reply_hist(sf_dir: str):
 
 
 def _q_pagerank(sf_dir: str):
+    """Flagship value oracle: exactly _PR_ITERS power-iteration supersteps
+    on the full transcript graph; output (vertex_key, rank_x_n) — the
+    N-scaled rank rounded to 6 dp, compared against the SQL unrolled
+    recurrence."""
     from flashray import algorithms
 
     g = _graph(sf_dir, symmetrize=False)
-    return algorithms.pagerank(g, eps=1e-6)
+    df = algorithms.pagerank(g, eps=0.0, max_iters=_PR_ITERS)
+    out = _keyed(df, sf_dir)
+    out["rank_x_n"] = (out["value"] * g.meta.num_vertices).round(6)
+    return out[["vertex_key", "rank_x_n"]]
 
 
 def _q_pagerank_push(sf_dir: str):
+    """Push/delta PageRank on the reply-only path graph, where the fixpoint
+    is closed-form: rank(turn k) * N = 1 - d^(k+1) (no dangling
+    redistribution; every conversation is an isolated chain)."""
     from flashray import algorithms
 
-    g = _graph(sf_dir, symmetrize=False)
-    return algorithms.pagerank(g, eps=1e-6, mode="push")
+    g = _graph(sf_dir, symmetrize=False, etypes=("reply",))
+    df = algorithms.pagerank(g, eps=1e-10, mode="push", max_iters=500)
+    out = _keyed(df, sf_dir)
+    out["rank_x_n"] = (out["value"] * g.meta.num_vertices).round(6)
+    return out[["vertex_key", "rank_x_n"]]
 
 
 def _q_wcc_full(sf_dir: str):
+    """WCC on the full symmetrized transcript graph. Invariant: the shared
+    role vertices connect every conversation — ONE component spanning every
+    vertex; output (size, n_components) = (N, 1)."""
     from flashray import algorithms
 
     g = _graph(sf_dir, symmetrize=True)
-    return algorithms.wcc(g)
+    df = algorithms.wcc(g)
+    sizes = df.groupby("value").size().rename("size").reset_index()
+    hist = sizes.groupby("size").size().rename("n_components").reset_index()
+    return hist.astype({"size": "int64", "n_components": "int64"})
 
 
 def _q_label_propagation(sf_dir: str):
+    """Min-label propagation on the DIRECTED reply-only graph, seeded with
+    label c at turn 0 of conversations c < 100: every turn of a seeded
+    conversation takes label c (isolated chains); everything else stays
+    unreached (-1). Output (vertex_key, label)."""
     from flashray import algorithms, ids
 
-    g = _graph(sf_dir, symmetrize=True)
-    seeds = {ids.role_vertex("user"): 0, ids.role_vertex("assistant"): 1}
-    return algorithms.label_propagation(g, seeds)
+    g = _graph(sf_dir, symmetrize=False, etypes=("reply",))
+    n_seed = 100
+    convs = [f"conv{c:08d}" for c in range(n_seed)]
+    seed_ids = ids.turn_vertex_ids(convs, np.zeros(n_seed, dtype=np.int64))
+    seeds = {int(v): c for c, v in enumerate(seed_ids)}
+    df = algorithms.label_propagation(g, seeds)
+    out = _keyed(df, sf_dir)
+    out["label"] = out["value"].astype(np.int64)
+    return out[["vertex_key", "label"]]
 
 
 def _q_triangles_transcript(sf_dir: str):
+    """Per-vertex triangles on the symmetrized reply+conv-membership graph:
+    each adjacent turn pair closes exactly one triangle with its
+    conversation vertex — closed-form in SQL. Output (vertex_key,
+    triangles)."""
+    from flashray import extract
     from flashray import triangles as tri
+    from flashray.build import Graph, build_graph
 
-    g = _graph(sf_dir, symmetrize=True)
-    return tri.triangles(g)
+    tier = _tier(sf_dir)
+    key = f"{tier}_sym_replyconv"
+    if key in _GRAPH_CACHE:
+        g = _GRAPH_CACHE[key]
+    else:
+        path = os.path.join(_CACHE_ROOT, "graphs", key)
+        if os.path.exists(os.path.join(path, "meta.json")):
+            g = Graph.load(path)
+        else:
+            ds = _transcripts_ds(sf_dir)
+            edges = extract.extract_edges(ds, etypes=("reply",)).union(
+                extract.extract_conv_edges(ds)
+            )
+            g = build_graph(edges, path, num_partitions=8, symmetrize=True)
+        _GRAPH_CACHE[key] = g
+    df = tri.triangles(g).to_pandas()
+    out = _keyed(df, sf_dir)
+    out["triangles"] = out["triangles"].astype(np.int64)
+    return out[["vertex_key", "triangles"]]
 
 
 def _q_scan_topk(sf_dir: str):
+    """Top-20 scan statistic on the symmetrized full transcript graph;
+    output (rank, scan) — id tie-breaks don't affect the value column."""
     from flashray import triangles as tri
 
     g = _graph(sf_dir, symmetrize=True)
-    return tri.topk_scan(g, 20)
+    df = tri.topk_scan(g, 20).to_pandas()
+    df = df.reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    df["scan"] = df["scan"].astype(np.int64)
+    return df[["rank", "scan"]]
 
 
 def _q_docs_token_stats(sf_dir: str):
@@ -435,12 +596,36 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_embedding_near_dups(sf_dir: str):
+    """Cosine near-dup pairs over the embeddings table augmented with
+    planted duplicates (the raw synthetic table has none — max natural
+    cosine ≈ 0.51): exact copies of vec_id < 50 (cosine 1.0) and mixture
+    near-dups v_i + 0.2·v_(i+100) for 50 ≤ i < 100 (cosine ≈ 0.98). The
+    SQL oracle replays the same augmentation and computes all ≥ 0.95
+    pairs by brute force. Output (a, b)."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from flashray.datapipe import similarity
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return similarity.embedding_near_dups(ds, threshold=0.95)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path)
+    base = rd.read_parquet(
+        path, filter=pc.field("vec_id") < 200
+    ).to_pandas()  # constant 200 rows regardless of scale
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in base.itertuples()
+    }
+    rows = []
+    for i in range(50):
+        rows.append({"vec_id": 1_000_000 + i, "embedding": vecs[i].tolist()})
+    for i in range(50, 100):
+        mixed = vecs[i] + 0.2 * vecs[i + 100]
+        rows.append({"vec_id": 2_000_000 + i, "embedding": mixed.tolist()})
+    aug = ds.union(rd.from_pandas(pd.DataFrame(rows)))
+    pairs = similarity.embedding_near_dups(aug, threshold=0.95).to_pandas()
+    pairs = pairs.sort_values(["a", "b"]).reset_index(drop=True)
+    return pairs[["a", "b"]].astype("int64")
 
 
 def _q_docs_langid(sf_dir: str):
@@ -491,7 +676,12 @@ def _q_media_features(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     media = multimodal.media_table_from_documents(docs)
-    return multimodal.image_features(rd.from_arrow(media))
+    out = multimodal.image_features(rd.from_arrow(media)).to_pandas()
+    # 6-dp rounding on the float stats: the SQL oracle's one-pass variance
+    # differs from numpy's two-pass at ~1e-12
+    out["px_mean"] = out["px_mean"].round(6)
+    out["px_std"] = out["px_std"].round(6)
+    return out
 
 
 def _q_frame_samples(sf_dir: str):
@@ -573,24 +763,36 @@ def _q_scc_reply_hist(sf_dir: str):
 
 
 def _q_betweenness_sampled(sf_dir: str):
-    """Sampled Brandes betweenness (8 seeded sources) on the directed
-    reply-only graph (not SQL-expressible — rows-only check; exact-vs-
-    Brandes oracle coverage lives in tests/test_betweenness.py)."""
-    from flashray import betweenness
+    """Brandes betweenness from 8 explicit sources (turn 0 of conversations
+    0..7) on the directed reply-only graph. Each conversation is an
+    isolated chain, so the dependency of turn j in a sampled conversation
+    of length L is closed-form: bc = L - 1 - j for j ≥ 1, else 0. Output
+    (vertex_key, bc)."""
+    from flashray import betweenness, ids
 
     g = _graph(sf_dir, symmetrize=False, etypes=("reply",))
-    return betweenness.betweenness(
+    convs = [f"conv{c:08d}" for c in range(8)]
+    sources = ids.turn_vertex_ids(convs, np.zeros(8, dtype=np.int64)).tolist()
+    df = betweenness.betweenness(
         g,
         scratch_dir=os.path.join(_CACHE_ROOT, f"bc_{_tier(sf_dir)}"),
-        sources=8,
+        sources=sources,
     )
+    out = _keyed(df, sf_dir)
+    out["bc"] = out["value"].astype(np.float64)
+    return out[["vertex_key", "bc"]]
 
 
 def _q_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank (rank ∝ edge weight), fixed iterations, compared
+    against the weighted SQL recurrence. Output (vertex_key, rank_x_n)."""
     from flashray import algorithms
 
     g = _graph(sf_dir, symmetrize=False)
-    return algorithms.pagerank(g, eps=1e-6, weighted=True)
+    df = algorithms.pagerank(g, eps=0.0, max_iters=_PR_ITERS, weighted=True)
+    out = _keyed(df, sf_dir)
+    out["rank_x_n"] = (out["value"] * g.meta.num_vertices).round(6)
+    return out[["vertex_key", "rank_x_n"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -661,6 +863,111 @@ SELECT src_key, dst_key, etype, CAST(COUNT(*) AS DOUBLE) AS weight
 FROM raw GROUP BY 1, 2, 3"""
 
 
+_STOPWORD_SQL = {
+    "en": "('the','and','of','to','a','in','is','that','it','for')",
+    "de": "('der','die','das','und','ist','nicht','ein','zu','mit','ich')",
+    "fr": "('le','la','les','et','est','un','une','de','que','pour')",
+    "es": "('el','la','los','y','es','un','una','de','que','por')",
+    "it": "('il','la','e','che','un','una','di','per','non','sono')",
+    "pt": "('o','a','os','e','que','um','uma','de','para','por')",
+}
+
+_MOD64 = "18446744073709551616"  # 2^64
+_MOD63 = "9223372036854775808"  # 2^63 (== & 0x7FF... mask)
+
+
+def _langid_sql() -> str:
+    score_cols = ",\n    ".join(
+        f"SUM(CASE WHEN w IN {lst} THEN 1 ELSE 0 END) AS s_{lang}"
+        for lang, lst in _STOPWORD_SQL.items()
+    )
+    langs = list(_STOPWORD_SQL)
+    # python picks the FIRST language (profile order) reaching the max score
+    whens = "\n    ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs
+    )
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+WITH w AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[a-zA-ZÀ-ÿ]+'))) AS w
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM w GROUP BY 1
+),
+m AS (SELECT *, {gmax} AS m FROM sc)
+SELECT d.doc_id,
+  COALESCE(CASE WHEN m.m > 0 THEN CASE {whens} END END, 'und') AS lang_pred
+FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id"""
+
+
+def _true_jaccard_pairs_sql(threshold: float) -> str:
+    """Exact word-3-gram Jaccard pairs over documents — the ground truth
+    the MinHash estimator approximates. The fixture's planted near-dups
+    (J ≥ 0.9) are separated from everything else (J ≤ 0.31) by a wide
+    margin, so any threshold inside the gap names the same pair set the
+    estimator finds."""
+    return f"""
+wl AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                                  w -> w <> '') AS w FROM documents),
+gi AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i, w
+       FROM wl),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       FROM gi),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+ixn AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT a, b
+  FROM ixn JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {threshold}
+)"""
+
+
+def _simhash_sql() -> str:
+    """Recompute the engine's 64-bit SimHash in SQL: per-token sha256-based
+    word hash, signed bit votes with token multiplicity, bit 63 masked."""
+    return """
+wd AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+       FROM documents),
+cd AS (SELECT doc_id,
+              CAST(concat('0x', substr(sha256('w:' || w), 1, 16)) AS UBIGINT)
+              AS code
+       FROM wd WHERE w <> ''),
+vt AS (SELECT doc_id, b.range AS b,
+              SUM(CASE WHEN (code >> CAST(b.range AS UBIGINT))
+                            & CAST(1 AS UBIGINT) = CAST(1 AS UBIGINT)
+                   THEN 1 ELSE -1 END) AS vote
+       FROM cd, range(0, 63) b GROUP BY 1, 2),
+sg AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN vote > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                        ELSE 0 END) AS BIGINT) AS sig
+       FROM vt GROUP BY 1)"""
+
+
+def _embedding_aug_sql() -> str:
+    return """
+aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+  FROM embeddings WHERE vec_id < 50
+  UNION ALL
+  SELECT e1.vec_id + 2000000,
+         list_transform(generate_series(1, len(e1.embedding)),
+                        i -> CAST(e1.embedding[i] AS DOUBLE)
+                             + 0.2 * CAST(e2.embedding[i] AS DOUBLE))
+  FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 100
+  WHERE e1.vec_id >= 50 AND e1.vec_id < 100
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     tool_edges = f"""
 WITH t AS ({_tsql()}),
@@ -688,7 +995,8 @@ x AS (
   UNION ALL
   SELECT dst_key, 0, CAST(weight AS BIGINT) FROM e
 )
-SELECT vertex_key, SUM(o) AS out_degree, SUM(i) AS in_degree
+SELECT vertex_key, CAST(SUM(o) AS BIGINT) AS out_degree,
+       CAST(SUM(i) AS BIGINT) AS in_degree
 FROM x GROUP BY 1""",
         "events_user_edges": """
 SELECT user_id, event_type, COUNT(*) AS weight,
@@ -723,7 +1031,7 @@ FROM t GROUP BY 1""",
         "kcore_reply_hist": f"""
 WITH t AS ({_tsql()}),
 convs AS (SELECT conv_id, COUNT(*) AS n FROM t GROUP BY 1)
-SELECT CASE WHEN n >= 2 THEN 1 ELSE 0 END AS coreness,
+SELECT CAST(CASE WHEN n >= 2 THEN 1 ELSE 0 END AS BIGINT) AS coreness,
        CAST(SUM(n) AS BIGINT) AS n_vertices
 FROM convs GROUP BY 1""",
         "scc_reply_hist": f"""
@@ -790,4 +1098,132 @@ SELECT CAST(ROW_NUMBER() OVER (
        e.vec_id
 FROM embeddings e, q
 ORDER BY 1 LIMIT 10""",
+        "pagerank": _pagerank_sql(weighted=False),
+        "pagerank_weighted": _pagerank_sql(weighted=True),
+        "pagerank_push": f"""
+WITH t AS ({_tsql()})
+SELECT 'turn:' || conv_id || ':' || turn_idx AS vertex_key,
+       ROUND(1 - POWER(0.85, turn_idx + 1), 6) AS rank_x_n
+FROM t""",
+        "wcc_full": f"""
+WITH e AS ({_edges_keys_sql()}),
+v AS (SELECT DISTINCT vertex_key FROM
+      (SELECT src_key AS vertex_key FROM e UNION SELECT dst_key FROM e))
+SELECT COUNT(*) AS size, CAST(1 AS BIGINT) AS n_components FROM v""",
+        "label_propagation": f"""
+WITH t AS ({_tsql()})
+SELECT 'turn:' || conv_id || ':' || turn_idx AS vertex_key,
+       CAST(CASE WHEN CAST(substr(conv_id, 5) AS BIGINT) < 100
+            THEN CAST(substr(conv_id, 5) AS BIGINT) ELSE -1 END
+            AS BIGINT) AS label
+FROM t""",
+        "triangles_transcript": f"""
+WITH t AS ({_tsql()}),
+cl AS (SELECT conv_id, COUNT(*) AS L FROM t GROUP BY 1)
+SELECT 'turn:' || t.conv_id || ':' || t.turn_idx AS vertex_key,
+       CAST((CASE WHEN t.turn_idx > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN t.turn_idx < cl.L - 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS triangles
+FROM t JOIN cl ON cl.conv_id = t.conv_id WHERE cl.L >= 2
+UNION ALL
+SELECT 'conv:' || conv_id, CAST(L - 1 AS BIGINT) FROM cl WHERE L >= 2""",
+        "scan_topk": f"""
+WITH e AS ({_edges_keys_sql()}),
+sym AS (SELECT src_key, dst_key, etype FROM e
+        UNION SELECT dst_key, src_key, etype FROM e),
+deg AS (SELECT src_key AS k, COUNT(*) AS scan FROM sym GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY scan DESC) AS BIGINT) AS rank,
+       scan
+FROM deg ORDER BY scan DESC LIMIT 20""",
+        "betweenness_sampled": f"""
+WITH t AS ({_tsql()}),
+cl AS (SELECT conv_id, COUNT(*) AS L FROM t GROUP BY 1)
+SELECT 'turn:' || t.conv_id || ':' || t.turn_idx AS vertex_key,
+       CAST(CASE WHEN CAST(substr(t.conv_id, 5) AS BIGINT) < 8
+                      AND t.turn_idx >= 1
+            THEN cl.L - 1 - t.turn_idx ELSE 0 END AS DOUBLE) AS bc
+FROM t JOIN cl ON cl.conv_id = t.conv_id""",
+        "minhash_dup_groups": f"""
+WITH RECURSIVE {_true_jaccard_pairs_sql(0.5).lstrip()},
+ed AS (SELECT a AS x, b AS y FROM jpairs
+       UNION SELECT b, a FROM jpairs),
+reach(x, lbl) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM ed)
+  UNION
+  SELECT e.y, r.lbl FROM reach r JOIN ed e ON e.x = r.x
+)
+SELECT x AS doc_id, MIN(lbl) AS "group" FROM reach GROUP BY 1""",
+        "simhash_pairs": f"""
+WITH {_simhash_sql().lstrip()}
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+FROM sg x JOIN sg y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sig, y.sig)) <= 3""",
+        "embedding_near_dups": f"""
+WITH {_embedding_aug_sql().lstrip()}
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""",
+        "docs_langid": _langid_sql(),
+        "docs_quality": f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+sw AS (SELECT doc_id,
+              SUM(CASE WHEN lower(tok) IN {_STOPWORD_SQL['en']}
+                   THEN 1 ELSE 0 END) AS hits,
+              COUNT(*) AS n
+       FROM toks GROUP BY 1)
+SELECT d.doc_id,
+  CAST(length(regexp_replace(d.text, '\\s', '', 'g')) AS DOUBLE)
+    / greatest(length(regexp_extract_all(d.text, '\\S+')), 1)
+    AS avg_token_len,
+  CAST(length(regexp_extract_all(d.text, '[^\\w\\s]')) AS DOUBLE)
+    / greatest(length(d.text), 1) AS punct_ratio,
+  CAST(length(regexp_extract_all(d.text, '\\d')) AS DOUBLE)
+    / greatest(length(d.text), 1) AS digit_ratio,
+  CAST(COALESCE(sw.hits, 0) AS DOUBLE)
+    / greatest(COALESCE(sw.n, 0), 1) AS stopword_ratio
+FROM documents d LEFT JOIN sw ON sw.doc_id = d.doc_id""",
+        "docs_fingerprints": f"""
+WITH RECURSIVE pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, p * 1099511628211 % {_MOD64}
+  FROM pw WHERE k < (SELECT MAX(length(text)) FROM documents)
+),
+ch AS (SELECT doc_id, length(text) AS n,
+              unnest(generate_series(1, length(text))) AS i, text
+       FROM documents),
+tm AS (SELECT ch.doc_id,
+              CAST(ascii(substr(ch.text, ch.i, 1)) AS HUGEINT) * pw.p
+                % {_MOD64} AS term
+       FROM ch JOIN pw ON pw.k = ch.n - ch.i),
+hs AS (SELECT doc_id,
+              CAST(SUM(term) % {_MOD64} % {_MOD63} AS BIGINT) AS fingerprint
+       FROM tm GROUP BY 1)
+SELECT d.doc_id, COALESCE(hs.fingerprint, 0) AS fingerprint
+FROM documents d LEFT JOIN hs ON hs.doc_id = d.doc_id""",
+        "media_features": """
+WITH m AS (SELECT doc_id AS media_id,
+                  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1]
+                    AS kind,
+                  sha256(text) AS hx
+           FROM documents),
+bx AS (SELECT media_id, kind, unnest(generate_series(0, 31)) AS i, hx FROM m),
+vals AS (SELECT media_id, kind,
+                CAST(concat('0x', substr(hx, i * 2 + 1, 2)) AS INTEGER) AS v
+         FROM bx)
+SELECT media_id, kind,
+       ROUND(AVG(v), 6) AS px_mean,
+       ROUND(sqrt(AVG(CAST(v AS DOUBLE) * v) - AVG(v) * AVG(v)), 6)
+         AS px_std,
+       '8x8' AS shape
+FROM vals GROUP BY 1, 2""",
+        "frame_samples": f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+f AS (SELECT media_id, unnest(generate_series(0, 3)) AS frame_idx, hx FROM m)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(CAST(concat('0x', substr(hx, frame_idx * 8 + 1, 16)) AS UBIGINT)
+            % {_MOD63} AS BIGINT) AS frame_fingerprint
+FROM f""",
     }

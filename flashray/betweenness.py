@@ -119,6 +119,37 @@ class BrandesProgram(VertexProgram):
         return ["values", "dist", "sigma", "delta", "active"]
 
 
+def _sample_sources(graph: Graph, k: int, seed: int) -> list[int]:
+    """Deterministic distributed K-sample: each batch emits its K smallest
+    hash priorities (splitmix64(id ^ seed)); the driver reduces the small
+    union. Invariant under block layout / parallelism; never materializes
+    the full vertex set."""
+    import pyarrow as pa
+
+    from flashray.ids import _splitmix64
+
+    s = np.uint64(seed)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        v = b["vertex_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            pri = (_splitmix64(v.astype(np.uint64) ^ s) >> np.uint64(1)).astype(
+                np.int64
+            )
+        if len(v) > k:
+            idx = np.argpartition(pri, k - 1)[:k]
+            v, pri = v[idx], pri[idx]
+        return pa.table({"vertex_id": v, "pri": pri})
+
+    small = (
+        graph.vertices_dataset(columns=["vertex_id"])
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    small = small.sort_values(["pri", "vertex_id"]).head(k)
+    return sorted(int(v) for v in small["vertex_id"])
+
+
 def betweenness(
     graph: Graph,
     *,
@@ -136,21 +167,17 @@ def betweenness(
         build_bidirected(graph, bi_path)
     bi = Graph.load(bi_path)
 
-    all_vertices = None
-    if sources is None or isinstance(sources, int):
-        all_vertices = (
+    n_all = graph.meta.num_vertices
+    if sources is None or (isinstance(sources, int) and sources >= n_all):
+        # exact mode touches every vertex anyway; the id list is the
+        # smallest part of that cost
+        src_list = np.sort(
             graph.vertices_dataset(columns=["vertex_id"])
             .to_pandas()["vertex_id"]
             .to_numpy()
-        )
-        all_vertices = np.sort(all_vertices)
-        if sources is None or sources >= len(all_vertices):
-            src_list = all_vertices.tolist()
-        else:
-            rng = np.random.default_rng(seed)
-            src_list = np.sort(
-                rng.choice(all_vertices, size=sources, replace=False)
-            ).tolist()
+        ).tolist()
+    elif isinstance(sources, int):
+        src_list = _sample_sources(graph, sources, seed)
     else:
         src_list = sorted(int(v) for v in sources)
 
@@ -169,10 +196,5 @@ def betweenness(
             eng.broadcast_event({"phase": "accumulate", "source": int(s)})
         df = eng.values_pandas().sort_values("vertex_id").reset_index(drop=True)
     if normalize and not isinstance(sources, list):
-        n_all = (
-            len(all_vertices)
-            if all_vertices is not None
-            else graph.meta.num_vertices
-        )
         df["value"] = df["value"] * (n_all / max(len(src_list), 1))
     return df

@@ -137,31 +137,32 @@ def _degree_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _part_writer(base: str, columns: list[str]):
-    """map_groups writer: one parquet file per partition value (hive-style
-    dir layout), atomic rename. Exactly P files instead of blocks×P —
-    Ray's ``partition_cols`` writer emits one file per (block, value)."""
-    import pyarrow.parquet as pq
+def _auto_partitions(num_edges: int) -> int:
+    """Partition count scaled to data size: ~2M edges per partition,
+    power-of-two, clamped to [16, 512]. P is fixed per graph (the
+    partition→actor map must be stable), but must GROW with the input —
+    a fixed P=16 makes each partition file unboundedly large at 100×."""
+    target = max(1, num_edges // 2_000_000)
+    p = 1 << int(np.ceil(np.log2(target))) if target > 1 else 1
+    return int(min(512, max(16, p)))
 
-    def write_group(g: pa.Table) -> pa.Table:
-        part = int(g["part"][0].as_py())
-        d = os.path.join(base, f"part={part}")
-        os.makedirs(d, exist_ok=True)
-        out = os.path.join(d, "data.parquet")
-        tmp = out + f".tmp{os.getpid()}"
-        pq.write_table(g.select(columns), tmp)
-        os.replace(tmp, out)
-        return pa.table({"part": pa.array([part], type=pa.int32()),
-                         "rows": pa.array([g.num_rows], type=pa.int64())})
 
-    return write_group
+def _write_partitioned(ds: ray.data.Dataset, base: str, columns: list[str]):
+    """Hive-partitioned parquet (``part=<p>/``), many files per partition
+    (one per block×value): no stage ever holds a whole partition in one
+    task — the previous one-file-per-partition ``map_groups`` writer
+    required a full partition to fit a single task's memory, the first
+    thing to die at 100×. The shard reader reads directories."""
+    ds.select_columns(columns + ["part"]).write_parquet(
+        base, partition_cols=["part"], mode="overwrite"
+    )
 
 
 def build_graph(
     edges: ray.data.Dataset,
     path: str,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     symmetrize: bool = False,
     dedup: bool = True,
     skew_threshold: int | None = None,
@@ -170,18 +171,20 @@ def build_graph(
 
     ``edges`` must carry EDGE_SCHEMA columns. ``skew_threshold=None`` means
     "auto": 32 × the average out-degree, at least 512.
+    ``num_partitions=None`` means "auto": ~2M edges per partition,
+    power-of-two in [16, 512] (see _auto_partitions).
 
     Pass structure (each heavy stage runs exactly once — a lazy Dataset
     consumed twice would re-execute the whole upstream pipeline):
 
-    1. [shuffle] symmetrize? → exact dedup → temp parquet (streamed)
-    2. [shuffle] degree table from temp → one vertices file per partition
+    1. [shuffle] symmetrize? → exact dedup → temp parquet (streamed);
+       edge count read from parquet metadata fixes auto-P
+    2. [shuffle] degree table from temp → hive-partitioned vertices dir
     3. split-vertex detection: pushed-down filter over the vertex table
-    4. [shuffle] temp edges + part column → one edges file per partition
+    4. [shuffle] temp edges + part column → hive-partitioned edges dir
     """
     import shutil
 
-    P = num_partitions
     os.makedirs(path, exist_ok=True)
     for sub in ("edges", "vertices", "meta.json"):
         target = os.path.join(path, sub)
@@ -200,6 +203,12 @@ def build_graph(
         edges = dedup_edges(edges)
     edges.write_parquet(tmp_edges, mode="overwrite")
 
+    # metadata-only count (no data read) fixes the partition count
+    num_edges_total = ray.data.read_parquet(tmp_edges).count()
+    P = num_partitions if num_partitions is not None else _auto_partitions(
+        num_edges_total
+    )
+
     # pass 2: vertex/degree table — bucketed vectorized aggregate (vertex
     # ids are near-unique keys; see joins.bucket_group_agg)
     from flashray.joins import bucket_group_agg
@@ -213,35 +222,24 @@ def build_graph(
             "in_degree": ("in_degree", "sum"),
             "w_out_degree": ("w_out_degree", "sum"),
         },
+        num_buckets=max(64, P),
     )
 
     def add_vpart(batch: pa.Table) -> pa.Table:
         v = batch["vertex_id"].to_numpy(zero_copy_only=False)
         return batch.append_column("part", pa.array((v % P).astype(np.int32)))
 
-    vstats = (
-        degrees.map_batches(add_vpart, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(
-            _part_writer(
-                os.path.join(path, "vertices"),
-                ["vertex_id", "out_degree", "in_degree", "w_out_degree"],
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
+    vdir = os.path.join(path, "vertices")
+    _write_partitioned(
+        degrees.map_batches(add_vpart, batch_format="pyarrow", zero_copy_batch=True),
+        vdir,
+        ["vertex_id", "out_degree", "in_degree", "w_out_degree"],
     )
-    num_vertices = int(vstats["rows"].sum())
+    num_vertices = ray.data.read_parquet(vdir).count()
 
-    # pass 3 (cheap): stats + split-vertex detection from the vertex table
-    from ray.data.aggregate import Count
-
+    # pass 3 (cheap): split-vertex detection from the vertex table
     import pyarrow.compute as pc
 
-    stats = ray.data.read_parquet(
-        os.path.join(path, "vertices"), columns=["out_degree"]
-    ).aggregate(Sum("out_degree", alias_name="e"))
-    num_edges_total = int(stats["e"])
     if skew_threshold is None:
         avg = max(1, num_edges_total // max(1, num_vertices))
         skew_threshold = max(512, 32 * avg)
@@ -267,19 +265,13 @@ def build_graph(
             part = np.where(is_split, ((src + dst) % P).astype(np.int32), part)
         return batch.append_column("part", pa.array(part))
 
-    # pass 4: hash-partitioned edge files (one per partition)
-    (
-        ray.data.read_parquet(tmp_edges)
-        .map_batches(add_epart, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(
-            _part_writer(
-                os.path.join(path, "edges"),
-                ["src", "dst", "etype", "weight", "ts"],
-            ),
-            batch_format="pyarrow",
-        )
-        .materialize()
+    # pass 4: hash-partitioned edge dirs (streamed, many files per part)
+    _write_partitioned(
+        ray.data.read_parquet(tmp_edges).map_batches(
+            add_epart, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        os.path.join(path, "edges"),
+        ["src", "dst", "etype", "weight", "ts"],
     )
 
     shutil.rmtree(tmp_edges, ignore_errors=True)

@@ -139,9 +139,16 @@ def wcc_mapreduce(
     *,
     num_buckets: int | None = None,
     max_rounds: int = 64,
-) -> pd.DataFrame:
-    """WCC labels (min member id per component) in O(log n) rounds.
-    Returns (vertex_id, value), matching ``algorithms.wcc`` semantics."""
+    out_dir: str | None = None,
+):
+    """WCC labels (min member id per component) in O(log n) rounds,
+    matching ``algorithms.wcc`` semantics. The finish is a distributed
+    min-merge (no driver-side vertex materialization): star-forest child
+    labels unioned with self-labels, one bucketed aggregate — all int64
+    end-to-end (a pandas left-join would float 63-bit labels through NaN).
+    Returns a sorted pandas DataFrame by default; pass ``out_dir=`` to
+    write partitioned parquet and get a Dataset back (the path for huge
+    graphs)."""
     B = num_buckets or max(16, graph.num_partitions)
     edges = _canonical_edges(graph).materialize()
     prev = None
@@ -158,8 +165,29 @@ def wcc_mapreduce(
     from flashray.joins import bucket_group_agg
 
     labels = bucket_group_agg(edges, ["a"], {"value": ("b", "min")})
-    child = labels.to_pandas().rename(columns={"a": "vertex_id"})
-    verts = graph.vertices_dataset(columns=["vertex_id"]).to_pandas()
-    out = verts.merge(child, on="vertex_id", how="left")
-    out["value"] = out["value"].fillna(out["vertex_id"]).astype("int64")
-    return out.sort_values("vertex_id").reset_index(drop=True)
+
+    def self_label(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vertex_id": b["vertex_id"], "value": b["vertex_id"]}
+        )
+
+    def child_label(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex_id": b["a"], "value": b["value"]})
+
+    both = (
+        graph.vertices_dataset(columns=["vertex_id"])
+        .map_batches(self_label, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            labels.map_batches(
+                child_label, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    )
+    # child labels are component minima (≤ every member id), so a plain
+    # per-vertex MIN yields the component label for children and the own
+    # id for roots
+    final = bucket_group_agg(both, ["vertex_id"], {"value": ("value", "min")})
+    if out_dir is not None:
+        final.write_parquet(out_dir, mode="overwrite")
+        return ray.data.read_parquet(out_dir)
+    return final.to_pandas().sort_values("vertex_id").reset_index(drop=True)

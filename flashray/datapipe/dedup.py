@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from flashray.ids import _splitmix64, id64
+from flashray.ids import _splitmix64
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
@@ -54,13 +54,25 @@ def _perm_hash(a: np.ndarray, b: np.ndarray, x31: np.ndarray) -> np.ndarray:
         return _mod_m61(total + b)
 
 
+def _word_hash64(token: str) -> int:
+    """Full 64-bit token hash: first 8 bytes (big-endian) of
+    sha256("w:" + token) — chosen to be reproducible in DuckDB SQL
+    (``CAST('0x' || substr(sha256('w:' || w), 1, 16) AS UBIGINT)``) so the
+    driver's SimHash oracle can recompute signatures independently."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.sha256(("w:" + token).encode("utf-8")).digest()[:8], "big"
+    )
+
+
 def _word_codes(tokens: list[str]) -> np.ndarray:
     """Stable 64-bit code per token (unique tokens hashed once)."""
     if not tokens:
         return np.empty(0, dtype=np.uint64)
     uniq, inv = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
     codes = np.fromiter(
-        (id64("w:" + t) for t in uniq), dtype=np.uint64, count=len(uniq)
+        (_word_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
     )
     return codes[inv]
 
@@ -358,26 +370,42 @@ def exact_dedup(
 
 class SimHashSignatures:
     """64-bit SimHash over word hashes: bit b of the signature is the sign
-    of the sum of ±1 votes from each token's hash bit b."""
+    of the sum of ±1 votes from each token's hash bit b (token multiplicity
+    counts). Batch-vectorized: all words of the batch flattened, bit matrix
+    built once, per-doc vote sums via reduceat. The emitted signature masks
+    bit 63 (Arrow int64)."""
 
     def __init__(self, *, text_col: str = "text"):
         self.text_col = text_col
         self.bits = np.arange(64, dtype=np.uint64)
 
     def _sig(self, text: str) -> np.int64:
-        codes = _word_codes((text or "").split())
-        if len(codes) == 0:
-            return np.int64(0)
-        bits = ((codes[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        with np.errstate(over="ignore"):
-            for b in np.flatnonzero(votes > 0):
-                sig |= np.uint64(1) << np.uint64(b)
-        return np.int64(sig & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
+        """Single-doc reference path (tests / oracles)."""
+        out = self._sigs([text or ""])
+        return np.int64(out[0])
+
+    def _sigs(self, texts: list[str]) -> np.ndarray:
+        words_per = [(t or "").split() for t in texts]
+        counts = np.asarray([len(w) for w in words_per], dtype=np.int64)
+        sig = np.zeros(len(texts), dtype=np.int64)
+        nz = counts > 0
+        if nz.any():
+            flat = [w for ws, ok in zip(words_per, nz) if ok for w in ws]
+            codes = _word_codes(flat)
+            bits = (
+                (codes[:, None] >> self.bits[None, :]) & np.uint64(1)
+            ).astype(np.int16)
+            offs = np.r_[0, np.cumsum(counts[nz])[:-1]]
+            votes = np.add.reduceat(2 * bits - 1, offs, axis=0)
+            s64 = (
+                ((votes > 0).astype(np.uint64) << self.bits[None, :])
+                .sum(axis=1, dtype=np.uint64)
+            )
+            sig[nz] = (s64 & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        return sig
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["simhash"] = batch[self.text_col].map(self._sig).astype("int64")
+        batch["simhash"] = self._sigs(batch[self.text_col].tolist())
         return batch
 
 

@@ -50,14 +50,32 @@ class _BruteForceScorer:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         scores = self.q @ vecs.T  # (nq, n)
         k = min(self.k, scores.shape[1])
-        top = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
-        nq = scores.shape[0]
-        qid = np.repeat(np.arange(nq, dtype=np.int64), k)
-        vid = ids[top.ravel()]
-        sc = np.take_along_axis(scores, top, axis=1).ravel()
-        return pa.table(
-            {"query_id": qid, "vec_id": vid, "score": sc.astype(np.float64)}
-        )
+        qid, vid, sc = _local_topk(scores, ids, k)
+        return pa.table({"query_id": qid, "vec_id": vid, "score": sc})
+
+
+def _local_topk(scores: np.ndarray, ids: np.ndarray, k: int):
+    """Per-query local top-k honoring the (score desc, vec_id asc) global
+    tie-break: argpartition alone keeps an ARBITRARY subset of score-tied
+    candidates at the k boundary, which can drop a tied smaller vec_id that
+    the global reduce would have kept. Widen to every candidate tied with
+    the k-th score, order by (-score, vec_id), cut at k."""
+    nq = scores.shape[0]
+    top = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
+    kth = np.take_along_axis(scores, top, axis=1).min(axis=1)  # (nq,)
+    out_q, out_v, out_s = [], [], []
+    for qi in range(nq):
+        cand = np.flatnonzero(scores[qi] >= kth[qi])
+        order = np.lexsort((ids[cand], -scores[qi][cand]))[:k]
+        sel = cand[order]
+        out_q.append(np.full(len(sel), qi, dtype=np.int64))
+        out_v.append(ids[sel])
+        out_s.append(scores[qi][sel].astype(np.float64))
+    return (
+        np.concatenate(out_q),
+        np.concatenate(out_v),
+        np.concatenate(out_s),
+    )
 
 
 def knn_brute_force(
@@ -161,17 +179,13 @@ def knn_ivf(
             mask = self.allowed[:, bucket]  # (nq, n)
             scores = np.where(mask, scores, -np.inf)
             kk = min(k, scores.shape[1])
-            top = np.argpartition(-scores, kth=kk - 1, axis=1)[:, :kk]
-            nq = scores.shape[0]
-            qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
-            vid = ids[top.ravel()]
-            sc = np.take_along_axis(scores, top, axis=1).ravel()
+            qid, vid, sc = _local_topk(scores, ids, kk)
             keep = np.isfinite(sc)
             return pa.table(
                 {
                     "query_id": qid[keep],
                     "vec_id": vid[keep],
-                    "score": sc[keep].astype(np.float64),
+                    "score": sc[keep],
                 }
             )
 
@@ -194,33 +208,53 @@ def embedding_near_dups(
     ds: ray.data.Dataset,
     *,
     threshold: float = 0.95,
-    num_planes: int = 12,
+    num_planes: int = 8,
+    num_tables: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
     dim: int | None = None,
 ) -> ray.data.Dataset:
-    """Cosine near-duplicate pairs (a < b, cosine ≥ threshold); candidates
-    from random-hyperplane LSH (same sign pattern), verified exactly."""
+    """Cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    Candidates come from MULTI-TABLE random-hyperplane LSH: ``num_tables``
+    independent sign-signatures of ``num_planes`` planes each; a pair is a
+    candidate if it collides in ANY table (OR-amplification). A single
+    table misses a 0.95-cosine pair whenever one plane separates it
+    (p ≈ 1-(1-acos(s)/π)^planes); with 16 tables of 8 planes the miss
+    probability at s = 0.95 is < 1e-6. Candidates are verified exactly
+    in-bucket; duplicate candidates from several tables dedup in the final
+    aggregate. Exact duplicates (s = 1) collide in EVERY table — recall 1
+    by construction."""
     if dim is None:
         first = ds.take(1)[0]
         dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim)).astype(np.float32)
+    planes = rng.standard_normal((num_tables, num_planes, dim)).astype(
+        np.float32
+    )
     planes_ref = ray.put(planes)
+    shift = int(num_planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
+        pl = ray.get(planes_ref)  # (T, P, d)
         vecs = _normalize(_stack(batch[vec_col]))
-        bits = (vecs @ pl.T) > 0  # (n, planes)
-        bucket = np.zeros(len(vecs), dtype=np.int64)
-        for i in range(pl.shape[0]):
-            bucket |= bits[:, i].astype(np.int64) << i
+        n = len(vecs)
+        # (T, n, P) sign bits -> per-table integer signature
+        bits = np.einsum("tpd,nd->tnp", pl, vecs) > 0
+        weights = (1 << np.arange(pl.shape[1], dtype=np.int64))[None, None, :]
+        sig = (bits * weights).sum(axis=2)  # (T, n)
+        table_id = np.repeat(
+            np.arange(pl.shape[0], dtype=np.int64), n
+        )
+        bucket = (table_id << shift) | sig.ravel()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        vec_list = list(vecs.astype(np.float64))
         return pa.table(
             {
                 "bucket": bucket,
-                id_col: batch[id_col],
-                "vec": pa.array(list(vecs.astype(np.float64))),
+                id_col: np.tile(ids, pl.shape[0]),
+                "vec": pa.array([vec_list[i % n] for i in range(n * pl.shape[0])]),
             }
         )
 
@@ -229,17 +263,17 @@ def embedding_near_dups(
         if n < 2:
             return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
                                  "cosine": pd.Series(dtype="float64")})
-        g = g.sort_values(id_col)
+        g = g.drop_duplicates(id_col).sort_values(id_col)
         ids = g[id_col].to_numpy()
         V = np.stack([np.asarray(v) for v in g["vec"]])
         S = V @ V.T
-        iu, ju = np.triu_indices(n, k=1)
+        iu, ju = np.triu_indices(len(g), k=1)
         m = S[iu, ju] >= threshold
         return pd.DataFrame(
             {"a": ids[iu[m]], "b": ids[ju[m]], "cosine": S[iu, ju][m]}
         )
 
-    from ray.data.aggregate import Max
+    from flashray.joins import bucket_group_agg
 
     pairs = (
         ds.select_columns([id_col, vec_col])
@@ -247,4 +281,4 @@ def embedding_near_dups(
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return bucket_group_agg(pairs, ["a", "b"], {"cosine": ("cosine", "max")})

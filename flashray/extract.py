@@ -149,6 +149,39 @@ def extract_edges(
     return ds
 
 
+def extract_conv_edges(
+    transcripts: ray.data.Dataset, *, batch_size: int = 65536
+) -> ray.data.Dataset:
+    """Conversation-membership edges: turn → conv vertex (``conv:<id>``,
+    id = the conversation hash that also seeds turn-vertex ids). Unioned
+    with reply edges this yields a graph with one triangle per adjacent
+    turn pair — used by the driver's closed-form triangle oracle."""
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        t = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        ch = ids.conv_hashes(conv)
+        turn_v = ids.turn_vertex_ids_from_hashes(ch, t)
+        return pa.Table.from_arrays(
+            [
+                pa.array(turn_v),
+                pa.array(ch.astype(np.int64)),
+                pa.array(np.full(len(t), "conv", dtype=object), type=pa.string()),
+                pa.array(np.ones(len(t))),
+                pa.array(ts, type=pa.timestamp("us")),
+            ],
+            schema=EDGE_SCHEMA,
+        )
+
+    return transcripts.map_batches(
+        batch_fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
 def extract_edges_sorted(
     transcripts: ray.data.Dataset,
     *,

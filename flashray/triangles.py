@@ -47,7 +47,7 @@ def _canonical_undirected(graph: Graph) -> ray.data.Dataset:
         src = b["src"].to_numpy(zero_copy_only=False)
         dst = b["dst"].to_numpy(zero_copy_only=False)
         if graph.meta.symmetrized:
-            # both directions present exactly once -> keep src < dst
+            # both directions present exactly once per etype -> src < dst
             m = src < dst
             return pa.table({"lo": src[m], "hi": dst[m]})
         m = src != dst
@@ -56,8 +56,9 @@ def _canonical_undirected(graph: Graph) -> ray.data.Dataset:
         )
 
     out = edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
-    if graph.meta.symmetrized:
-        return out
+    # the build dedups on (src, dst, etype): a pair connected by TWO etypes
+    # would yield a duplicate (lo, hi) row and double-count wedges — dedup
+    # in both branches (symmetrized included)
     from flashray.joins import bucket_group_agg
 
     return bucket_group_agg(out, ["lo", "hi"], None)

@@ -25,6 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from flashray.datapipe import _util
 from flashray.ids import _splitmix64
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
@@ -120,30 +121,49 @@ class MinHashSignatures:
         vals = _perm_hash(self.a[:, None], self.b[:, None], x31[None, :])
         return vals.min(axis=1).astype(np.uint64)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["signature"] = batch[self.text_col].map(self._sig)
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Arrow in/out: signature as fixed_size_list<uint64> — keeps the
+        exchange zero-copy and the block schema Arrow-native (pandas
+        object-array columns confuse downstream schema unification)."""
+        texts = batch[self.text_col].to_pylist()
+        sigs = np.concatenate([self._sig(t) for t in texts]) if texts else (
+            np.empty(0, dtype=np.uint64)
+        )
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs, type=pa.uint64()), self.num_perm
+        )
+        return batch.append_column("signature", col)
 
 
 def _band_rows(
-    batch: pd.DataFrame, *, id_col: str, bands: int, rows_per_band: int
-) -> pd.DataFrame:
+    batch: pa.Table, *, id_col: str, bands: int, rows_per_band: int
+) -> pa.Table:
     """Explode signatures to (bucket, doc_id, signature) LSH-band rows.
 
-    Fully vectorized: signatures stacked to (n, perm), reshaped to
-    (n, bands, rows/band), folded with splitmix64 along the band axis —
-    rows_per_band vectorized calls over (n, bands), no Python per row.
-    Bucket values are identical to a sequential per-chunk fold."""
-    n = len(batch)
+    Fully vectorized over Arrow: the fixed_size_list signature column is
+    viewed zero-copy as (n, perm), reshaped to (n, bands, rows/band), and
+    folded with splitmix64 along the band axis — rows_per_band vectorized
+    calls over (n, bands), no Python per row. Output rows are row-major
+    (row, band) order."""
+    n = batch.num_rows
+    num_perm = bands * rows_per_band
     if n == 0:
-        return pd.DataFrame(
-            {"bucket": pd.Series(dtype="int64"),
-             "doc_id": pd.Series(dtype="int64"),
-             "signature": pd.Series(dtype="object")}
+        return pa.table(
+            {
+                "bucket": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "signature": pa.array(
+                    [], type=pa.list_(pa.uint64(), num_perm)
+                ),
+            }
         )
-    sig_objs = batch["signature"].to_numpy()
-    sigs = np.stack(sig_objs).astype(np.uint64)
-    S = sigs[:, : bands * rows_per_band].reshape(n, bands, rows_per_band)
+    sig_col = batch["signature"].combine_chunks()
+    sigs = (
+        sig_col.values.to_numpy(zero_copy_only=False)
+        .astype(np.uint64, copy=False)
+        .reshape(n, -1)
+    )
+    S = sigs[:, :num_perm].reshape(n, bands, rows_per_band)
     with np.errstate(over="ignore"):
         h = np.broadcast_to(
             np.arange(bands, dtype=np.uint64), (n, bands)
@@ -151,11 +171,13 @@ def _band_rows(
         for r in range(rows_per_band):
             h = _splitmix64(h ^ S[:, :, r])
     buckets = (h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64).ravel()
-    return pd.DataFrame(
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+    return pa.table(
         {
-            "bucket": buckets,
-            "doc_id": np.repeat(batch[id_col].to_numpy(), bands),
-            "signature": np.repeat(sig_objs, bands),
+            "bucket": pa.array(buckets),
+            "doc_id": pa.array(np.repeat(ids, bands)),
+            "signature": sig_col.take(rep),
         }
     )
 
@@ -270,13 +292,15 @@ def candidate_pairs_minhash(
             "num_perm": num_perm,
             "shingle_n": shingle_n,
         },
-        batch_format="pandas",
-        concurrency=concurrency,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_util.pool_size(concurrency),
     )
     bands_ds = sigs.map_batches(
         _band_rows,
         fn_kwargs={"id_col": id_col, "bands": bands, "rows_per_band": rows_per_band},
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     pairs = bands_ds.groupby("bucket").map_groups(
         _bucket_pairs, fn_kwargs={"threshold": threshold}, batch_format="pandas"
@@ -352,7 +376,7 @@ def exact_dedup(
         Fingerprint,
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=_util.pool_size(concurrency),
     )
     agg = bucket_group_agg(
         hashed.select_columns(["fingerprint", id_col]),
@@ -423,7 +447,7 @@ def candidate_pairs_simhash(
         SimHashSignatures,
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=_util.pool_size(concurrency),
     )
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
@@ -523,15 +547,22 @@ def candidate_pairs_ngram_jaccard(
             "num_perm": num_perm,
             "shingle_n": shingle_n,
         },
-        batch_format="pandas",
-        concurrency=concurrency,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_util.pool_size(concurrency),
     )
 
-    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        out = _band_rows(batch, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
-        texts = dict(zip(batch[id_col], batch[text_col]))
-        out["text"] = out["doc_id"].map(texts)
-        return out.drop(columns=["signature"])
+    def band_rows(batch: pa.Table) -> pa.Table:
+        out = _band_rows(
+            batch, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+        )
+        # _band_rows emits (row, band)-major rows: texts repeat in step
+        texts = np.repeat(
+            np.asarray(batch[text_col].to_pylist(), dtype=object), bands
+        )
+        return out.drop_columns(["signature"]).append_column(
+            "text", pa.array(texts, type=pa.string())
+        )
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         n = len(group)
@@ -556,7 +587,7 @@ def candidate_pairs_ngram_jaccard(
     from flashray.joins import bucket_group_agg
 
     pairs = (
-        sigs.map_batches(band_rows, batch_format="pandas")
+        sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )

@@ -8,7 +8,8 @@ real decoder (PIL / torchaudio / pyav) on a cluster that has one.
 
 Batch-size guidance: binary payloads are large — keep ``batch_size`` small
 (64–256) and ``batch_format="pyarrow"`` (binary columns do not round-trip
-through pandas cleanly; ray_guide.md "Pitfalls").
+through pandas cleanly —
+https://docs.ray.io/en/latest/data/batch_inference.html).
 """
 
 from __future__ import annotations
@@ -16,6 +17,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+
+from flashray.datapipe import _util
 import pyarrow as pa
 
 MEDIA_SCHEMA = pa.schema(
@@ -130,7 +133,7 @@ def image_features(ds, *, concurrency: int = 2, batch_size: int = 128):
         ImageFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_util.pool_size(concurrency),
     )
 
 
@@ -141,5 +144,5 @@ def sample_frames(ds, *, frames_per_item: int = 4, concurrency: int = 2,
         fn_constructor_kwargs={"frames_per_item": frames_per_item},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_util.pool_size(concurrency),
     )

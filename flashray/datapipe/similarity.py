@@ -91,12 +91,14 @@ def knn_brute_force(
     """Exact cosine top-k for each query row. Returns (query_id, vec_id,
     score) sorted by (query_id, -score, vec_id); deterministic tie-break."""
     qref = ray.put(np.asarray(queries, dtype=np.float32))
+    from flashray.datapipe._util import pool_size
+
     local = ds.select_columns([id_col, vec_col]).map_batches(
         _BruteForceScorer,
         fn_constructor_args=(qref, k, vec_col, id_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
     def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -116,12 +118,19 @@ def train_centroids(
     *,
     num_centroids: int = 16,
     vec_col: str = "embedding",
-    sample_frac: float = 1.0,
+    sample_frac: float | None = None,
+    max_train_rows: int = 65536,
     iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
-    """Seeded Lloyd's k-means on a driver-side sample (coarse quantizer)."""
+    """Seeded Lloyd's k-means coarse quantizer, trained on a BOUNDED
+    sample: at most ``max_train_rows`` rows reach the driver regardless of
+    corpus size (an unbounded ``to_pandas`` of the corpus is the thing
+    that dies at 100×). ``sample_frac`` overrides the auto fraction."""
     sample = ds.select_columns([vec_col])
+    if sample_frac is None:
+        n = ds.count()
+        sample_frac = min(1.0, max_train_rows / max(n, 1))
     if sample_frac < 1.0:
         sample = sample.random_sample(sample_frac, seed=seed)
     X = _normalize(_stack(sample.to_pandas()[vec_col]))
@@ -137,10 +146,55 @@ def train_centroids(
     return cent
 
 
-def knn_ivf(
+def build_ivf_index(
     ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_train_rows: int = 65536,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize a real IVF index: corpus hive-partitioned ON DISK by
+    nearest-centroid bucket (``buckets/cent=<c>/``) + saved centroids.
+    Queries then read ONLY their probed buckets — the point of IVF: probed
+    bytes ∝ nprobe/num_centroids of the corpus, not a masked full scan."""
+    import os
+
+    cent = train_centroids(
+        ds,
+        num_centroids=num_centroids,
+        vec_col=vec_col,
+        max_train_rows=max_train_rows,
+        seed=seed,
+    )
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vecs = _normalize(_stack(b[vec_col]))
+        cent_id = np.argmax(vecs @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {id_col: b[id_col], vec_col: b[vec_col], "cent": cent_id}
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(
+        os.path.join(index_dir, "buckets"), partition_cols=["cent"],
+        mode="overwrite",
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def knn_ivf(
+    ds: ray.data.Dataset | None,
     queries: np.ndarray,
     *,
+    index_dir: str,
     k: int = 10,
     nprobe: int = 4,
     num_centroids: int = 16,
@@ -149,25 +203,59 @@ def knn_ivf(
     concurrency: int = 4,
     seed: int = 42,
 ) -> pd.DataFrame:
-    """IVF top-k: probe only the nprobe nearest centroid buckets per query.
-    Approximate; recall grows with nprobe (nprobe=num_centroids → exact)."""
-    cent = train_centroids(
-        ds, num_centroids=num_centroids, vec_col=vec_col, seed=seed
-    )
-    cent_ref = ray.put(cent)
+    """IVF top-k over a disk-bucketed index (built from ``ds`` on first
+    use; pass ``ds=None`` to require an existing index). Only the union of
+    the queries' ``nprobe`` nearest buckets is READ — bucket membership is
+    re-derived per batch from the saved centroids (cheap argmax) so each
+    query scores only rows of its own probe set. Approximate; recall grows
+    with nprobe (nprobe = num_centroids → exact)."""
+    import os
+
+    cpath = os.path.join(index_dir, "centroids.npy")
+    if not os.path.exists(cpath):
+        if ds is None:
+            raise FileNotFoundError(f"no IVF index at {index_dir}")
+        cent = build_ivf_index(
+            ds, index_dir, num_centroids=num_centroids, vec_col=vec_col,
+            id_col=id_col, seed=seed,
+        )
+    else:
+        cent = np.load(cpath)
     q = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    # query q may search bucket b only if b ∈ probe[q]
-    probe_mask_ref = ray.put(probe)
+    needed = np.unique(probe)
+    dirs = []
+    for c in needed:
+        d = os.path.join(index_dir, "buckets", f"cent={int(c)}")
+        if os.path.isdir(d):
+            # expand to files: read_parquet takes a dir singly but not a
+            # list of dirs
+            dirs.extend(
+                sorted(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+            )
+    if not dirs:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "vec_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+    sub = ray.data.read_parquet(dirs)
+
+    cent_ref = ray.put(cent)
+    probe_ref = ray.put(probe)
     qref = ray.put(q)
 
     class Scorer:
         def __init__(self):
             self.cent = ray.get(cent_ref)
             self.q = ray.get(qref)
-            self.probe = ray.get(probe_mask_ref)
+            pr = ray.get(probe_ref)
             allowed = np.zeros((len(self.q), len(self.cent)), dtype=bool)
-            for i, row in enumerate(self.probe):
+            for i, row in enumerate(pr):
                 allowed[i, row] = True
             self.allowed = allowed
 
@@ -189,8 +277,10 @@ def knn_ivf(
                 }
             )
 
-    local = ds.select_columns([id_col, vec_col]).map_batches(
-        Scorer, batch_format="pyarrow", concurrency=concurrency
+    from flashray.datapipe._util import pool_size
+
+    local = sub.map_batches(
+        Scorer, batch_format="pyarrow", concurrency=pool_size(concurrency)
     )
 
     def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:

@@ -18,6 +18,8 @@ from __future__ import annotations
 import re
 
 import numpy as np
+
+from flashray.datapipe import _util
 import pandas as pd
 
 # tiny public stopword seeds per language (language-ID heuristic only)
@@ -124,7 +126,7 @@ def add_text_stats(ds, *, text_col: str = "text", concurrency: int = 4,
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_util.pool_size(concurrency),
     )
 
 
@@ -135,7 +137,7 @@ def add_lang_id(ds, *, text_col: str = "text", concurrency: int = 4,
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_util.pool_size(concurrency),
     )
 
 
@@ -146,5 +148,5 @@ def add_fingerprint(ds, *, text_col: str = "text", concurrency: int = 4,
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_util.pool_size(concurrency),
     )

@@ -1,7 +1,8 @@
 """Windowed aggregates over an ordered event log (stream-shaped workloads).
 
 Ray Data is a batch engine with no event-time watermarks; windows are
-expressed per the ray_guide.md "Streaming-shaped workloads" pattern:
+expressed as one-shuffle groupby/map_groups dataflows
+(https://docs.ray.io/en/latest/data/transforming-data.html):
 
 - **tumbling** windows are stateless: bucket = floor(ts / size) computed
   vectorized in ``map_batches``, then a grouped aggregate — one shuffle.

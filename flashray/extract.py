@@ -191,7 +191,7 @@ def extract_edges_sorted(
     (general sources; the dense-index arithmetic of :func:`extract_edges`
     does not apply). Per-conversation sort + shift inside a ``groupby`` —
     conversations are small, so a group always fits one task (stated
-    ordering assumption, ray_guide.md 'Streaming-shaped workloads')."""
+    ordering assumption, https://docs.ray.io/en/latest/data/transforming-data.html)."""
     import pandas as pd
 
     from flashray.fixtures import EPOCH_US  # noqa: F401  (doc anchor)

@@ -3,7 +3,7 @@
 Ray 2.49 ships ``Dataset.join``, but its hash-shuffle aggregator actors
 reserve CPUs and starve small sessions (observed: a 4-CPU session makes a
 4-partition join crawl). This is the portable pattern from
-/opt/skills/guides/ray_guide.md "Joins and lookups": add a
+https://docs.ray.io/en/latest/data/joining-data.html: add a
 ``bucket = hash(key) % B`` column to both sides, ``groupby("bucket")``
 once over the tagged union, and run a vectorized pandas merge per bucket.
 One shuffle, no extra actor pool, works at any session size; B bounds the
@@ -88,6 +88,10 @@ def bucket_hash_join(
 
     def tag(side: int, keys: list[str]):
         def fn(b: pa.Table) -> pa.Table:
+            # strip pandas round-trip metadata: a schema carrying the
+            # b'pandas' metadata dict is UNHASHABLE, which defeats Ray's
+            # shuffle-reduce schema deduplication (warning + slow unify)
+            b = b.replace_schema_metadata(None)
             bucket = (_key_hash(b, keys) % np.uint64(num_buckets)).astype(np.int64)
             return b.append_column("__bucket", pa.array(bucket)).append_column(
                 "__side", pa.array(np.full(b.num_rows, side, dtype=np.int8))
@@ -198,6 +202,9 @@ def bucket_group_agg(
     hk = hash_keys if hash_keys is not None else keys
 
     def add_bucket(b: pa.Table) -> pa.Table:
+        # see bucket_hash_join.tag: unhashable pandas metadata breaks the
+        # shuffle-reduce schema dedup
+        b = b.replace_schema_metadata(None)
         h = _key_hash(b, hk)
         return b.append_column(
             "__gbucket",

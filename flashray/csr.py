@@ -215,15 +215,20 @@ def scatter_partials_sparse(
     identity,
     use_weights: bool = False,
     edge_mask: np.ndarray | None = None,
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray]:
     """Sparse-frontier scatter: touch only the out-edges of active source
-    codes (via the src-sorted CSR), aggregate per group, fill the identity
-    elsewhere. Same G-length contiguous output as the dense path — the
-    exchange format is unchanged; only the per-edge compute shrinks from
-    O(E) to O(frontier edges) + an O(G) identity fill."""
-    out = np.full(len(shard.group_starts), identity, dtype=signal_by_code.dtype)
+    codes (via the src-sorted CSR), aggregate per group. Returns
+    ``(positions, values)`` — positions are SORTED group indices into the
+    dense G-length layout, so a receiver can select its slice with two
+    searchsorteds. Per-edge compute AND exchange volume are O(frontier),
+    not O(G) (a dense identity-filled array kept late BFS supersteps
+    O(graph); SURVEY.md §2.1 E6)."""
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=signal_by_code.dtype),
+    )
     if shard.ne == 0 or len(active_codes) == 0:
-        return out
+        return empty
     # edge indices (dst-sorted order) of all active sources
     spans = [
         shard.src_order[shard.src_code_starts[c] : shard.src_code_starts[c + 1]]
@@ -233,7 +238,7 @@ def scatter_partials_sparse(
     if edge_mask is not None:
         eidx = eidx[edge_mask[eidx]]
     if len(eidx) == 0:
-        return out
+        return empty
     msgs = signal_by_code[shard.edge_src_code[eidx]]
     if use_weights:
         msgs = msgs * shard.edge_weight[eidx]
@@ -250,5 +255,4 @@ def scatter_partials_sparse(
         red = np.maximum.reduceat(msgs, starts)
     else:
         raise ValueError(combine)
-    out[groups[starts]] = red
-    return out
+    return groups[starts], red

@@ -172,6 +172,7 @@ class ShardActor:
         self.incoming_idx: dict[int, list[np.ndarray]] = {}
         self.incoming_slice: dict[int, list[tuple[int, int]]] = {}
         self.last_messages = 0
+        self.last_exchanged = 0  # partial entries shipped by the last scatter
 
     def ready(self) -> bool:
         return True
@@ -237,12 +238,13 @@ class ShardActor:
         # sparse-frontier path: when few sources are active, touch only
         # their out-edges (A2/BFS late iterations) — exchange format is
         # identical, so receivers are oblivious
+        G = len(sh.group_starts)
         if (
             prog.frontier_only
             and len(sh.src_list)
             and msgs * 8 < sh.ne
         ):
-            partials = csr.scatter_partials_sparse(
+            pos, vals = csr.scatter_partials_sparse(
                 sh,
                 signal_by_code,
                 np.flatnonzero(active_mask),
@@ -251,16 +253,26 @@ class ShardActor:
                 use_weights=prog.use_weights,
                 edge_mask=emask,
             )
-        else:
-            partials = csr.scatter_partials(
-                sh,
-                signal_by_code,
-                combine=prog.combine,
-                identity=prog.identity,
-                use_weights=prog.use_weights,
-                edge_mask=emask,
-            )
-        return msgs, partials
+            if len(pos) * 4 >= G:
+                # dense is smaller/faster past ~25% fill
+                dense = np.full(
+                    G,
+                    prog.identity,
+                    dtype=vals.dtype if vals.size else prog.dtype,
+                )
+                dense[pos] = vals
+                return msgs, G, dense
+            # sparse exchange: (positions, values) — O(frontier) bytes
+            return msgs, len(pos), ("sp", pos, vals)
+        partials = csr.scatter_partials(
+            sh,
+            signal_by_code,
+            combine=prog.combine,
+            identity=prog.identity,
+            use_weights=prog.use_weights,
+            edge_mask=emask,
+        )
+        return msgs, G, partials
 
     def _scatter_all(self, mirror_signals) -> dict[int, list[np.ndarray]]:
         if self.pool is not None:
@@ -274,8 +286,9 @@ class ShardActor:
             results = [
                 (p, self._scatter_part(p, mirror_signals)) for p in self.parts
             ]
-        self.last_messages = sum(m for _, (m, _) in results)
-        return {p: partials for p, (_, partials) in results}
+        self.last_messages = sum(m for _, (m, _, _) in results)
+        self.last_exchanged = sum(x for _, (_, x, _) in results)
+        return {p: partials for p, (_, _, partials) in results}
 
     def _split_meta(self) -> tuple[np.ndarray, np.ndarray]:
         """(global positions, frontier-masked signals) of owned split
@@ -320,6 +333,7 @@ class ShardActor:
         prog = self.program
         metrics: dict = {}
         sent_messages = self.last_messages
+        sent_exchanged = self.last_exchanged
 
         def combine_apply(q: int) -> dict:
             sh = self.shards[q]
@@ -330,8 +344,23 @@ class ShardActor:
                 lo, hi = slice_by_sender[p]
                 if hi == lo:
                     continue
-                partial = partials_objs[p % self.A][p][lo:hi]
+                obj = partials_objs[p % self.A][p]
                 idx = idx_by_sender[p]
+                if isinstance(obj, tuple):
+                    # sparse exchange: sorted (positions, values) in the
+                    # sender's dense group space; pick this receiver's
+                    # [lo, hi) range with two searchsorteds. Skipped
+                    # entries hold the identity — combining them is a
+                    # no-op, so dense/sparse results are bit-identical.
+                    pos, vals = obj[1], obj[2]
+                    s = np.searchsorted(pos, lo)
+                    e = np.searchsorted(pos, hi)
+                    if e == s:
+                        continue
+                    idx = idx[pos[s:e] - lo]
+                    partial = vals[s:e]
+                else:
+                    partial = obj[lo:hi]
                 if prog.combine == "sum":
                     agg[idx] += partial
                 elif prog.combine == "min":
@@ -348,6 +377,7 @@ class ShardActor:
             for k, v in m.items():
                 metrics[k] = metrics.get(k, 0) + v
         metrics["messages"] = sent_messages
+        metrics["exchanged"] = sent_exchanged  # lineage: exchange volume
         return metrics
 
     def apply_scatter(self, *partials_objs):
@@ -404,6 +434,7 @@ class ShardActor:
         for p in self.parts:
             self.states[p] = self.program.init_state(self.shards[p], self.N)
         self.last_messages = 0
+        self.last_exchanged = 0
         return True
 
     # -- results / checkpoints ----------------------------------------------

@@ -1203,27 +1203,39 @@ hs AS (SELECT doc_id,
        FROM tm GROUP BY 1)
 SELECT d.doc_id, COALESCE(hs.fingerprint, 0) AS fingerprint
 FROM documents d LEFT JOIN hs ON hs.doc_id = d.doc_id""",
+        # real-codec media: payloads are genuine BMP/WAV/FRV1 binaries whose
+        # CONTENT is closed-form in doc_id (multimodal.py synthesis
+        # constants), so the oracle recomputes decoded features directly.
         "media_features": """
-WITH m AS (SELECT doc_id AS media_id,
-                  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1]
-                    AS kind,
-                  sha256(text) AS hx
+WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 3 AS INTEGER) AS k
            FROM documents),
-bx AS (SELECT media_id, kind, unnest(generate_series(0, 31)) AS i, hx FROM m),
-vals AS (SELECT media_id, kind,
-                CAST(concat('0x', substr(hx, i * 2 + 1, 2)) AS INTEGER) AS v
-         FROM bx)
+imgv AS (SELECT media_id, 'image' AS kind, '8x8' AS shape,
+                CAST((media_id * 37 + i) % 256 AS DOUBLE) AS v
+         FROM (SELECT media_id, unnest(generate_series(0, 191)) AS i
+               FROM m WHERE k = 0)),
+audv AS (SELECT media_id, 'audio' AS kind, '256@8000Hz' AS shape,
+                CAST((media_id * 31 + t * 7) % 65536 - 32768 AS DOUBLE) AS v
+         FROM (SELECT media_id, unnest(generate_series(0, 255)) AS t
+               FROM m WHERE k = 1)),
+vidv AS (SELECT media_id, 'video' AS kind, '4x8x8' AS shape,
+                CAST((media_id * 37 + f * 97 + i) % 256 AS DOUBLE) AS v
+         FROM (SELECT media_id, f, unnest(generate_series(0, 191)) AS i
+               FROM (SELECT media_id, unnest(generate_series(0, 3)) AS f
+                     FROM m WHERE k = 2))),
+allv AS (SELECT * FROM imgv UNION ALL SELECT * FROM audv
+         UNION ALL SELECT * FROM vidv)
 SELECT media_id, kind,
        ROUND(AVG(v), 6) AS px_mean,
-       ROUND(sqrt(AVG(CAST(v AS DOUBLE) * v) - AVG(v) * AVG(v)), 6)
-         AS px_std,
-       '8x8' AS shape
-FROM vals GROUP BY 1, 2""",
-        "frame_samples": f"""
-WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
-f AS (SELECT media_id, unnest(generate_series(0, 3)) AS frame_idx, hx FROM m)
+       ROUND(sqrt(AVG(v * v) - AVG(v) * AVG(v)), 6) AS px_std,
+       shape
+FROM allv GROUP BY 1, 2, 5""",
+        "frame_samples": """
+WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 2),
+f AS (SELECT media_id, unnest(generate_series(0, 3)) AS frame_idx FROM m),
+px AS (SELECT media_id, frame_idx, unnest(generate_series(0, 191)) AS i
+       FROM f)
 SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-       CAST(CAST(concat('0x', substr(hx, frame_idx * 8 + 1, 16)) AS UBIGINT)
-            % {_MOD63} AS BIGINT) AS frame_fingerprint
-FROM f""",
+       CAST(SUM((i + 1) * ((media_id * 37 + frame_idx * 97 + i) % 256))
+            AS BIGINT) AS frame_fingerprint
+FROM px GROUP BY 1, 2""",
     }

@@ -1,25 +1,28 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+"""Multimodal columns: image/audio/video as opaque binary columns with REAL
+decoders (pure numpy/struct — flashray/datapipe/codecs.py).
 
-The decode kernels themselves are STUBBED (this environment ships no
-image/audio libraries — see the import guards); everything Ray-side is real
-and tested: schema, actor-pool stage shape, batch sizing for large binary
-payloads, and the typed-metadata output layout. Swap ``_decode_*`` for a
-real decoder (PIL / torchaudio / pyav) on a cluster that has one.
+Images are genuine 24-bit BMP files, audio is genuine PCM-16 RIFF/WAV, and
+video is an FRV1 frame container of BMP frames; the feature / frame-sample
+stages parse the actual binary formats (verified round-trip in tests).
+Everything Ray-side follows the actor-pool pattern: decoders and dispatch
+tables are built once per actor in ``__init__``, batches are zero-copy
+Arrow, and 1→N frame expansion happens inside the batch function.
 
 Batch-size guidance: binary payloads are large — keep ``batch_size`` small
 (64–256) and ``batch_format="pyarrow"`` (binary columns do not round-trip
 through pandas cleanly —
-https://docs.ray.io/en/latest/data/batch_inference.html).
+https://docs.ray.io/en/latest/data/working-with-tensors.html).
+
+Covers SURVEY.md §2 "multimodal columns" (decode / feature-extract /
+frame-sample as actor-pool map_batches stages).
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
-
-from flashray.datapipe import _util
 import pyarrow as pa
+
+from flashray.datapipe import _util, codecs
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -31,45 +34,107 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
-try:  # pragma: no cover - not present in this environment
-    import PIL.Image  # type: ignore
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
-
-
-def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """Deterministic fake decode: payload bytes → pseudo 8x8 grayscale
-    'image' derived from a digest. Replace with PIL decode on a real
-    cluster."""
-    digest = hashlib.sha256(payload).digest()
-    arr = np.frombuffer((digest * 2)[:64], dtype=np.uint8)
-    return arr.reshape(8, 8)
+# Deterministic synthesis constants — the SQL oracles re-derive expected
+# features from these closed forms (see __ray_entry__.oracle_sql).
+IMG_H = IMG_W = 8
+AUDIO_SAMPLES = 256
+AUDIO_RATE = 8000
+VIDEO_FRAMES = 4
+PIX_MULT = 37  # image pixel i of doc d: (d*37 + i) % 256
+FRAME_MULT = 97  # video frame f adds f*97
+AUD_MULT, AUD_STEP = 31, 7  # audio sample t: ((d*31 + t*7) % 65536) - 32768
 
 
-class ImageFeatures:
-    """Actor-pool stage: decode (stubbed) + feature-extract per image.
+def _synth_image(doc_id: int, frame: int = 0) -> np.ndarray:
+    i = np.arange(IMG_H * IMG_W * 3, dtype=np.int64)
+    px = (doc_id * PIX_MULT + frame * FRAME_MULT + i) % 256
+    return px.astype(np.uint8).reshape(IMG_H, IMG_W, 3)
 
-    Real deployments put model loading here (once per actor)."""
 
-    def __init__(self, *, use_real_decoder: bool = False):
-        if use_real_decoder and not _HAVE_PIL:
-            raise NotImplementedError(
-                "image decoding requires PIL, which is not installed in this "
-                "environment; run with use_real_decoder=False for the "
-                "deterministic stub"
+def _synth_audio(doc_id: int) -> np.ndarray:
+    t = np.arange(AUDIO_SAMPLES, dtype=np.int64)
+    return ((doc_id * AUD_MULT + t * AUD_STEP) % 65536 - 32768).astype(np.int16)
+
+
+def media_table_from_documents(docs: pa.Table) -> pa.Table:
+    """Deterministic media table from the documents fixture: one REAL binary
+    payload per doc — BMP image, PCM WAV, or FRV1 video by ``doc_id % 3``.
+
+    The content formulas are closed-form in doc_id so a SQL oracle can
+    recompute the decoded features without parsing binaries."""
+    doc_ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+    kinds, payloads, mimes = [], [], []
+    kind_names = ["image", "audio", "video"]
+    kind_mimes = ["image/bmp", "audio/wav", "video/x-frv1"]
+    for d in doc_ids:
+        d = int(d)
+        k = d % 3
+        kinds.append(kind_names[k])
+        mimes.append(kind_mimes[k])
+        if k == 0:
+            payloads.append(codecs.encode_bmp(_synth_image(d)))
+        elif k == 1:
+            payloads.append(codecs.encode_wav(_synth_audio(d), AUDIO_RATE))
+        else:
+            payloads.append(
+                codecs.encode_frames(
+                    [_synth_image(d, f) for f in range(VIDEO_FRAMES)]
+                )
             )
-        self.use_real = use_real_decoder and _HAVE_PIL
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, type=pa.int64()),
+            pa.array(kinds, type=pa.string()),
+            pa.array(payloads, type=pa.binary()),
+            pa.array(mimes, type=pa.string()),
+            pa.array(["{}"] * len(doc_ids), type=pa.string()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class MediaFeatures:
+    """Actor-pool stage: decode each payload with the real codec for its
+    kind and emit (mean, std, shape) of the decoded values.
+
+    Real deployments put model loading here (once per actor); the dispatch
+    table is built once per actor, work happens per batch."""
+
+    def __init__(self):
+        self._decode = {
+            "image": self._image_values,
+            "audio": self._audio_values,
+            "video": self._video_values,
+        }
+
+    @staticmethod
+    def _image_values(payload: bytes) -> tuple[np.ndarray, str]:
+        img = codecs.decode_bmp(payload)
+        return img.reshape(-1).astype(np.float64), f"{img.shape[0]}x{img.shape[1]}"
+
+    @staticmethod
+    def _audio_values(payload: bytes) -> tuple[np.ndarray, str]:
+        samples, rate, _ch = codecs.decode_wav(payload)
+        return samples.astype(np.float64), f"{len(samples)}@{rate}Hz"
+
+    @staticmethod
+    def _video_values(payload: bytes) -> tuple[np.ndarray, str]:
+        frames = codecs.decode_all_frames(payload)
+        vals = np.concatenate([f.reshape(-1) for f in frames]).astype(np.float64)
+        return vals, f"{len(frames)}x{frames[0].shape[0]}x{frames[0].shape[1]}"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
         means, stds, shapes = [], [], []
-        for p in payloads:
-            img = _decode_image_stub(p or b"")
-            means.append(float(img.mean()))
-            stds.append(float(img.std()))
-            shapes.append(f"{img.shape[0]}x{img.shape[1]}")
+        for kind, p in zip(kinds, payloads):
+            try:
+                vals, shape = self._decode[kind](p or b"")
+            except KeyError:
+                raise ValueError(f"unknown media kind {kind!r}") from None
+            means.append(float(vals.mean()))
+            stds.append(float(vals.std()))
+            shapes.append(shape)
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -81,26 +146,39 @@ class ImageFeatures:
         )
 
 
+# Back-compat alias (pre-codec name).
+ImageFeatures = MediaFeatures
+
+
 class FrameSampler:
-    """Actor-pool stage: sample N pseudo-frames per video payload
-    (deterministic stub; flat_map-style 1→N row expansion)."""
+    """Actor-pool stage: parse each FRV1 video container, decode up to N
+    evenly-spaced real frames, fingerprint each frame's pixels
+    (1→N row expansion inside the batch fn). Non-video rows are skipped."""
 
     def __init__(self, frames_per_item: int = 4):
         self.n = frames_per_item
+        # position weights for the pixel fingerprint, built once per actor
+        self._w = np.arange(1, IMG_H * IMG_W * 3 + 1, dtype=np.int64)
+
+    def _fingerprint(self, frame: np.ndarray) -> int:
+        px = frame.reshape(-1).astype(np.int64)
+        return int((px * self._w[: len(px)]).sum() % 0x7FFF_FFFF_FFFF_FFFF)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
         out_id, out_frame, out_fp = [], [], []
-        for mid, p in zip(ids, payloads):
-            digest = hashlib.sha256(p or b"").digest()
-            for f in range(self.n):
+        for mid, kind, p in zip(ids, kinds, payloads):
+            if kind != "video":
+                continue
+            avail = codecs.frame_count(p)
+            take = min(self.n, avail)
+            for f in range(take):
+                frame = codecs.decode_frame(p, f * avail // take)
                 out_id.append(int(mid))
                 out_frame.append(f)
-                out_fp.append(
-                    int.from_bytes(digest[f * 4 : f * 4 + 8], "big")
-                    & 0x7FFF_FFFF_FFFF_FFFF
-                )
+                out_fp.append(self._fingerprint(frame))
         return pa.table(
             {
                 "media_id": pa.array(out_id, type=pa.int64()),
@@ -110,31 +188,17 @@ class FrameSampler:
         )
 
 
-def media_table_from_documents(docs: pa.Table) -> pa.Table:
-    """Build a deterministic media table from the documents fixture (text
-    bytes as payload) — lets the plumbing be tested with no media files."""
-    doc_id = docs["doc_id"].to_numpy(zero_copy_only=False)
-    texts = docs["text"].to_pylist()
-    kinds = ["image", "audio", "video"]
-    return pa.Table.from_arrays(
-        [
-            pa.array(doc_id),
-            pa.array([kinds[int(i) % 3] for i in doc_id], type=pa.string()),
-            pa.array([(t or "").encode() for t in texts], type=pa.binary()),
-            pa.array(["application/octet-stream"] * len(texts), type=pa.string()),
-            pa.array(["{}"] * len(texts), type=pa.string()),
-        ],
-        schema=MEDIA_SCHEMA,
-    )
-
-
-def image_features(ds, *, concurrency: int = 2, batch_size: int = 128):
+def media_features(ds, *, concurrency: int = 2, batch_size: int = 128):
     return ds.map_batches(
-        ImageFeatures,
+        MediaFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=_util.pool_size(concurrency),
     )
+
+
+# Back-compat alias (pre-codec name).
+image_features = media_features
 
 
 def sample_frames(ds, *, frames_per_item: int = 4, concurrency: int = 2,

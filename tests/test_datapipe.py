@@ -208,21 +208,87 @@ def test_fingerprint_deterministic():
     assert f[0] == f[1] != f[2]
 
 
-def test_multimodal_stub_pipeline():
+def test_bmp_roundtrip():
+    from flashray.datapipe import codecs
+
+    rng = np.random.default_rng(7)
+    for h, w in [(8, 8), (5, 7), (1, 1), (16, 3)]:  # odd widths hit row padding
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = codecs.encode_bmp(img)
+        assert data[:2] == b"BM"
+        out = codecs.decode_bmp(data)
+        assert out.shape == (h, w, 3)
+        assert (out == img).all()
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"JUNKJUNKJUNKJUNK")
+
+
+def test_wav_roundtrip():
+    from flashray.datapipe import codecs
+
+    rng = np.random.default_rng(8)
+    samples = rng.integers(-32768, 32768, size=1024).astype(np.int16)
+    data = codecs.encode_wav(samples, 16000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    out, rate, ch = codecs.decode_wav(data)
+    assert rate == 16000 and ch == 1
+    assert (out == samples).all()
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFF\x00\x00\x00\x00NOPE")
+
+
+def test_frv1_container():
+    from flashray.datapipe import codecs
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+              for _ in range(5)]
+    data = codecs.encode_frames(frames)
+    assert codecs.frame_count(data) == 5
+    for i, f in enumerate(frames):
+        assert (codecs.decode_frame(data, i) == f).all()
+    with pytest.raises(IndexError):
+        codecs.decode_frame(data, 5)
+
+
+def test_multimodal_real_decode_pipeline():
     import pyarrow.parquet as pq
+
+    from flashray.datapipe import codecs
 
     docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
     media = multimodal.media_table_from_documents(docs.slice(0, 50))
-    feats = multimodal.image_features(rd.from_arrow(media)).to_pandas()
+    mt = media.to_pandas()
+    n_video = int((mt["kind"] == "video").sum())
+    assert n_video > 0 and set(mt["kind"]) == {"image", "audio", "video"}
+
+    feats = multimodal.media_features(rd.from_arrow(media)).to_pandas()
     assert len(feats) == 50
-    assert {"px_mean", "px_std", "shape"} <= set(feats.columns)
-    frames = multimodal.sample_frames(rd.from_arrow(media), frames_per_item=3).to_pandas()
-    assert len(frames) == 150
-    # deterministic: same payload -> same fingerprints
-    again = multimodal.sample_frames(rd.from_arrow(media), frames_per_item=3).to_pandas()
-    assert (frames["frame_fingerprint"].values == again["frame_fingerprint"].values).all()
+    # features must equal a direct numpy decode of the same payloads
+    by_id = mt.set_index("media_id")
+    for _, row in feats.iterrows():
+        payload = by_id.loc[row["media_id"], "payload"]
+        if row["kind"] == "image":
+            vals = codecs.decode_bmp(payload).reshape(-1).astype(float)
+            assert row["shape"] == "8x8"
+        elif row["kind"] == "audio":
+            s, rate, _ = codecs.decode_wav(payload)
+            vals = s.astype(float)
+            assert row["shape"] == f"{len(s)}@{rate}Hz"
+        else:
+            vals = np.concatenate(
+                [f.reshape(-1) for f in codecs.decode_all_frames(payload)]
+            ).astype(float)
+        assert row["px_mean"] == pytest.approx(vals.mean())
+        assert row["px_std"] == pytest.approx(vals.std())
 
-
-def test_real_decoder_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.ImageFeatures(use_real_decoder=True)
+    frames = multimodal.sample_frames(
+        rd.from_arrow(media), frames_per_item=3
+    ).to_pandas()
+    assert len(frames) == n_video * 3  # only video rows expand
+    again = multimodal.sample_frames(
+        rd.from_arrow(media), frames_per_item=3
+    ).to_pandas()
+    assert (
+        frames["frame_fingerprint"].values == again["frame_fingerprint"].values
+    ).all()

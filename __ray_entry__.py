@@ -726,6 +726,53 @@ def _q_events_sessions(sf_dir: str):
     return _round_col(windows.session_window(ds, gap_sec=1800), "sum_value")
 
 
+def _q_convert_transcripts_roundtrip(sf_dir: str):
+    """S5 format converters: transcripts → JSONL text → Dataset. The
+    north-rule invariant (per-turn text equality under stable ordering)
+    must survive the round-trip byte-for-byte."""
+    import shutil
+
+    from flashray import convert, extract
+
+    out_dir = os.path.join(
+        _CACHE_ROOT, f"convert_jsonl_{_tier(sf_dir)}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    convert.write_transcripts_jsonl(_transcripts_ds(sf_dir), out_dir)
+    return extract.normalize_transcripts(
+        convert.read_transcripts_jsonl(out_dir)
+    )
+
+
+def _q_convert_edges_roundtrip(sf_dir: str):
+    """S5 el2fg/fg2el parity: edge table → SNAP edge-list text → Dataset;
+    output = out-degree histogram (id↔key bijection preserves the degree
+    multiset, so the oracle recomputes it over string keys)."""
+    import shutil
+
+    from ray.data.aggregate import Count
+
+    from flashray import convert, extract
+    from flashray.joins import bucket_group_agg
+
+    out_dir = os.path.join(_CACHE_ROOT, f"convert_edges_{_tier(sf_dir)}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    edges = extract.extract_edges(_transcripts_ds(sf_dir))
+    convert.write_edge_list(edges, out_dir)
+    back = convert.read_edge_list(out_dir)
+    deg = bucket_group_agg(back, ["src"], {"out_degree": ("dst", "count")})
+    hist = deg.groupby("out_degree").aggregate(Count(alias_name="n"))
+    return hist.map_batches(
+        lambda b: pa.table(
+            {
+                "out_degree": b["out_degree"].cast(pa.int64()),
+                "n": b["n"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_subgraph_convs(sf_dir: str):
     """A16 subgraph fetch: induced subgraph on {turn vertices of convs
     0..19} ∪ {role vertices}; output = per-etype edge count."""
@@ -828,6 +875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": _q_events_tumbling,
         "events_sliding_1h_15m": _q_events_sliding,
         "events_sessions": _q_events_sessions,
+        "convert_transcripts_roundtrip": _q_convert_transcripts_roundtrip,
+        "convert_edges_roundtrip": _q_convert_edges_roundtrip,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
         "scc_reply_hist": _q_scc_reply_hist,
@@ -986,6 +1035,12 @@ SELECT tool_a, tool_b, COUNT(*) AS weight FROM pairs GROUP BY 1, 2"""
 
     return {
         "transcripts_passthrough": _tsql(),
+        "convert_transcripts_roundtrip": _tsql(),
+        "convert_edges_roundtrip": f"""
+WITH e AS ({_edges_keys_sql()}),
+d AS (SELECT src_key, COUNT(*) AS out_degree FROM e GROUP BY 1)
+SELECT out_degree, CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY 1""",
         "extract_edges_keys": _edges_keys_sql(),
         "reply_edges_keys": f"SELECT * FROM ({_edges_keys_sql()}) WHERE etype = 'reply'",
         "vertex_degrees_keys": f"""

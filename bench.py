@@ -60,6 +60,33 @@ def prepare_inputs(tier: str) -> dict:
     return out
 
 
+def _quiet_known_noise() -> None:
+    """Silence two known-harmless log lines so real schema drift stays
+    visible in the bench tail:
+
+    - Ray's AllToAll operators (Sort/Repartition behind groupby/map_groups)
+      emit schema-LESS empty blocks when partitions outnumber groups; the
+      streaming executor then warns about a "different schema". The empty
+      blocks never reach a UDF (verified: batch fns are skipped for them),
+      so nothing at the pipeline level can type them — upstream Ray
+      behavior, not schema drift in this repo's operators.
+    - The actor-pool "minimum number of concurrent actors" UserWarning on
+      tiny single-block inputs.
+    """
+    import logging
+    import warnings
+
+    class _DropEmptyBlockSchemaWarning(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Operator produced a RefBundle with a different schema" not in record.getMessage()
+
+    for name in ("ray.data", "ray.data._internal.execution.streaming_executor_state"):
+        logging.getLogger(name).addFilter(_DropEmptyBlockSchemaWarning())
+    warnings.filterwarnings(
+        "ignore", message=".*minimum number of concurrent actors.*"
+    )
+
+
 def run_bench() -> dict:
     import ray
 
@@ -75,6 +102,7 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    _quiet_known_noise()
 
     from flashray import algorithms, triangles
     from flashray.build import Graph

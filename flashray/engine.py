@@ -380,19 +380,37 @@ class ShardActor:
         metrics["exchanged"] = sent_exchanged  # lineage: exchange volume
         return metrics
 
-    def apply_scatter(self, *partials_objs):
-        """Fused round (only valid when the graph has NO split vertices):
-        apply superstep k from the A incoming partials objects (each
-        ``{sender_part: [arrays per dest part]}``), then immediately scatter
-        for k+1 from the new state. The driver never sits in the superstep
-        loop, so rounds chain purely through object dependencies and can be
-        pipelined."""
+    def apply_scatter(self, *objs):
+        """Fused round: apply superstep k, then immediately scatter for k+1
+        from the new state — one actor wave per superstep, so the critical
+        path is a single task and rounds chain purely through object
+        dependencies (pipelined; the driver never sits in the loop).
+
+        Two call shapes:
+        - ``*partials`` (A objects) — graphs with NO split vertices.
+        - ``*metas, *partials`` (2A objects) — split graphs running a
+          ``stale_mirror_safe`` program: mirror edges scatter signals from
+          the metas of the PREVIOUS round (one superstep stale). Safe only
+          for fixpoint / idempotent-min / commutative-sum programs, and the
+          engine then requires the stop predicate to hold for 2 consecutive
+          supersteps so in-flight mirror deliveries land before
+          termination (Engine.run). Non-idempotent programs (Brandes,
+          k-core, SCC) use the two-phase ``apply_only``/``scatter_from``
+          round instead."""
+        if len(objs) > self.A:
+            metas, partials_objs = objs[: self.A], objs[self.A :]
+        else:
+            metas, partials_objs = None, objs
         metrics = self._combine_apply_all(partials_objs)
-        partials = self._scatter_all(None)
+        mirror = self._mirror_from_metas(metas) if metas is not None else None
+        partials = self._scatter_all(mirror)
+        if metas is not None:
+            pos, sig = self._split_meta()
+        else:
+            pos = np.empty(0, dtype=np.int64)
+            sig = np.empty(0, dtype=self.program.dtype)
         return (
-            {"metrics": metrics,
-             "split_pos": np.empty(0, dtype=np.int64),
-             "split_sig": np.empty(0, dtype=self.program.dtype),
+            {"metrics": metrics, "split_pos": pos, "split_sig": sig,
              "messages": self.last_messages},
             partials,
         )
@@ -590,27 +608,44 @@ class Engine:
         self._meta_refs: list | None = None  # last round's meta refs
         self._partial_refs: list | None = None  # last round's partials refs
         self._pending: list = []  # queue of (meta_refs, t_submit)
+        # split graphs: fused single-wave rounds with one-superstep-stale
+        # mirrors when the program tolerates them, else two actor waves
+        # per superstep with same-round mirrors
+        self._two_phase = bool(len(self.split_ids)) and not getattr(
+            program, "stale_mirror_safe", False
+        )
+        self._stale_mirrors = bool(len(self.split_ids)) and not self._two_phase
+        self._prev_meta_refs: list | None = None  # metas#(k-1), for resume
+        self._restore_mirror: np.ndarray | None = None
 
     # -- internals ----------------------------------------------------------
 
     def _bootstrap(self) -> None:
         mirror = None
         if len(self.split_ids):
-            metas = [
-                {"split_pos": p, "split_sig": s}
-                for p, s in ray.get(
-                    [a.initial_mirror.remote() for a in self.actors]
+            if self._restore_mirror is not None:
+                # resume path (stale-mirror mode): replay the exact mirror
+                # the lost in-flight scatter used — metas#(k-1), persisted
+                # at checkpoint — so the resumed run is identical to the
+                # uninterrupted one
+                mirror = self._restore_mirror
+                self._restore_mirror = None
+            else:
+                metas = [
+                    {"split_pos": p, "split_sig": s}
+                    for p, s in ray.get(
+                        [a.initial_mirror.remote() for a in self.actors]
+                    )
+                ]
+                full = np.full(
+                    len(self.split_ids),
+                    self.program.identity,
+                    dtype=self.program.dtype,
                 )
-            ]
-            full = np.full(
-                len(self.split_ids),
-                self.program.identity,
-                dtype=self.program.dtype,
-            )
-            for m in metas:
-                if len(m["split_pos"]):
-                    full[m["split_pos"]] = m["split_sig"]
-            mirror = full
+                for m in metas:
+                    if len(m["split_pos"]):
+                        full[m["split_pos"]] = m["split_sig"]
+                mirror = full
         rounds = [
             a.scatter_only.options(num_returns=2).remote(mirror)
             for a in self.actors
@@ -621,10 +656,11 @@ class Engine:
     def _submit_round(self) -> None:
         if self._partial_refs is None:
             self._bootstrap()
-        if len(self.split_ids):
+        if self._two_phase:
             # two-phase round: every actor must see every other actor's
             # FRESH post-apply split signals before scattering, so mirror
             # edges and owned edges emit the same superstep's values
+            # (non-idempotent programs: Brandes, k-core, SCC)
             meta_refs = [
                 a.apply_only.remote(*self._partial_refs) for a in self.actors
             ]
@@ -633,10 +669,17 @@ class Engine:
             ]
             self._meta_refs = meta_refs
         else:
+            # fused single wave; on split graphs the metas carry the
+            # split-vertex signals (one superstep stale — program declared
+            # stale_mirror_safe, and run() terminates only after the stop
+            # predicate holds 2 consecutive supersteps)
+            if self._stale_mirrors:
+                args = (*self._meta_refs, *self._partial_refs)
+                self._prev_meta_refs = self._meta_refs
+            else:
+                args = tuple(self._partial_refs)
             rounds = [
-                a.apply_scatter.options(num_returns=2).remote(
-                    *self._partial_refs
-                )
+                a.apply_scatter.options(num_returns=2).remote(*args)
                 for a in self.actors
             ]
             self._meta_refs = [r[0] for r in rounds]
@@ -682,11 +725,18 @@ class Engine:
         counts and results stay deterministic because the stop decision is
         made on the same deterministic metric stream)."""
         last = None
+        # stale-mirror rounds deliver split-vertex signals one superstep
+        # late: require the stop condition to hold twice in a row so every
+        # in-flight mirror delivery has landed (a delivery that changes
+        # anything resets the streak)
+        need = 2 if self._stale_mirrors else 1
+        streak = 0
         while self.submitted < max_iters:
             self._submit_round()
             if len(self._pending) >= depth:
                 last = self._collect_one()
-                if stop(last):
+                streak = streak + 1 if stop(last) else 0
+                if streak >= need:
                     break
                 if (
                     checkpoint_interval
@@ -718,6 +768,8 @@ class Engine:
         self.lineage = []
         self._partial_refs = None
         self._meta_refs = None
+        self._prev_meta_refs = None
+        self._restore_mirror = None
 
     def _rescatter(self) -> None:
         """Refresh outstanding scatter output after a state mutation
@@ -742,6 +794,24 @@ class Engine:
         ray.get(
             [a.checkpoint.remote(ckpt_dir, self.iteration) for a in self.actors]
         )
+        if self._stale_mirrors and self._prev_meta_refs is not None:
+            # persist the mirror the in-flight (lost-on-restore) scatter
+            # used — metas#(k-1) — so a resumed run replays it exactly
+            metas = ray.get(self._prev_meta_refs)
+            full = np.full(
+                len(self.split_ids),
+                self.program.identity,
+                dtype=self.program.dtype,
+            )
+            for m in metas:
+                if len(m["split_pos"]):
+                    full[m["split_pos"]] = m["split_sig"]
+            np.save(
+                os.path.join(
+                    ckpt_dir, f"iter_{self.iteration:06d}", "mirror.npy"
+                ),
+                full,
+            )
         write_lineage(ckpt_dir, self.iteration, self.lineage)
 
     def restore(self, ckpt_dir: str) -> int:
@@ -752,6 +822,9 @@ class Engine:
         self.iteration = iteration
         self.lineage = lineage
         self._partial_refs = None  # force re-scatter from restored state
+        mirror_path = os.path.join(ckpt_dir, f"iter_{iteration:06d}", "mirror.npy")
+        if self._stale_mirrors and os.path.exists(mirror_path):
+            self._restore_mirror = np.load(mirror_path)
         return iteration
 
     def get_scalar(self, name: str, default=None):

@@ -30,6 +30,16 @@ class VertexProgram:
     use_weights: bool = False
     uses_channels: bool = False  # shards load per-edge etype channels
     channel_map: dict = {}  # etype string -> int8 channel code
+    # On split (skew) graphs: True lets the engine run fused single-wave
+    # supersteps whose mirror-edge signals are one superstep stale (the
+    # engine then requires the stop predicate to hold 2 supersteps in a
+    # row). Safe ONLY for programs whose result is invariant under
+    # uniformly-delayed delivery: fixpoint iterations (pull PageRank),
+    # idempotent-min floods (WCC/label-prop/BFS), and exactly-once
+    # commutative sums (push PageRank). Programs where arrival ROUND
+    # matters (Brandes first-arrival sigma, k-core phase decrements, SCC
+    # color floods) must leave this False and pay the two-phase round.
+    stale_mirror_safe: bool = False
 
     def edge_mask(self, shard: "ShardData", state: dict):
         """Optional per-edge scatter mask (e.g. restrict to one channel
@@ -65,6 +75,8 @@ class PageRank(VertexProgram):
 
     combine = "sum"
     identity = 0.0
+    stale_mirror_safe = True  # fixpoint iteration; converges to the same
+    # fixpoint under uniformly-delayed mirror delivery
 
     def __init__(self, damping: float = 0.85, weighted: bool = False):
         self.damping = damping
@@ -104,6 +116,8 @@ class MinLabel(VertexProgram):
     identity = INT_IDENTITY
     dtype = np.int64
     frontier_only = True
+    stale_mirror_safe = True  # idempotent min flood: a delayed min never
+    # changes the fixpoint, and messages carry values (not rounds)
 
     def __init__(self, seeds: dict | None = None):
         # seeds: vertex_id -> int label; None = WCC (label = own id)
@@ -146,6 +160,8 @@ class BFS(VertexProgram):
     identity = INT_IDENTITY
     dtype = np.int64
     frontier_only = True
+    stale_mirror_safe = True  # messages carry dist+1 values, min-combine:
+    # late delivery cannot corrupt depths, only delay convergence
 
     def __init__(self, seeds):
         self.seeds = np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64)
@@ -251,6 +267,10 @@ class DeltaPageRank(VertexProgram):
     combine = "sum"
     identity = 0.0
     frontier_only = True
+    stale_mirror_safe = True  # each pending delta is scattered exactly once
+    # (mirror edges one superstep later); sums are commutative, and the
+    # engine's 2-consecutive-quiet stop guarantees final delivery. Resume
+    # replays the exact in-flight mirror (Engine.checkpoint mirror.npy)
 
     def __init__(self, damping: float = 0.85, tol: float = 1e-9):
         self.damping = damping

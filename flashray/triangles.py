@@ -58,7 +58,9 @@ def _canonical_undirected(graph: Graph) -> ray.data.Dataset:
     out = edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
     # the build dedups on (src, dst, etype): a pair connected by TWO etypes
     # would yield a duplicate (lo, hi) row and double-count wedges — dedup
-    # in both branches (symmetrized included)
+    # in both branches (symmetrized included). This is a full shuffle, so
+    # callers that consume the result twice must materialize it (a lazy
+    # Dataset re-executes its whole upstream per consumer).
     from flashray.joins import bucket_group_agg
 
     return bucket_group_agg(out, ["lo", "hi"], None)
@@ -106,6 +108,10 @@ def _oriented_edges(graph: Graph, num_buckets: int) -> ray.data.Dataset:
     vectorized searchsorted per batch — no join shuffles. The partitioned
     hash-join path remains for vertex tables beyond the broadcast limit."""
     und = _canonical_undirected(graph)
+    if not graph.meta.symmetrized:
+        # the directed branch consumes und twice (degree count + orient):
+        # pin the dedup-shuffle output so it executes once
+        und = und.materialize()
     deg = _degree_table(graph, und)
 
     if graph.meta.num_vertices <= BROADCAST_VERTEX_LIMIT:
@@ -171,7 +177,12 @@ def _oriented_edges(graph: Graph, num_buckets: int) -> ray.data.Dataset:
 
 
 def _closed_wedges(graph: Graph, num_buckets: int) -> ray.data.Dataset:
-    oriented = _oriented_edges(graph, num_buckets)
+    # oriented feeds BOTH the wedge expansion and the closing-edge probe;
+    # materialize so the canonical-dedup shuffle (+ orientation joins on
+    # the huge-graph path) executes once, not once per consumer. Cost:
+    # E × 16 B of (a, b) int64 pairs in the object store (spillable) —
+    # far cheaper than re-running a full shuffle at 100× scale.
+    oriented = _oriented_edges(graph, num_buckets).materialize()
 
     def bucket_by_center(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)

@@ -726,6 +726,38 @@ def _q_events_sessions(sf_dir: str):
     return _round_col(windows.session_window(ds, gap_sec=1800), "sum_value")
 
 
+def _q_docs_distinct_words_hll(sf_dir: str):
+    """HyperLogLog (p=12) distinct-word estimate over documents.text. The
+    sketch is sha256-hashed (no RNG), so the oracle recomputes the FULL
+    estimator — registers, bias constant, linear-counting correction — in
+    SQL and matches to 6 dp."""
+    import ray.data as rd
+
+    from flashray.datapipe import sketches
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    est = sketches.approx_distinct_words(ds, "text", p=12)
+    return pd.DataFrame({"distinct_words_hll": [round(est, 6)]})
+
+
+def _q_events_bottomk_sample(sf_dir: str):
+    """Deterministic bottom-k uniform sample (k=100) of events by sha256
+    priority of event_id — reproducible across runs/partitionings, and
+    exactly recomputable in SQL (ORDER BY the same hash)."""
+    import ray.data as rd
+
+    from flashray.datapipe import sketches
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+    tbl = sketches.bottomk_sample(ds, 100, "event_id")
+    return tbl.to_pandas()
+
+
 def _q_convert_transcripts_roundtrip(sf_dir: str):
     """S5 format converters: transcripts → JSONL text → Dataset. The
     north-rule invariant (per-turn text equality under stable ordering)
@@ -877,6 +909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "convert_transcripts_roundtrip": _q_convert_transcripts_roundtrip,
         "convert_edges_roundtrip": _q_convert_edges_roundtrip,
+        "docs_distinct_words_hll": _q_docs_distinct_words_hll,
+        "events_bottomk_sample": _q_events_bottomk_sample,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
         "scc_reply_hist": _q_scc_reply_hist,
@@ -1036,6 +1070,41 @@ SELECT tool_a, tool_b, COUNT(*) AS weight FROM pairs GROUP BY 1, 2"""
     return {
         "transcripts_passthrough": _tsql(),
         "convert_transcripts_roundtrip": _tsql(),
+        # full HLL recomputation: same sha256-derived hashes, same register
+        # layout (p=12, m=4096), same bias constant + linear-counting
+        # correction as flashray.datapipe.sketches.hll_estimate
+        "docs_distinct_words_hll": """
+WITH words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+  ) WHERE w <> ''
+),
+h AS (SELECT CAST(concat('0x', substr(sha256(w), 1, 16)) AS UBIGINT) AS hv
+      FROM words),
+parts AS (SELECT CAST(hv >> 52 AS BIGINT) AS idx,
+                 CAST(hv & ((CAST(1 AS UBIGINT) << 52) - 1) AS BIGINT) AS rem
+          FROM h),
+bl AS (SELECT idx,
+              CASE WHEN rem = 0 THEN 53
+                   ELSE 53 - ((SELECT MAX(k) FROM generate_series(0, 52) t(k)
+                               WHERE (CAST(1 AS BIGINT) << k) <= rem) + 1)
+              END AS rank
+       FROM parts),
+regs AS (SELECT idx, MAX(rank) AS r FROM bl GROUP BY idx),
+agg AS (SELECT COUNT(*) AS nz, SUM(POWER(2.0, -r)) AS s FROM regs),
+est AS (SELECT 4096 - nz AS zeros,
+               (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                 / (s + (4096 - nz) * 1.0) AS raw
+        FROM agg)
+SELECT ROUND(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 6)
+  AS distinct_words_hll
+FROM est""",
+        "events_bottomk_sample": """
+SELECT event_id, user_id, event_type FROM events
+ORDER BY CAST(concat('0x', substr(sha256(CAST(event_id AS VARCHAR)), 1, 16))
+              AS UBIGINT)
+LIMIT 100""",
         "convert_edges_roundtrip": f"""
 WITH e AS ({_edges_keys_sql()}),
 d AS (SELECT src_key, COUNT(*) AS out_degree FROM e GROUP BY 1)

@@ -25,12 +25,22 @@ aggregates flow actor→actor by reference. Measured on this machine, the
 unfused 2-round × P²-object exchange cost ~35 ms/superstep at P=32 — the
 fused single-round layout is what makes small supersteps cheap.
 
-Graphs WITH split (skew) vertices instead run a two-phase round
-(``apply_only`` → ``scatter_from``): the scatter for superstep k+1 consumes
-split-vertex signals produced by the SAME round's apply on every actor, so
-mirror edges never see stale values. The two phases still chain purely
-through object refs (2A tiny tasks/superstep instead of A; the partials —
-the big objects — are still published once), and the loop stays pipelined.
+Graphs WITH split (skew) vertices route by program semantics:
+
+- ``stale_mirror_safe`` programs (pull/push PageRank, WCC/label-prop, BFS —
+  fixpoint, idempotent-min, or exactly-once commutative-sum semantics) keep
+  the fused single wave; mirror edges scatter signals from the PREVIOUS
+  round's metas (one superstep stale), termination requires the stop
+  predicate to hold 2 consecutive supersteps, and checkpoint persists the
+  in-flight mirror (``mirror.npy``) so resume replays it exactly.
+- Programs where the arrival ROUND matters (Brandes sigma, k-core phase
+  decrements, SCC floods) run a two-phase round (``apply_only`` →
+  ``scatter_from``): the scatter for superstep k+1 consumes split-vertex
+  signals produced by the SAME round's apply on every actor, so mirror
+  edges never see stale values. The two phases still chain purely through
+  object refs (2A tiny tasks/superstep instead of A; the partials — the
+  big objects — are still published once), and the loop stays pipelined —
+  but the critical path doubles, which is why stale-safe programs opt out.
 
 Determinism: reduceat is order-stable and the reduce side combines partials
 in fixed sender-partition order (p = 0..P-1) regardless of how partitions
@@ -173,6 +183,11 @@ class ShardActor:
         self.incoming_slice: dict[int, list[tuple[int, int]]] = {}
         self.last_messages = 0
         self.last_exchanged = 0  # partial entries shipped by the last scatter
+        # per-state-version memo of the frontier-masked signal: the scatter
+        # and the split-meta extraction both need it each round — compute
+        # it once per (partition, apply) instead of twice
+        self._state_version = 0
+        self._sig_cache: dict[int, tuple[int, np.ndarray]] = {}
 
     def ready(self) -> bool:
         return True
@@ -210,11 +225,15 @@ class ShardActor:
     # -- superstep ----------------------------------------------------------
 
     def _masked_signal(self, p: int) -> np.ndarray:
+        hit = self._sig_cache.get(p)
+        if hit is not None and hit[0] == self._state_version:
+            return hit[1]
         sig = self.program.signal(self.shards[p], self.states[p])
         if self.program.frontier_only:
             sig = np.where(
                 self.states[p]["active"], sig, self.program.identity
             )
+        self._sig_cache[p] = (self._state_version, sig)
         return sig
 
     def _scatter_part(self, p: int, mirror_signals):
@@ -373,6 +392,7 @@ class ShardActor:
             per_part = list(self.pool.map(combine_apply, self.parts))
         else:
             per_part = [combine_apply(q) for q in self.parts]
+        self._state_version += 1  # applies mutated state: invalidate signals
         for m in per_part:
             for k, v in m.items():
                 metrics[k] = metrics.get(k, 0) + v
@@ -439,6 +459,7 @@ class ShardActor:
         return self._split_meta()
 
     def on_event(self, payload: dict) -> dict:
+        self._state_version += 1
         agg: dict = {}
         for p in self.parts:
             m = self.program.on_event(self.shards[p], self.states[p], payload)
@@ -453,6 +474,7 @@ class ShardActor:
             self.states[p] = self.program.init_state(self.shards[p], self.N)
         self.last_messages = 0
         self.last_exchanged = 0
+        self._state_version += 1
         return True
 
     # -- results / checkpoints ----------------------------------------------
@@ -538,6 +560,7 @@ class ShardActor:
             if b"flashray_scalars" in meta:
                 for n, v in json.loads(meta[b"flashray_scalars"]).items():
                     self.states[p][n] = v
+        self._state_version += 1
         return True
 
     def get_scalars(self, names: list[str]) -> dict:

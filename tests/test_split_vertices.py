@@ -122,3 +122,55 @@ def test_kcore_resume_mid_decomposition(tmp_path):
         zip(resumed["vertex_id"].astype(int), resumed["value"].astype(int))
     )
     assert got == want
+
+
+def test_stale_mirror_resume_exact_push_pagerank(tmp_path):
+    """Stale-mirror fused rounds (stale_mirror_safe programs) must resume
+    bit-identically: push PageRank's delta sums are only exactly-once if
+    the restore replays the in-flight mirror (Engine mirror.npy) instead
+    of bootstrapping a fresh one."""
+    from flashray.engine import Engine
+    from flashray.programs import DeltaPageRank
+
+    src, dst = hub_edges()
+    g = build_graph_from_arrays(
+        src, dst, str(tmp_path / "hubpr"), num_partitions=4, skew_threshold=8
+    )
+    assert len(g.meta.split_vertices) >= 1
+
+    def run(iters, ckpt_dir=None, resume=False):
+        with Engine(g, DeltaPageRank(tol=0.0)) as eng:
+            assert eng._stale_mirrors  # the path under test
+            if resume:
+                eng.restore(ckpt_dir)
+            while eng.iteration < iters:
+                eng.step()
+                if ckpt_dir is not None and not resume:
+                    eng.checkpoint(ckpt_dir)
+            return (
+                eng.values_pandas()
+                .sort_values("vertex_id")
+                .reset_index(drop=True)
+            )
+
+    full = run(12)
+    ckpt = str(tmp_path / "ckpt")
+    run(5, ckpt_dir=ckpt)
+    resumed = run(12, ckpt_dir=ckpt, resume=True)
+    assert (full["value"].to_numpy() == resumed["value"].to_numpy()).all()
+
+
+def test_stale_mirror_pagerank_matches_oracle(tmp_path):
+    """Pull PageRank on a forced-split graph (fused stale-mirror rounds)
+    still converges to the dense oracle within eps."""
+    src, dst = hub_edges()
+    g = build_graph_from_arrays(
+        src, dst, str(tmp_path / "hubpull"), num_partitions=4, skew_threshold=8
+    )
+    assert len(g.meta.split_vertices) >= 1
+    df = algorithms.pagerank(g, eps=1e-12)
+    want = oracles.pagerank_dense(src, dst, eps=1e-12)
+    df = df.sort_values("vertex_id")
+    got = df["value"].to_numpy()
+    expect = np.array([want[int(v)] for v in df["vertex_id"]])
+    np.testing.assert_allclose(got, expect, atol=1e-8)

@@ -191,6 +191,42 @@ def _pagerank_sql(weighted: bool, iters: int = _PR_ITERS) -> str:
     return "\n".join(parts)
 
 
+def _ppr_sql(iters: int = _PR_ITERS) -> str:
+    """Unrolled personalized power iteration, seeds = turn-0 vertices:
+    r = 0.15·p + 0.85·Σ incoming, p = 1/|S| on seeds, init r0 = p.
+    Output (vertex_key, rank_x_s) — the |S|-scaled rank at 6 dp."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_edges_keys_sql()}),",
+        "od AS MATERIALIZED (SELECT src_key, COUNT(*) AS od FROM e GROUP BY 1),",
+        "v AS MATERIALIZED (SELECT DISTINCT vertex_key FROM"
+        " (SELECT src_key AS vertex_key FROM e UNION SELECT dst_key FROM e)),",
+        f"t AS MATERIALIZED ({_tsql()}),",
+        "seeds AS MATERIALIZED (SELECT DISTINCT 'turn:' || conv_id || ':0'"
+        " AS vertex_key FROM t),",
+        "ns AS MATERIALIZED (SELECT COUNT(*) AS s FROM seeds),",
+        "p AS MATERIALIZED (SELECT v.vertex_key,"
+        " CASE WHEN sd.vertex_key IS NULL THEN 0.0 ELSE 1.0 / ns.s END AS p"
+        " FROM v CROSS JOIN ns LEFT JOIN seeds sd"
+        " ON sd.vertex_key = v.vertex_key),",
+        "r0 AS MATERIALIZED (SELECT vertex_key, p AS r FROM p),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT p.vertex_key,"
+            f" 0.15 * p.p + 0.85 * COALESCE(s.c, 0) AS r"
+            f" FROM p LEFT JOIN ("
+            f"SELECT e.dst_key AS k, SUM(r.r / od.od) AS c"
+            f" FROM e JOIN r{i-1} r ON e.src_key = r.vertex_key"
+            f" JOIN od ON od.src_key = e.src_key"
+            f" GROUP BY 1) s ON s.k = p.vertex_key),"
+        )
+    parts.append(
+        f"fin AS (SELECT vertex_key, ROUND(r * ns.s, 6) AS rank_x_s"
+        f" FROM r{iters} CROSS JOIN ns)\nSELECT * FROM fin"
+    )
+    return "\n".join(parts)
+
+
 def _q_transcripts_passthrough(sf_dir: str):
     from flashray import extract
 
@@ -440,6 +476,24 @@ def _q_pagerank(sf_dir: str):
     out = _keyed(df, sf_dir)
     out["rank_x_n"] = (out["value"] * g.meta.num_vertices).round(6)
     return out[["vertex_key", "rank_x_n"]]
+
+
+def _q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank (random walk with restart): teleport mass
+    returns only to the turn-0 vertex of every conversation; exactly
+    _PR_ITERS supersteps vs the SQL unrolled recurrence."""
+    from flashray import algorithms, fixtures, ids
+
+    g = _graph(sf_dir, symmetrize=False)
+    n_convs, _, _ = fixtures.TIERS[_tier(sf_dir)]
+    convs = [f"conv{c:08d}" for c in range(n_convs)]
+    seeds = ids.turn_vertex_ids(convs, np.zeros(n_convs, dtype=np.int64))
+    df = algorithms.personalized_pagerank(
+        g, seeds, eps=0.0, max_iters=_PR_ITERS
+    )
+    out = _keyed(df, sf_dir)
+    out["rank_x_s"] = (out["value"] * len(seeds)).round(6)
+    return out[["vertex_key", "rank_x_s"]]
 
 
 def _q_pagerank_push(sf_dir: str):
@@ -888,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_reply_depth": _q_bfs_reply_depth,
         "kcore_reply_hist": _q_kcore_reply_hist,
         "pagerank": _q_pagerank,
+        "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_push": _q_pagerank_push,
         "wcc_full": _q_wcc_full,
         "label_propagation": _q_label_propagation,
@@ -1223,6 +1278,7 @@ SELECT CAST(ROW_NUMBER() OVER (
 FROM embeddings e, q
 ORDER BY 1 LIMIT 10""",
         "pagerank": _pagerank_sql(weighted=False),
+        "pagerank_personalized": _ppr_sql(),
         "pagerank_weighted": _pagerank_sql(weighted=True),
         "pagerank_push": f"""
 WITH t AS ({_tsql()})

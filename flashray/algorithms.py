@@ -18,7 +18,14 @@ from flashray import checkpoint as ckpt
 from flashray.build import Graph
 from flashray.csr import INT_IDENTITY
 from flashray.engine import Engine
-from flashray.programs import BFS, DeltaPageRank, KCorePeel, MinLabel, PageRank
+from flashray.programs import (
+    BFS,
+    DeltaPageRank,
+    KCorePeel,
+    MinLabel,
+    PageRank,
+    PersonalizedPageRank,
+)
 
 
 def _finish(eng: Engine, out_dir: str | None, sort: bool = True):
@@ -63,6 +70,45 @@ def pagerank(
         if mode == "pull"
         else DeltaPageRank(damping, tol=eps * 1e-3)
     )
+    import time as _time
+
+    t0 = _time.perf_counter()
+    with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
+        t_init = _time.perf_counter() - t0
+        _maybe_resume(eng, checkpoint_dir, resume)
+        t1 = _time.perf_counter()
+        eng.run(
+            lambda m: m["delta"] < eps,
+            max_iters=max_iters,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_interval=checkpoint_interval if checkpoint_dir else 0,
+        )
+        t_steps = _time.perf_counter() - t1
+        if checkpoint_dir is not None:
+            eng.checkpoint(checkpoint_dir)
+        result = _finish(eng, out_dir)
+        lineage = list(eng.lineage)
+    return _with_lineage(
+        result, lineage, engine_init_sec=t_init, superstep_wall_sec=t_steps
+    )
+
+
+def personalized_pagerank(
+    graph: Graph,
+    seeds,
+    *,
+    damping: float = 0.85,
+    eps: float = 1e-6,
+    max_iters: int = 200,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    actor_cpus: float | None = None,
+):
+    """A1 variant: PageRank with the teleport restricted to ``seeds``
+    (random-walk-with-restart relevance to the seed set)."""
+    prog = PersonalizedPageRank(seeds, damping)
     import time as _time
 
     t0 = _time.perf_counter()

@@ -106,6 +106,50 @@ class PageRank(VertexProgram):
         return {"delta": delta, "changed": shard.nv, "active": shard.nv}
 
 
+class PersonalizedPageRank(PageRank):
+    """A1 variant (libgraph-algs/page_rank.cpp parameterized by a restart
+    vector): teleport mass returns only to a seed set S —
+    ``rank = (1-d)·p + d·Σ_in rank(u)/outdeg(u)`` with p = 1/|S| on seeds,
+    0 elsewhere; init rank = p. Fixpoint iteration, so stale mirrors are
+    safe (inherited). Fixed-iteration runs match the SQL oracle exactly."""
+
+    def __init__(self, seeds, damping: float = 0.85):
+        super().__init__(damping)
+        self.seeds = np.asarray(
+            sorted(set(int(s) for s in seeds)), dtype=np.int64
+        )
+        if not len(self.seeds):
+            raise ValueError("personalized PageRank needs a non-empty seed set")
+
+    def _restart_vec(self, shard) -> np.ndarray:
+        pvec = np.zeros(shard.nv)
+        if shard.nv:
+            pos = np.searchsorted(shard.vertex_ids, self.seeds)
+            m = (pos < shard.nv) & (
+                shard.vertex_ids[np.minimum(pos, shard.nv - 1)] == self.seeds
+            )
+            pvec[pos[m]] = 1.0 / len(self.seeds)
+        return pvec
+
+    def init_state(self, shard, N):
+        pvec = self._restart_vec(shard)
+        return {
+            "values": pvec.copy(),
+            "active": np.ones(shard.nv, dtype=bool),
+            "restart": pvec,
+        }
+
+    def apply(self, shard, state, agg, N):
+        d = self.damping
+        new = (1.0 - d) * state["restart"] + d * agg
+        delta = float(np.abs(new - state["values"]).sum())
+        state["values"] = new
+        return {"delta": delta, "changed": shard.nv, "active": shard.nv}
+
+    def state_columns(self):
+        return ["values", "active", "restart"]
+
+
 class MinLabel(VertexProgram):
     """A3/A4 (libgraph-algs/wcc.cpp — compute_wcc): hash-min label
     propagation. With default labels (= vertex id) this is WCC; with seed

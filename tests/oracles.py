@@ -255,3 +255,27 @@ def betweenness_brandes(src, dst):
             if w != s:
                 bc[w] += delta[w]
     return {int(v): float(bc[idx[v]]) for v in verts}
+
+
+def personalized_pagerank_dense(src, dst, seeds, d=0.85, eps=1e-10, max_iter=200):
+    """PPR with restart vector p = 1/|S| on seeds; init rank = p."""
+    verts = _vertices(src, dst)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    s = np.array([idx[v] for v in src])
+    t = np.array([idx[v] for v in dst])
+    outdeg = np.bincount(s, minlength=n).astype(float)
+    p = np.zeros(n)
+    for sd in seeds:
+        p[idx[sd]] = 1.0 / len(seeds)
+    rank = p.copy()
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        w = rank[s] / np.maximum(outdeg[s], 1.0)
+        np.add.at(contrib, t, w)
+        new = (1 - d) * p + d * contrib
+        if np.abs(new - rank).sum() < eps:
+            rank = new
+            break
+        rank = new
+    return dict(zip(verts.tolist(), rank.tolist()))

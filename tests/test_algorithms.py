@@ -168,3 +168,23 @@ def test_skew_tier_pipeline(tmp_path):
         assert abs(got[v] - want[v]) < 1e-6
     w = algorithms.wcc(g)
     assert w["value"].nunique() == 1
+
+
+def test_personalized_pagerank_matches_dense(tmp_path):
+    from flashray import fixtures
+    from flashray.build import build_graph_from_arrays
+
+    src, dst = fixtures.er_edges()
+    g = build_graph_from_arrays(
+        src, dst, str(tmp_path / "ppr"), num_partitions=4
+    )
+    seeds = [int(src[0]), int(dst[1]), int(src[5])]
+    df = algorithms.personalized_pagerank(g, seeds, eps=1e-12)
+    want = oracles.personalized_pagerank_dense(src, dst, seeds, eps=1e-12)
+    df = df.sort_values("vertex_id")
+    got = df["value"].to_numpy()
+    expect = np.array([want[int(v)] for v in df["vertex_id"]])
+    np.testing.assert_allclose(got, expect, atol=1e-9)
+    # teleport mass conservation: ranks sum to ~1 on a dangling-free graph
+    # (er fixture may have dangling vertices, so allow leakage <= 1)
+    assert 0 < got.sum() <= 1 + 1e-9

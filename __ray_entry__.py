@@ -812,6 +812,91 @@ def _q_events_bottomk_sample(sf_dir: str):
     return tbl.to_pandas()
 
 
+def _q_hyperball_user_graph(sf_dir: str):
+    """HyperBall (Boldi-Vigna) ball-size estimates over a user-succession
+    DAG from events: edge u→v when u and v have events of the same type in
+    the same hour and 0 < v−u ≤ 5. The sketch hash (sha256 of the decimal
+    user id) and estimator are SQL-reproducible, so the oracle recomputes
+    every per-vertex register over a recursive-CTE transitive closure and
+    matches the estimates to 6 dp."""
+    import ray.data as rd
+
+    from flashray import hyperball as hb
+    from flashray.joins import bucket_group_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ts = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+                "hb": pa.array(ts // 3_600_000_000),
+            }
+        )
+
+    bkt = ds.map_batches(bucketize, batch_format="pyarrow")
+    # bucket by hb only: every (event_type, hb) group lands whole in one
+    # of 64 buckets, and pair generation is 5 vectorized self-merges per
+    # BUCKET — never a Ray group per (event_type, hour), which is ~40k
+    # tiny pandas groups and pathological
+    distinct = bucket_group_agg(
+        bkt, ["user_id", "event_type", "hb"], None, hash_keys=["hb"]
+    )
+
+    def add_pbucket(b: pa.Table) -> pa.Table:
+        hb_arr = b["hb"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__pbucket", pa.array((hb_arr % 64).astype(np.int64))
+        )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[["user_id", "event_type", "hb"]]
+        out = []
+        for d in range(1, 6):
+            shifted = base.assign(user_id=base["user_id"] + d)
+            m = shifted.merge(base, on=["user_id", "event_type", "hb"])
+            if len(m):
+                out.append(
+                    pd.DataFrame(
+                        {"src": m["user_id"] - d, "dst": m["user_id"]}
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype=np.int64),
+                    "dst": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    prs = (
+        distinct.map_batches(add_pbucket, batch_format="pyarrow")
+        .groupby("__pbucket")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+    )
+    edges = bucket_group_agg(prs, ["src", "dst"], None)
+    # radius-8 neighborhood function |B_8(v)| (the DAG's full closure has
+    # diameter ~n_users/step — bounded-radius balls are the standard
+    # HyperBall query shape and keep the driver run O(radius) iterations)
+    df = hb.hyperball(edges, p=8, max_iters=8, num_buckets=8)
+    out = df[["vertex_id", "ball_est"]].rename(
+        columns={"vertex_id": "user_id"}
+    )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["ball_est"] = out["ball_est"].round(6)
+    return out
+
+
 def _q_convert_transcripts_roundtrip(sf_dir: str):
     """S5 format converters: transcripts → JSONL text → Dataset. The
     north-rule invariant (per-turn text equality under stable ordering)
@@ -966,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_edges_roundtrip": _q_convert_edges_roundtrip,
         "docs_distinct_words_hll": _q_docs_distinct_words_hll,
         "events_bottomk_sample": _q_events_bottomk_sample,
+        "hyperball_user_graph": _q_hyperball_user_graph,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
         "scc_reply_hist": _q_scc_reply_hist,
@@ -1160,6 +1246,47 @@ SELECT event_id, user_id, event_type FROM events
 ORDER BY CAST(concat('0x', substr(sha256(CAST(event_id AS VARCHAR)), 1, 16))
               AS UBIGINT)
 LIMIT 100""",
+        # full HyperBall recomputation: recursive-CTE transitive closure →
+        # per-source HLL registers (p=8, same sha256 hashes as
+        # flashray.hyperball) → same estimator, 6-dp match
+        "hyperball_user_graph": """
+WITH RECURSIVE
+b AS (SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+r(src, dst, d) AS (
+  SELECT u, u, 0 FROM verts
+  UNION
+  SELECT r.src, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.dst
+  WHERE r.d < 8
+),
+h AS (SELECT DISTINCT src, CAST(concat('0x',
+             substr(sha256(CAST(dst AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+      FROM r),
+parts AS (SELECT src, CAST(hv >> 56 AS BIGINT) AS idx,
+                 CAST(hv & ((CAST(1 AS UBIGINT) << 56) - 1) AS BIGINT) AS rem
+          FROM h),
+bl AS (SELECT src, idx,
+              CASE WHEN rem = 0 THEN 57
+                   ELSE 57 - ((SELECT MAX(k) FROM generate_series(0, 55) t(k)
+                               WHERE (CAST(1 AS BIGINT) << k) <= rem) + 1)
+              END AS rank
+       FROM parts),
+regs AS (SELECT src, idx, MAX(rank) AS rr FROM bl GROUP BY 1, 2),
+agg AS (SELECT src, COUNT(*) AS nz, SUM(POWER(2.0, -rr)) AS s
+        FROM regs GROUP BY 1),
+est AS (SELECT src, 256 - nz AS zeros,
+               (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0
+                 / (s + (256 - nz) * 1.0) AS raw
+        FROM agg)
+SELECT src AS user_id,
+       ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS ball_est
+FROM est""",
         "convert_edges_roundtrip": f"""
 WITH e AS ({_edges_keys_sql()}),
 d AS (SELECT src_key, COUNT(*) AS out_degree FROM e GROUP BY 1)

@@ -46,11 +46,16 @@ def _sha_u64(values: list[str] | np.ndarray) -> np.ndarray:
 
 
 def _bit_length_u64(w: np.ndarray) -> np.ndarray:
-    """Exact vectorized bit_length for values < 2^52 (frexp on the exact
-    float64 conversion; numpy has no clz)."""
+    """Exact vectorized bit_length for any uint64 (numpy has no clz; frexp
+    is exact only below 2^53, so split into 32-bit halves)."""
+    w = w.astype(np.uint64, copy=False)
+    hi = (w >> np.uint64(32)).astype(np.float64)
+    lo = (w & np.uint64(0xFFFF_FFFF)).astype(np.float64)
     bl = np.zeros(len(w), dtype=np.int64)
-    nz = w > 0
-    bl[nz] = np.frexp(w[nz].astype(np.float64))[1]
+    m_hi = hi > 0
+    bl[m_hi] = 32 + np.frexp(hi[m_hi])[1]
+    m_lo = ~m_hi & (lo > 0)
+    bl[m_lo] = np.frexp(lo[m_lo])[1]
     return bl
 
 
@@ -68,8 +73,6 @@ def hll_partial(hashes: np.ndarray, p: int) -> np.ndarray:
     q = 64 - p
     idx = (hashes >> np.uint64(q)).astype(np.int64)
     rem = hashes & np.uint64((1 << q) - 1)
-    if q > 52:
-        raise ValueError("p must be >= 12 (frexp bit-length needs rem < 2^52)")
     rank = (q + 1 - _bit_length_u64(rem)).astype(np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs

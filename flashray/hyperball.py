@@ -1,0 +1,226 @@
+"""HyperBall: approximate neighborhood function / harmonic centrality via
+per-vertex HyperLogLog sketches (Boldi & Vigna, "In-Core Computation of
+Geometric Centralities with HyperBall", 2013-14 — the algorithm built for
+graphs too large for exact all-pairs BFS, i.e. exactly the 100-TB regime).
+
+Pure iterated Ray-Data dataflow (like :mod:`flashray.cc_mapreduce`), no
+superstep engine: per iteration t,
+
+    B_t(v) = B_{t-1}(v) ∪ ⋃_{(v,w) ∈ E} B_{t-1}(w)
+
+expressed as ONE bucket join (edges ⋈ sketches on the successor) + ONE
+grouped max-merge of register blobs, with a map-side combiner in between:
+contributions are pre-merged per source inside each batch before the
+shuffle, so a 10^8-in-degree hub receives ≤ #blocks register blobs, not
+#neighbors. Per-iteration shuffle volume is E × 2^p bytes (p=8 → 256 B per
+sketch) regardless of ball sizes — the whole point of sketching the balls.
+
+Harmonic centrality accumulates per iteration from the ball-size deltas:
+``h(v) = Σ_t (|B_t(v)| − |B_{t-1}(v)|) / t`` — distances enter through the
+iteration number, never through pairwise paths.
+
+Determinism: sketch union is register-wise max (exact, order-free) and
+hashes are sha256-derived (flashray.datapipe.sketches), so estimates are
+bit-identical across runs, partitionings and parallelism — and exactly
+recomputable in SQL over a recursive-CTE transitive closure (the
+``hyperball_user_graph`` driver oracle does precisely that).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from flashray.datapipe.sketches import _sha_u64, hll_estimate, hll_partial
+from flashray.joins import bucket_hash_join
+
+
+def _init_sketches(vertices: np.ndarray, p: int) -> pd.DataFrame:
+    """B_0(v) = {v}: one registered element per vertex."""
+    regs = [
+        hll_partial(_sha_u64([str(int(v))]), p).tobytes() for v in vertices
+    ]
+    ests = [hll_estimate(np.frombuffer(r, dtype=np.uint8)) for r in regs]
+    return pd.DataFrame(
+        {
+            "vertex_id": vertices.astype(np.int64),
+            "regs": regs,
+            "est": np.asarray(ests, dtype=np.float64),
+            "harmonic": np.zeros(len(vertices)),
+            "changed": np.ones(len(vertices), dtype=np.int64),
+        }
+    )
+
+
+def _max_merge(blobs, m: int) -> np.ndarray:
+    stacked = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    return stacked.reshape(-1, m).max(axis=0)
+
+
+def hyperball(
+    edges: ray.data.Dataset,
+    *,
+    p: int = 8,
+    max_iters: int = 256,
+    num_buckets: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> pd.DataFrame:
+    """Run HyperBall over an (src, dst) edge Dataset; balls grow along OUT
+    edges (B(v) = v ∪ successors ∪ ...). Returns a DataFrame
+    (vertex_id, ball_est, harmonic, regs) at convergence.
+
+    The per-iteration result is materialized (it is both the convergence
+    test's input and the next iteration's) — each pass streams two
+    shuffles of E × 2^p-byte rows. The result is collected driver-side as
+    one row per vertex; for huge graphs pass the returned sketches straight
+    to parquet instead (they arrive as a Dataset internally — this
+    convenience wrapper targets the analysis path)."""
+    m = 1 << p
+    I64, BIN = pa.int64(), pa.binary()
+
+    e = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b[src_col].cast(I64),
+                "dst": b[dst_col].cast(I64),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    verts = np.unique(
+        np.concatenate(
+            [
+                np.concatenate(
+                    [
+                        b["src"].to_numpy(zero_copy_only=False),
+                        b["dst"].to_numpy(zero_copy_only=False),
+                    ]
+                )
+                for b in e.iter_batches(batch_format="pyarrow", batch_size=65536)
+            ]
+        )
+    )
+    cur = ray.data.from_pandas(_init_sketches(verts, p)).materialize()
+
+    sketch_schema = pa.schema(
+        [
+            ("vertex_id", I64),
+            ("regs", BIN),
+            ("est", pa.float64()),
+            ("harmonic", pa.float64()),
+            ("changed", I64),
+        ]
+    )
+
+    def combiner(b: pd.DataFrame) -> pd.DataFrame:
+        """Map-side pre-merge of contributions per source within a batch —
+        bounds any hub's reduce fan-in to the block count."""
+        out_v, out_r = [], []
+        for v, grp in b.groupby("vertex_id", sort=False):
+            out_v.append(v)
+            out_r.append(_max_merge(list(grp["regs"]), m).tobytes())
+        return pd.DataFrame({"vertex_id": out_v, "regs": out_r})
+
+    for t in range(1, max_iters + 1):
+        # successors' sketches shipped to each edge's source
+        contrib = bucket_hash_join(
+            e,
+            cur.map_batches(
+                lambda b: b.select(["vertex_id", "regs"]),
+                batch_format="pyarrow",
+            ),
+            ["dst"],
+            right_on=["vertex_id"],
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("src", I64), ("dst", I64)]),
+            right_schema=pa.schema([("vertex_id", I64), ("regs", BIN)]),
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"vertex_id": b["src"].astype(np.int64), "regs": b["regs"]}
+            ),
+            batch_format="pandas",
+        ).map_batches(combiner, batch_format="pandas")
+
+        old = cur.map_batches(
+            lambda b: b.append_column(
+                "is_old", pa.array(np.ones(b.num_rows, dtype=np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+        new = contrib.map_batches(
+            lambda b: pa.table(
+                {
+                    "vertex_id": pa.array(
+                        b["vertex_id"].to_numpy(), type=I64
+                    ),
+                    "regs": pa.array(list(b["regs"]), type=BIN),
+                    "est": pa.array(
+                        np.zeros(len(b)), type=pa.float64()
+                    ),
+                    "harmonic": pa.array(
+                        np.zeros(len(b)), type=pa.float64()
+                    ),
+                    "changed": pa.array(
+                        np.zeros(len(b), dtype=np.int64), type=I64
+                    ),
+                    "is_old": pa.array(
+                        np.zeros(len(b), dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def merge(g: pd.DataFrame, _t=t) -> pd.DataFrame:
+            old_row = g[g["is_old"] == 1].iloc[0]
+            merged = _max_merge(list(g["regs"]), m)
+            old_regs = np.frombuffer(old_row["regs"], dtype=np.uint8)
+            if (merged == old_regs).all():
+                return pd.DataFrame(
+                    {
+                        "vertex_id": [old_row["vertex_id"]],
+                        "regs": [old_row["regs"]],
+                        "est": [old_row["est"]],
+                        "harmonic": [old_row["harmonic"]],
+                        "changed": [0],
+                    }
+                )
+            est = hll_estimate(merged)
+            harm = old_row["harmonic"] + max(est - old_row["est"], 0.0) / _t
+            return pd.DataFrame(
+                {
+                    "vertex_id": [old_row["vertex_id"]],
+                    "regs": [merged.tobytes()],
+                    "est": [est],
+                    "harmonic": [harm],
+                    "changed": [1],
+                }
+            )
+
+        cur = (
+            old.union(new)
+            .groupby("vertex_id")
+            .map_groups(merge, batch_format="pandas")
+            # coalesce: each sort emits ~as many blocks as it receives, so
+            # without this the block count compounds per iteration and
+            # fixed per-block costs grow superlinearly (measured: iters
+            # 5-8 cost 10x iters 1-4 at 150 vertices)
+            .repartition(num_buckets)
+            .materialize()
+        )
+        n_changed = sum(
+            int(b["changed"].to_numpy(zero_copy_only=False).sum())
+            for b in cur.iter_batches(batch_format="pyarrow", batch_size=65536)
+        )
+        if n_changed == 0:
+            break
+
+    df = cur.to_pandas()
+    df = df.rename(columns={"est": "ball_est"})
+    return df[["vertex_id", "ball_est", "harmonic", "regs"]].sort_values(
+        "vertex_id"
+    ).reset_index(drop=True)

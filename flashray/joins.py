@@ -134,6 +134,8 @@ def bucket_hash_join(
                 if c not in b.column_names:
                     if pa.types.is_string(typ) or pa.types.is_large_string(typ):
                         filler = pa.array([""] * b.num_rows, type=typ)
+                    elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+                        filler = pa.array([b""] * b.num_rows, type=typ)
                     elif pa.types.is_timestamp(typ):
                         filler = pa.array(
                             np.zeros(b.num_rows, dtype="int64"), type=pa.int64()

@@ -1,0 +1,76 @@
+"""HyperBall approximate neighborhood function / harmonic centrality."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from flashray import hyperball
+
+
+def _exact_balls(src, dst):
+    """Exact reachable-set sizes (incl. self) + harmonic centrality."""
+    verts = sorted(set(src) | set(dst))
+    adj = {v: [] for v in verts}
+    for s, d in zip(src, dst):
+        adj[s].append(d)
+    sizes, harm = {}, {}
+    for v in verts:
+        dist = {v: 0}
+        frontier = [v]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        sizes[v] = len(dist)
+        harm[v] = sum(1.0 / dd for dd in dist.values() if dd > 0)
+    return sizes, harm
+
+
+def test_hyperball_chain_nearly_exact():
+    n = 6
+    src = list(range(n - 1))
+    dst = list(range(1, n))
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    out = hyperball.hyperball(edges, p=12)  # m=4096: tiny sets ~ exact
+    sizes, harm = _exact_balls(src, dst)
+    for _, row in out.iterrows():
+        v = int(row["vertex_id"])
+        assert abs(row["ball_est"] - sizes[v]) < 0.1, (v, row["ball_est"])
+        assert abs(row["harmonic"] - harm[v]) < 0.2, (v, row["harmonic"])
+
+
+def test_hyperball_dag_error_bounds():
+    rng = np.random.default_rng(5)
+    n = 80
+    src, dst = [], []
+    for _ in range(260):
+        a, b = rng.integers(0, n, 2)
+        if a < b:
+            src.append(int(a))
+            dst.append(int(b))
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    out = hyperball.hyperball(edges, p=8)
+    sizes, _ = _exact_balls(src, dst)
+    rel = []
+    for _, row in out.iterrows():
+        t = sizes[int(row["vertex_id"])]
+        rel.append(abs(row["ball_est"] - t) / max(t, 1))
+    # p=8 -> ~6.5% rel std error; mean err must be well inside, max < 5 sigma
+    assert float(np.mean(rel)) < 0.1, np.mean(rel)
+    assert float(np.max(rel)) < 0.35, np.max(rel)
+
+
+def test_hyperball_partition_invariant():
+    src = [0, 1, 2, 0]
+    dst = [1, 2, 3, 2]
+    df = pd.DataFrame({"src": src, "dst": dst})
+    a = hyperball.hyperball(rd.from_pandas(df).repartition(1), p=8)
+    b = hyperball.hyperball(rd.from_pandas(df).repartition(5), p=8)
+    assert (a["ball_est"].values == b["ball_est"].values).all()
+    assert (a["harmonic"].values == b["harmonic"].values).all()

@@ -192,11 +192,14 @@ def scatter_partials(
     return cost ~10 ms/actor/superstep in object-store writes)."""
     msgs = signal_by_code[shard.edge_src_code]
     if use_weights:
-        msgs = msgs * shard.edge_weight
+        w = shard.edge_weight
+        msgs = msgs * (w[:, None] if msgs.ndim == 2 else w)
     if edge_mask is not None:
-        msgs = np.where(edge_mask, msgs, identity)
+        em = edge_mask[:, None] if msgs.ndim == 2 else edge_mask
+        msgs = np.where(em, msgs, identity)
     if shard.ne == 0:
-        return np.empty(0, dtype=msgs.dtype)
+        shape = (0, signal_by_code.shape[1]) if signal_by_code.ndim == 2 else 0
+        return np.empty(shape, dtype=msgs.dtype)
     if combine == "sum":
         return np.add.reduceat(msgs, shard.group_starts)
     if combine == "min":
@@ -223,9 +226,10 @@ def scatter_partials_sparse(
     searchsorteds. Per-edge compute AND exchange volume are O(frontier),
     not O(G) (a dense identity-filled array kept late BFS supersteps
     O(graph); SURVEY.md §2.1 E6)."""
+    vshape = (0, signal_by_code.shape[1]) if signal_by_code.ndim == 2 else 0
     empty = (
         np.empty(0, dtype=np.int64),
-        np.empty(0, dtype=signal_by_code.dtype),
+        np.empty(vshape, dtype=signal_by_code.dtype),
     )
     if shard.ne == 0 or len(active_codes) == 0:
         return empty
@@ -241,7 +245,8 @@ def scatter_partials_sparse(
         return empty
     msgs = signal_by_code[shard.edge_src_code[eidx]]
     if use_weights:
-        msgs = msgs * shard.edge_weight[eidx]
+        w = shard.edge_weight[eidx]
+        msgs = msgs * (w[:, None] if msgs.ndim == 2 else w)
     groups = shard.edge_group()[eidx]
     order = np.argsort(groups, kind="stable")
     groups = groups[order]

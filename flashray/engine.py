@@ -606,25 +606,12 @@ class Engine:
             actor_cpus = max(
                 0.05, min(float(threads_per_actor), total / max(A, 1) * 0.8)
             )
-        parts_of = [[p for p in range(P) if p % A == a] for a in range(A)]
-        self.actors = [
-            ShardActor.options(num_cpus=actor_cpus).remote(
-                graph.path,
-                parts_of[a],
-                P,
-                A,
-                program,
-                graph.meta.num_vertices,
-                self.split_ids,
-                num_threads=threads_per_actor,
-            )
-            for a in range(A)
-        ]
+        self._actor_cpus = actor_cpus
+        self._threads_per_actor = threads_per_actor
+        self._parts_of = [[p for p in range(P) if p % A == a] for a in range(A)]
+        self.actors = [self._spawn_actor(a) for a in range(A)]
         ray.get([a.ready.remote() for a in self.actors])
-        out_refs = [a.outgoing_ids.remote() for a in self.actors]
-        ray.get(
-            [a.set_incoming.remote(*out_refs) for a in self.actors]
-        )
+        self._handshake()
         self.iteration = 0  # supersteps whose metrics have been collected
         self.submitted = 0  # supersteps submitted to the pipeline
         self.lineage: list[dict] = []
@@ -642,6 +629,67 @@ class Engine:
         self._restore_mirror: np.ndarray | None = None
 
     # -- internals ----------------------------------------------------------
+
+    def _spawn_actor(self, a: int):
+        return ShardActor.options(num_cpus=self._actor_cpus).remote(
+            self.graph.path,
+            self._parts_of[a],
+            self.P,
+            self.A,
+            self.program,
+            self.graph.meta.num_vertices,
+            self.split_ids,
+            num_threads=self._threads_per_actor,
+        )
+
+    def _handshake(self) -> None:
+        out_refs = [a.outgoing_ids.remote() for a in self.actors]
+        ray.get([a.set_incoming.remote(*out_refs) for a in self.actors])
+
+    def _probe_dead(self) -> list[int]:
+        """Indices of actors that no longer answer (process died / node
+        lost). A live-but-busy actor still queues the ping, so a generous
+        timeout only fires on real unreachability."""
+        dead = []
+        for i, a in enumerate(self.actors):
+            try:
+                ray.get(a.ready.remote(), timeout=120)
+            except Exception:
+                dead.append(i)
+        return dead
+
+    def recover(self, checkpoint_dir: str | None = None) -> int:
+        """Rebuild dead shard actors and roll the whole engine back to the
+        last complete checkpoint (or to the initial state when none exists).
+
+        The reference has no fault story beyond "rerun the job" (SURVEY.md
+        §3.3); at cluster scale an actor loss must not discard hours of
+        supersteps. Recovery is partition-grained: surviving actors keep
+        their loaded CSR shards (the expensive part) and only re-load
+        *state* from the checkpoint; dead actors rebuild both from the
+        partitioned parquet graph. Because the combine order is
+        deterministic, a recovered run is bit-identical to an
+        uninterrupted one. Returns the iteration resumed from."""
+        from flashray.checkpoint import has_checkpoint
+
+        for i in self._probe_dead():
+            self.actors[i] = self._spawn_actor(i)
+        ray.get([a.ready.remote() for a in self.actors])
+        self._handshake()
+        # in-flight rounds chain through refs owned by the dead actor's
+        # tasks — discard the whole pipeline and re-bootstrap
+        self._pending = []
+        self._meta_refs = None
+        self._partial_refs = None
+        self._prev_meta_refs = None
+        self._restore_mirror = None
+        if checkpoint_dir is not None and has_checkpoint(checkpoint_dir):
+            return self.restore(checkpoint_dir)
+        ray.get([a.reset_state.remote() for a in self.actors])
+        self.iteration = 0
+        self.submitted = 0
+        self.lineage = []
+        return 0
 
     def _bootstrap(self) -> None:
         mirror = None
@@ -738,6 +786,7 @@ class Engine:
         checkpoint_dir: str | None = None,
         checkpoint_interval: int = 0,
         on_checkpoint=None,
+        max_recoveries: int = 2,
     ) -> dict | None:
         """Pipelined superstep loop: keep up to ``depth`` rounds in flight;
         rounds chain actor→actor through object dependencies, so per-round
@@ -746,7 +795,39 @@ class Engine:
         to ``depth`` supersteps — the extra supersteps are no-ops for
         frontier programs and extra convergence for PageRank; iteration
         counts and results stay deterministic because the stop decision is
-        made on the same deterministic metric stream)."""
+        made on the same deterministic metric stream).
+
+        If a shard actor dies mid-run (worker OOM, node loss), the loop
+        recovers up to ``max_recoveries`` times: rebuild the lost actors
+        from the parquet graph, restore every actor from the last complete
+        checkpoint (or the initial state when none exists), and continue —
+        see :meth:`recover`. A Ray error with all actors still alive is a
+        program bug and re-raises."""
+        recoveries = 0
+        while True:
+            try:
+                return self._run_once(
+                    stop,
+                    max_iters=max_iters,
+                    depth=depth,
+                    checkpoint_dir=checkpoint_dir,
+                    checkpoint_interval=checkpoint_interval,
+                )
+            except ray.exceptions.RayError:
+                if recoveries >= max_recoveries or not self._probe_dead():
+                    raise
+                recoveries += 1
+                self.recover(checkpoint_dir)
+
+    def _run_once(
+        self,
+        stop,
+        *,
+        max_iters: int,
+        depth: int,
+        checkpoint_dir: str | None,
+        checkpoint_interval: int,
+    ) -> dict | None:
         last = None
         # stale-mirror rounds deliver split-vertex signals one superstep
         # late: require the stop condition to hold twice in a row so every
@@ -843,6 +924,7 @@ class Engine:
         iteration, lineage = read_lineage(ckpt_dir)
         ray.get([a.restore.remote(ckpt_dir, iteration) for a in self.actors])
         self.iteration = iteration
+        self.submitted = iteration  # max_iters counts total supersteps
         self.lineage = lineage
         self._partial_refs = None  # force re-scatter from restored state
         mirror_path = os.path.join(ckpt_dir, f"iter_{iteration:06d}", "mirror.npy")

@@ -812,16 +812,12 @@ def _q_events_bottomk_sample(sf_dir: str):
     return tbl.to_pandas()
 
 
-def _q_hyperball_user_graph(sf_dir: str):
-    """HyperBall (Boldi-Vigna) ball-size estimates over a user-succession
-    DAG from events: edge u→v when u and v have events of the same type in
-    the same hour and 0 < v−u ≤ 5. The sketch hash (sha256 of the decimal
-    user id) and estimator are SQL-reproducible, so the oracle recomputes
-    every per-vertex register over a recursive-CTE transitive closure and
-    matches the estimates to 6 dp."""
+def _user_succession_edges(sf_dir: str):
+    """User-succession DAG from events: edge u→v when u and v have events
+    of the same type in the same hour and 0 < v−u ≤ 5 (shared by both
+    HyperBall backends)."""
     import ray.data as rd
 
-    from flashray import hyperball as hb
     from flashray.joins import bucket_group_agg
 
     ds = rd.read_parquet(
@@ -884,11 +880,49 @@ def _q_hyperball_user_graph(sf_dir: str):
         .groupby("__pbucket")
         .map_groups(pairs_of_bucket, batch_format="pandas")
     )
-    edges = bucket_group_agg(prs, ["src", "dst"], None)
+    return bucket_group_agg(prs, ["src", "dst"], None)
+
+
+def _q_hyperball_user_graph(sf_dir: str):
+    """HyperBall (Boldi-Vigna) ball-size estimates over the user-succession
+    DAG, Dataset dataflow backend. The sketch hash (sha256 of the decimal
+    user id) and estimator are SQL-reproducible, so the oracle recomputes
+    every per-vertex register over a recursive-CTE transitive closure and
+    matches the estimates to 6 dp."""
+    from flashray import hyperball as hb
+
+    edges = _user_succession_edges(sf_dir)
     # radius-8 neighborhood function |B_8(v)| (the DAG's full closure has
     # diameter ~n_users/step — bounded-radius balls are the standard
     # HyperBall query shape and keep the driver run O(radius) iterations)
     df = hb.hyperball(edges, p=8, max_iters=8, num_buckets=8)
+    out = df[["vertex_id", "ball_est"]].rename(
+        columns={"vertex_id": "user_id"}
+    )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["ball_est"] = out["ball_est"].round(6)
+    return out
+
+
+def _q_hyperball_engine_user(sf_dir: str):
+    """Same HyperBall query on the superstep engine: registers are
+    vector-valued vertex state (value_dim=256) max-merged through the
+    partial exchange — no per-iteration join/shuffle, no per-vertex Ray
+    groups. Same hashes + estimator ⇒ same oracle as
+    ``hyperball_user_graph``."""
+    import tempfile
+
+    from flashray import hyperball as hb
+
+    edges = _user_succession_edges(sf_dir)
+    with tempfile.TemporaryDirectory(prefix="hb_eng_") as scratch:
+        df = hb.hyperball_engine(
+            edges,
+            os.path.join(scratch, "g"),
+            p=8,
+            max_iters=8,
+            num_partitions=8,
+        )
     out = df[["vertex_id", "ball_est"]].rename(
         columns={"vertex_id": "user_id"}
     )
@@ -1052,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_distinct_words_hll": _q_docs_distinct_words_hll,
         "events_bottomk_sample": _q_events_bottomk_sample,
         "hyperball_user_graph": _q_hyperball_user_graph,
+        "hyperball_engine_user": _q_hyperball_engine_user,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
         "scc_reply_hist": _q_scc_reply_hist,
@@ -1208,7 +1243,7 @@ pairs AS (
 )
 SELECT tool_a, tool_b, COUNT(*) AS weight FROM pairs GROUP BY 1, 2"""
 
-    return {
+    o = {
         "transcripts_passthrough": _tsql(),
         "convert_transcripts_roundtrip": _tsql(),
         # full HLL recomputation: same sha256-derived hashes, same register
@@ -1546,3 +1581,5 @@ SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
             AS BIGINT) AS frame_fingerprint
 FROM px GROUP BY 1, 2""",
     }
+    o["hyperball_engine_user"] = o["hyperball_user_graph"]
+    return o

@@ -93,6 +93,21 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(raw)
 
 
+def hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`hll_estimate` over a (n, 2^p) register matrix —
+    one estimate per row. Same alpha / small-range correction, row sums
+    evaluated with the same pairwise reduction, so a row estimate equals
+    the scalar estimate of that row."""
+    n, m = regs.shape
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+    raw = alpha * m * m / s
+    zeros = (regs == 0).sum(axis=1)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
+    return np.where((raw <= 2.5 * m) & (zeros > 0), lin, raw)
+
+
 def _hll_words_fn(column: str, p: int):
     """Per-batch partial: distinct whitespace tokens of a text column →
     one register-blob row (stateless — a plain fn avoids an actor pool)."""

@@ -230,8 +230,11 @@ class ShardActor:
             return hit[1]
         sig = self.program.signal(self.shards[p], self.states[p])
         if self.program.frontier_only:
+            act = self.states[p]["active"]
             sig = np.where(
-                self.states[p]["active"], sig, self.program.identity
+                act[:, None] if sig.ndim == 2 else act,
+                sig,
+                self.program.identity,
             )
         self._sig_cache[p] = (self._state_version, sig)
         return sig
@@ -240,8 +243,9 @@ class ShardActor:
         prog = self.program
         sh = self.shards[p]
         sig = self._masked_signal(p)
+        nc = len(sh.src_list)
         signal_by_code = np.full(
-            len(sh.src_list),
+            (nc, prog.value_dim) if prog.value_dim else nc,
             prog.identity,
             dtype=sig.dtype if sig.size else prog.dtype,
         )
@@ -252,6 +256,8 @@ class ShardActor:
             ]
         counts = np.diff(sh.src_code_starts)
         active_mask = signal_by_code != prog.identity
+        if active_mask.ndim == 2:  # vector payloads: a code is active if
+            active_mask = active_mask.any(axis=1)  # ANY component is set
         msgs = int(counts[active_mask].sum())
         emask = prog.edge_mask(sh, self.states[p])
         # sparse-frontier path: when few sources are active, touch only
@@ -275,7 +281,7 @@ class ShardActor:
             if len(pos) * 4 >= G:
                 # dense is smaller/faster past ~25% fill
                 dense = np.full(
-                    G,
+                    (G, prog.value_dim) if prog.value_dim else G,
                     prog.identity,
                     dtype=vals.dtype if vals.size else prog.dtype,
                 )
@@ -320,7 +326,11 @@ class ShardActor:
                 sig.append(s[self.split_idx[p]])
         if pos:
             return np.concatenate(pos), np.concatenate(sig)
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=self.program.dtype)
+        d = self.program.value_dim
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty((0, d) if d else 0, dtype=self.program.dtype),
+        )
 
     def scatter_only(self, mirror_signals=None):
         """Bootstrap round: scatter from the initial/restored state."""
@@ -335,8 +345,11 @@ class ShardActor:
     def _mirror_from_metas(self, metas) -> np.ndarray | None:
         if not len(self.split_ids):
             return None
+        d = self.program.value_dim
         full = np.full(
-            len(self.split_ids), self.program.identity, dtype=self.program.dtype
+            (len(self.split_ids), d) if d else len(self.split_ids),
+            self.program.identity,
+            dtype=self.program.dtype,
         )
         for m in metas:
             pos, sig = m["split_pos"], m["split_sig"]
@@ -356,7 +369,11 @@ class ShardActor:
 
         def combine_apply(q: int) -> dict:
             sh = self.shards[q]
-            agg = np.full(sh.nv, prog.identity, dtype=prog.dtype)
+            agg = np.full(
+                (sh.nv, prog.value_dim) if prog.value_dim else sh.nv,
+                prog.identity,
+                dtype=prog.dtype,
+            )
             idx_by_sender = self.incoming_idx[q]
             slice_by_sender = self.incoming_slice[q]
             for p in range(self.P):
@@ -427,8 +444,9 @@ class ShardActor:
         if metas is not None:
             pos, sig = self._split_meta()
         else:
+            d = self.program.value_dim
             pos = np.empty(0, dtype=np.int64)
-            sig = np.empty(0, dtype=self.program.dtype)
+            sig = np.empty((0, d) if d else 0, dtype=self.program.dtype)
         return (
             {"metrics": metrics, "split_pos": pos, "split_sig": sig,
              "messages": self.last_messages},
@@ -479,17 +497,17 @@ class ShardActor:
 
     # -- results / checkpoints ----------------------------------------------
 
+    def _values_part(self, p: int) -> pa.Table:
+        cols = {
+            "vertex_id": pa.array(self.shards[p].vertex_ids),
+            "value": pa.array(self.states[p]["values"]),
+        }
+        for name in self.program.output_columns:
+            cols[name] = pa.array(self.states[p][name])
+        return pa.table(cols)
+
     def values_table(self) -> pa.Table:
-        tables = [
-            pa.table(
-                {
-                    "vertex_id": pa.array(self.shards[p].vertex_ids),
-                    "value": pa.array(self.states[p]["values"]),
-                }
-            )
-            for p in self.parts
-        ]
-        return pa.concat_tables(tables)
+        return pa.concat_tables([self._values_part(p) for p in self.parts])
 
     def write_values(self, out_dir: str) -> list[str]:
         os.makedirs(out_dir, exist_ok=True)
@@ -497,15 +515,7 @@ class ShardActor:
         for p in self.parts:
             path = os.path.join(out_dir, f"part-{p:05d}.parquet")
             tmp = path + ".tmp"
-            pq.write_table(
-                pa.table(
-                    {
-                        "vertex_id": pa.array(self.shards[p].vertex_ids),
-                        "value": pa.array(self.states[p]["values"]),
-                    }
-                ),
-                tmp,
-            )
+            pq.write_table(self._values_part(p), tmp)
             os.replace(tmp, path)
             paths.append(path)
         return paths
@@ -524,7 +534,14 @@ class ShardActor:
                 arr = self.states[p][name]
                 if arr.dtype == bool:
                     arr = arr.astype(np.uint8)
-                cols[name] = pa.array(arr)
+                if arr.ndim == 2:
+                    # vector state (e.g. HLL registers): one fixed-size
+                    # list per vertex
+                    cols[name] = pa.FixedSizeListArray.from_arrays(
+                        pa.array(arr.reshape(-1)), arr.shape[1]
+                    )
+                else:
+                    cols[name] = pa.array(arr)
             tbl = pa.table(cols)
             scalars = {
                 n: self.states[p][n]
@@ -550,11 +567,17 @@ class ShardActor:
             if not np.array_equal(vids, self.shards[p].vertex_ids):
                 raise AssertionError(f"part {p}: checkpoint vertex mismatch")
             for name in self.program.state_columns():
-                arr = t[name].to_numpy(zero_copy_only=False)
-                if self.states[p][name].dtype == bool:
-                    arr = arr.astype(bool)
+                col = t[name].combine_chunks()
+                cur = self.states[p][name]
+                if pa.types.is_fixed_size_list(col.type):
+                    arr = (
+                        col.values.to_numpy(zero_copy_only=False)
+                        .reshape(len(col), col.type.list_size)
+                        .astype(cur.dtype)
+                    )
                 else:
-                    arr = arr.astype(self.states[p][name].dtype)
+                    arr = col.to_numpy(zero_copy_only=False)
+                    arr = arr.astype(bool if cur.dtype == bool else cur.dtype)
                 self.states[p][name] = arr
             meta = t.schema.metadata or {}
             if b"flashray_scalars" in meta:
@@ -708,8 +731,9 @@ class Engine:
                         [a.initial_mirror.remote() for a in self.actors]
                     )
                 ]
+                d = self.program.value_dim
                 full = np.full(
-                    len(self.split_ids),
+                    (len(self.split_ids), d) if d else len(self.split_ids),
                     self.program.identity,
                     dtype=self.program.dtype,
                 )

@@ -224,3 +224,58 @@ def hyperball(
     return df[["vertex_id", "ball_est", "harmonic", "regs"]].sort_values(
         "vertex_id"
     ).reset_index(drop=True)
+
+
+def hyperball_engine(
+    edges: ray.data.Dataset,
+    scratch_dir: str,
+    *,
+    p: int = 8,
+    max_iters: int = 256,
+    num_partitions: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> pd.DataFrame:
+    """:func:`hyperball` on the superstep engine: per-vertex HLL registers
+    are vector-valued vertex state (``value_dim = 2^p``) max-merged through
+    the engine's partial exchange instead of a per-iteration join + grouped
+    merge. Same hashes and estimator → same results as :func:`hyperball`
+    (to float rounding), at superstep cost: no per-vertex Ray groups, no
+    per-iteration Dataset materialization, registers move as one numpy
+    block per (sender, receiver) partition pair.
+
+    Balls grow along OUT-edges of ``edges`` (B(v) ⊇ B(w) for (v, w) ∈ E),
+    matching :func:`hyperball`: since the engine delivers src→dst, the
+    graph is built from REVERSED edges under ``scratch_dir``.
+
+    Runs synchronous supersteps (no pipelining): a pipelined run would
+    speculatively execute past ``max_iters`` and grow bounded-radius balls
+    beyond the requested radius."""
+    from flashray.build import build_graph
+    from flashray.convert import to_edge_schema
+    from flashray.engine import Engine
+    from flashray.programs import HyperBallProgram
+
+    I64 = pa.int64()
+    rev = edges.map_batches(
+        lambda b: pa.table(
+            {"src": b[dst_col].cast(I64), "dst": b[src_col].cast(I64)}
+        ),
+        batch_format="pyarrow",
+    )
+    g = build_graph(
+        to_edge_schema(rev),
+        scratch_dir,
+        num_partitions=num_partitions,
+    )
+    with Engine(g, HyperBallProgram(p=p)) as eng:
+        for _ in range(max_iters):
+            if eng.step()["changed"] == 0:
+                break
+        df = eng.values_pandas()
+    df = df.rename(columns={"value": "ball_est"})
+    return (
+        df[["vertex_id", "ball_est", "harmonic"]]
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )

@@ -26,6 +26,13 @@ class VertexProgram:
     combine: str = "sum"
     identity = 0.0
     dtype = np.float64
+    # 0 = scalar messages; d > 0 = each vertex scatters a length-d vector
+    # (signal returns (nv, d); combine applies elementwise — e.g. HyperBall
+    # ships whole HLL register arrays through the same exchange)
+    value_dim: int = 0
+    # extra 1-D state columns emitted by values_table()/write_values()
+    # alongside "values" (e.g. HyperBall's harmonic centrality)
+    output_columns: list[str] = []
     frontier_only: bool = False  # inactive sources send the identity
     use_weights: bool = False
     uses_channels: bool = False  # shards load per-edge etype channels
@@ -299,6 +306,93 @@ class KCorePeel(VertexProgram):
         # against already-decremented residual degrees assigns wrong
         # coreness values
         return ["k"]
+
+
+class HyperBallProgram(VertexProgram):
+    """HyperBall (Boldi & Vigna 2013-14) on the superstep engine: each
+    vertex's state is a 2^p-register HyperLogLog sketch of its ball
+    B_t(v); one superstep max-merges every in-neighbor's registers
+    (``value_dim = 2^p``, elementwise-max combine — vector-valued state
+    through the standard exchange, SURVEY.md §2.1 E6).
+
+    Direction: the engine scatters src→dst, so balls grow along IN-edges
+    of the loaded graph. Build the graph from REVERSED edges for
+    out-ball semantics, or use a symmetrized graph (where both agree) —
+    :func:`flashray.hyperball.hyperball_engine` handles this.
+
+    Registers, estimates and harmonic accumulation match
+    :func:`flashray.hyperball.hyperball` (same sha256 hashes, same
+    estimator), so both backends agree to float rounding.
+
+    NOT ``stale_mirror_safe``: harmonic centrality divides each ball
+    increment by its arrival round, so a one-superstep-late mirror
+    delivery changes the result — split graphs take two-phase rounds.
+    """
+
+    combine = "max"
+    identity = 0
+    dtype = np.uint8
+    frontier_only = True
+    output_columns = ["harmonic"]
+
+    def __init__(self, p: int = 8):
+        self.p = p
+        self.value_dim = 1 << p
+
+    def init_state(self, shard, N):
+        from flashray.datapipe.sketches import (
+            _bit_length_u64,
+            _sha_u64,
+            hll_estimate_rows,
+        )
+
+        m = self.value_dim
+        regs = np.zeros((shard.nv, m), dtype=np.uint8)
+        if shard.nv:
+            # B_0(v) = {v}: one registered element per vertex, hashed
+            # exactly like the Dataset backend / SQL oracle
+            h = _sha_u64([str(int(v)) for v in shard.vertex_ids])
+            q = 64 - self.p
+            idx = (h >> np.uint64(q)).astype(np.int64)
+            rem = h & np.uint64((1 << q) - 1)
+            rank = (q + 1 - _bit_length_u64(rem)).astype(np.uint8)
+            regs[np.arange(shard.nv), idx] = rank
+        return {
+            "values": hll_estimate_rows(regs) if shard.nv else np.zeros(0),
+            "regs": regs,
+            "harmonic": np.zeros(shard.nv),
+            "active": np.ones(shard.nv, dtype=bool),
+            "t": 1,
+        }
+
+    def signal(self, shard, state):
+        return state["regs"]
+
+    def apply(self, shard, state, agg, N):
+        from flashray.datapipe.sketches import hll_estimate_rows
+
+        t = state["t"]
+        merged = np.maximum(state["regs"], agg)
+        changed = (merged != state["regs"]).any(axis=1)
+        n = int(changed.sum())
+        if n:
+            state["regs"] = merged
+            est_new = state["values"].copy()
+            est_new[changed] = hll_estimate_rows(merged[changed])
+            inc = np.maximum(est_new - state["values"], 0.0) / t
+            state["harmonic"] = state["harmonic"] + np.where(changed, inc, 0.0)
+            state["values"] = est_new
+        state["active"] = changed
+        state["t"] = t + 1
+        return {"delta": float(n), "changed": n, "active": n}
+
+    def state_columns(self):
+        return ["values", "regs", "harmonic", "active"]
+
+    def scalar_state_keys(self):
+        # the round counter weights harmonic increments (1/t): a resume
+        # that restarted at t=1 would overweight late arrivals
+        return ["t"]
 
 
 class DeltaPageRank(VertexProgram):

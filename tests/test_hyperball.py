@@ -66,6 +66,92 @@ def test_hyperball_dag_error_bounds():
     assert float(np.max(rel)) < 0.35, np.max(rel)
 
 
+def test_hyperball_engine_matches_dataset_backend(tmp_path):
+    """Vector-valued state on the superstep engine: same registers → same
+    estimates/harmonic as the Dataset dataflow, on a directed DAG."""
+    rng = np.random.default_rng(11)
+    n = 60
+    src, dst = [], []
+    for _ in range(180):
+        a, b = rng.integers(0, n, 2)
+        if a < b:
+            src.append(int(a))
+            dst.append(int(b))
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    want = hyperball.hyperball(edges, p=8)
+    got = hyperball.hyperball_engine(
+        edges, str(tmp_path / "hb_g"), p=8, num_partitions=4
+    )
+    assert (want["vertex_id"].values == got["vertex_id"].values).all()
+    np.testing.assert_allclose(
+        got["ball_est"].values, want["ball_est"].values, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        got["harmonic"].values, want["harmonic"].values, rtol=1e-12
+    )
+
+
+def test_hyperball_engine_bounded_radius(tmp_path):
+    """max_iters bounds the ball radius exactly (no pipeline overshoot):
+    on a directed 8-chain, B_2(v) = min(3, n - v) vertices."""
+    n = 8
+    edges = rd.from_pandas(
+        pd.DataFrame({"src": list(range(n - 1)), "dst": list(range(1, n))})
+    )
+    out = hyperball.hyperball_engine(
+        edges, str(tmp_path / "hb_r"), p=12, max_iters=2, num_partitions=2
+    )
+    for _, row in out.iterrows():
+        want = min(3, n - int(row["vertex_id"]))
+        assert abs(row["ball_est"] - want) < 0.1, (row["vertex_id"], row["ball_est"])
+
+
+def test_hyperball_engine_checkpoint_resume(tmp_path):
+    """Vector (2-D) state columns and the round counter survive
+    checkpoint/restore bit-identically."""
+    import ray
+
+    from flashray.build import build_graph
+    from flashray.convert import to_edge_schema
+    from flashray.engine import Engine
+    from flashray.programs import HyperBallProgram
+
+    rng = np.random.default_rng(3)
+    n = 40
+    src, dst = [], []
+    for _ in range(120):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            src.append(int(a))
+            dst.append(int(b))
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    g = build_graph(
+        to_edge_schema(edges), str(tmp_path / "g"), num_partitions=4
+    )
+    with Engine(g, HyperBallProgram(p=8)) as eng:
+        for _ in range(6):
+            if eng.step()["changed"] == 0:
+                break
+        full = eng.values_pandas().sort_values("vertex_id")
+
+    ckpt = str(tmp_path / "ck")
+    with Engine(g, HyperBallProgram(p=8)) as eng:
+        eng.step()
+        eng.step()
+        eng.checkpoint(ckpt)
+
+    with Engine(g, HyperBallProgram(p=8)) as eng:
+        assert eng.restore(ckpt) == 2
+        assert eng.get_scalar("t") == 3  # round counter restored
+        for _ in range(4):
+            if eng.step()["changed"] == 0:
+                break
+        resumed = eng.values_pandas().sort_values("vertex_id")
+
+    assert (full["value"].values == resumed["value"].values).all()
+    assert (full["harmonic"].values == resumed["harmonic"].values).all()
+
+
 def test_hyperball_partition_invariant():
     src = [0, 1, 2, 0]
     dst = [1, 2, 3, 2]

@@ -1029,6 +1029,7 @@ def _q_betweenness_sampled(sf_dir: str):
         g,
         scratch_dir=os.path.join(_CACHE_ROOT, f"bc_{_tier(sf_dir)}"),
         sources=sources,
+        batch=8,  # one fwd+bwd sweep for all 8 sources (vector messages)
     )
     out = _keyed(df, sf_dir)
     out["bc"] = out["value"].astype(np.float64)

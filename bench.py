@@ -153,6 +153,19 @@ def run_bench() -> dict:
     algorithms.kcore(g_sym)
     queries["kcore"] = time.perf_counter() - t0
 
+    # HyperBall on the engine: 2^8 HLL registers as vector-valued vertex
+    # state, radius-16 neighborhood function (synchronous supersteps)
+    from flashray.engine import Engine
+    from flashray.programs import HyperBallProgram
+
+    t0 = time.perf_counter()
+    with Engine(g_sym, HyperBallProgram(p=8)) as eng:
+        for _ in range(16):
+            if eng.step()["changed"] == 0:
+                break
+        extra["hyperball_supersteps"] = eng.iteration
+    queries["hyperball_engine"] = time.perf_counter() - t0
+
     _datapipe_bench(queries, extra)
 
     ray.shutdown()

@@ -931,6 +931,42 @@ def _q_hyperball_engine_user(sf_dir: str):
     return out
 
 
+def _q_landmark_distances_user(sf_dir: str):
+    """Per-landmark hop distances (3 landmarks = the 3 smallest user ids,
+    rank-named dist_l0..dist_l2) over the user-succession DAG, computed as
+    ONE MultiSourceBFS sweep (vector-valued state). Oracle: recursive-CTE
+    BFS per landmark; unreachable = -1."""
+    import tempfile
+
+    from flashray import algorithms
+    from flashray.build import build_graph
+    from flashray.convert import to_edge_schema
+
+    edges = _user_succession_edges(sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lmd_") as scratch:
+        g = build_graph(
+            to_edge_schema(edges),
+            os.path.join(scratch, "g"),
+            num_partitions=8,
+        )
+        lms = (
+            g.vertices_dataset(columns=["vertex_id"])
+            .to_pandas()["vertex_id"]
+            .nsmallest(3)
+            .astype(np.int64)
+            .tolist()
+        )
+        out = algorithms.landmark_distances(g, sorted(lms))
+    out = out.rename(
+        columns={
+            f"dist_{int(s)}": f"dist_l{i}" for i, s in enumerate(sorted(lms))
+        }
+    ).rename(columns={"vertex_id": "user_id"})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def _q_convert_transcripts_roundtrip(sf_dir: str):
     """S5 format converters: transcripts → JSONL text → Dataset. The
     north-rule invariant (per-turn text equality under stable ordering)
@@ -1088,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bottomk_sample": _q_events_bottomk_sample,
         "hyperball_user_graph": _q_hyperball_user_graph,
         "hyperball_engine_user": _q_hyperball_engine_user,
+        "landmark_distances_user": _q_landmark_distances_user,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
         "scc_reply_hist": _q_scc_reply_hist,
@@ -1323,6 +1360,33 @@ SELECT src AS user_id,
        ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
                   THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS ball_est
 FROM est""",
+        # per-landmark BFS distances: recursive CTE reaches every vertex
+        # at every path length; MIN(d) per (landmark, vertex) = hop dist
+        "landmark_distances_user": """
+WITH RECURSIVE
+b AS (SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+lms AS (SELECT u, CAST(row_number() OVER (ORDER BY u) - 1 AS BIGINT) AS rk
+        FROM (SELECT u FROM verts ORDER BY u LIMIT 3)),
+r(rk, v, d) AS (
+  SELECT rk, u, 0 FROM lms
+  UNION
+  SELECT r.rk, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 400
+),
+m AS (SELECT rk, v, MIN(d) AS dist FROM r GROUP BY 1, 2)
+SELECT CAST(verts.u AS BIGINT) AS user_id,
+       CAST(COALESCE(m0.dist, -1) AS BIGINT) AS dist_l0,
+       CAST(COALESCE(m1.dist, -1) AS BIGINT) AS dist_l1,
+       CAST(COALESCE(m2.dist, -1) AS BIGINT) AS dist_l2
+FROM verts
+LEFT JOIN m m0 ON m0.v = verts.u AND m0.rk = 0
+LEFT JOIN m m1 ON m1.v = verts.u AND m1.rk = 1
+LEFT JOIN m m2 ON m2.v = verts.u AND m2.rk = 2""",
         "convert_edges_roundtrip": f"""
 WITH e AS ({_edges_keys_sql()}),
 d AS (SELECT src_key, COUNT(*) AS out_degree FROM e GROUP BY 1)

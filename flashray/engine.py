@@ -262,12 +262,17 @@ class ShardActor:
         emask = prog.edge_mask(sh, self.states[p])
         # sparse-frontier path: when few sources are active, touch only
         # their out-edges (A2/BFS late iterations) — exchange format is
-        # identical, so receivers are oblivious
+        # identical, so receivers are oblivious. Thresholds are payload-
+        # width-aware: for length-d vectors (HyperBall registers, batched
+        # Brandes) the sparse path's per-edge sort overhead (8 B of keys)
+        # is amortized by the d-byte payload, so it pays off at much
+        # higher fill than for scalars
         G = len(sh.group_starts)
+        wide = prog.value_dim >= 8
         if (
             prog.frontier_only
             and len(sh.src_list)
-            and msgs * 8 < sh.ne
+            and msgs * (2 if wide else 8) < sh.ne
         ):
             pos, vals = csr.scatter_partials_sparse(
                 sh,
@@ -278,8 +283,10 @@ class ShardActor:
                 use_weights=prog.use_weights,
                 edge_mask=emask,
             )
-            if len(pos) * 4 >= G:
-                # dense is smaller/faster past ~25% fill
+            if len(pos) * 4 >= G * (3 if wide else 1):
+                # dense is smaller/faster past ~25% fill for scalars;
+                # for wide payloads the 8-B position overhead is noise
+                # next to the d-byte values, so stay sparse until ~75%
                 dense = np.full(
                     (G, prog.value_dim) if prog.value_dim else G,
                     prog.identity,
@@ -498,12 +505,19 @@ class ShardActor:
     # -- results / checkpoints ----------------------------------------------
 
     def _values_part(self, p: int) -> pa.Table:
+        def col(arr):
+            if arr.ndim == 2:  # vector results (e.g. landmark distances)
+                return pa.FixedSizeListArray.from_arrays(
+                    pa.array(arr.reshape(-1)), arr.shape[1]
+                )
+            return pa.array(arr)
+
         cols = {
             "vertex_id": pa.array(self.shards[p].vertex_ids),
-            "value": pa.array(self.states[p]["values"]),
+            "value": col(self.states[p]["values"]),
         }
         for name in self.program.output_columns:
-            cols[name] = pa.array(self.states[p][name])
+            cols[name] = col(self.states[p][name])
         return pa.table(cols)
 
     def values_table(self) -> pa.Table:

@@ -242,6 +242,69 @@ class BFS(VertexProgram):
         return {"delta": float(n), "changed": n, "active": n}
 
 
+class MultiSourceBFS(VertexProgram):
+    """K simultaneous BFS floods (one per landmark/seed) — ``dist`` is an
+    (nv, K) column and messages are length-K vectors of dist+1 candidates
+    under elementwise min (``value_dim = K``). One graph sweep computes
+    every per-landmark hop distance: the standard landmark-distance
+    featurization, and the primitive behind K-sweep pseudo-diameter.
+    Per-column math is identical to :class:`BFS`; columns whose flood
+    finished simply stop contributing (identity)."""
+
+    combine = "min"
+    identity = INT_IDENTITY
+    dtype = np.int64
+    frontier_only = True
+    stale_mirror_safe = True  # same value-carrying min flood as BFS
+
+    def __init__(self, seeds):
+        self.seeds = np.asarray(
+            sorted(set(int(s) for s in seeds)), dtype=np.int64
+        )
+        if not len(self.seeds):
+            raise ValueError("multi-source BFS needs a non-empty seed list")
+        self.value_dim = len(self.seeds)
+
+    def init_state(self, shard, N):
+        K = self.value_dim
+        dist = np.full((shard.nv, K), INT_IDENTITY, dtype=np.int64)
+        changed = np.zeros((shard.nv, K), dtype=bool)
+        if shard.nv:
+            pos = np.searchsorted(shard.vertex_ids, self.seeds)
+            m = (pos < shard.nv) & (
+                shard.vertex_ids[np.minimum(pos, shard.nv - 1)] == self.seeds
+            )
+            cols = np.arange(K)
+            dist[pos[m], cols[m]] = 0
+            changed[pos[m], cols[m]] = True
+        return {
+            "values": dist,
+            "changed_cols": changed,
+            "active": changed.any(axis=1),
+        }
+
+    def signal(self, shard, state):
+        # only columns that improved last round scatter (per-column
+        # frontier — the scalar active bit can't distinguish which of a
+        # vertex's K floods moved)
+        v = state["values"]
+        return np.where(
+            state["changed_cols"] & (v < INT_IDENTITY), v + 1, INT_IDENTITY
+        )
+
+    def apply(self, shard, state, agg, N):
+        new = np.minimum(state["values"], agg)
+        changed = new < state["values"]
+        state["values"] = new
+        state["changed_cols"] = changed
+        state["active"] = changed.any(axis=1)
+        n = int(changed.sum())
+        return {"delta": float(n), "changed": n, "active": n}
+
+    def state_columns(self):
+        return ["values", "changed_cols", "active"]
+
+
 class KCorePeel(VertexProgram):
     """A9 (libgraph-algs/k_core.cpp — compute_kcore): iterative peeling on
     the symmetrized graph. Phase k removes vertices with residual degree

@@ -279,3 +279,30 @@ def personalized_pagerank_dense(src, dst, seeds, d=0.85, eps=1e-10, max_iter=200
             break
         rank = new
     return dict(zip(verts.tolist(), rank.tolist()))
+
+
+def sssp_dijkstra(src, dst, w, seeds):
+    """Single/multi-source weighted shortest distances (Dijkstra over the
+    union of seeds; -1 = unreachable). Non-negative weights only."""
+    import heapq
+
+    verts = _vertices(src, dst)
+    adj = {v: [] for v in verts}
+    for s, d, ww in zip(src, dst, w):
+        adj[int(s)].append((int(d), float(ww)))
+    dist = {int(v): float("inf") for v in verts}
+    heap = []
+    for s in seeds:
+        if int(s) in dist:
+            dist[int(s)] = 0.0
+            heapq.heappush(heap, (0.0, int(s)))
+    while heap:
+        dcur, v = heapq.heappop(heap)
+        if dcur > dist[v]:
+            continue
+        for u, ww in adj[v]:
+            nd = dcur + ww
+            if nd < dist[u]:
+                dist[u] = nd
+                heapq.heappush(heap, (nd, u))
+    return {v: (-1.0 if dist[v] == float("inf") else dist[v]) for v in dist}

@@ -188,3 +188,23 @@ def test_personalized_pagerank_matches_dense(tmp_path):
     # teleport mass conservation: ranks sum to ~1 on a dangling-free graph
     # (er fixture may have dangling vertices, so allow leakage <= 1)
     assert 0 < got.sum() <= 1 + 1e-9
+
+
+def test_landmark_distances_match_per_source_bfs(tmp_graphs):
+    """K simultaneous BFS floods (vector state) == K sequential BFS runs,
+    per landmark, including unreachable (-1)."""
+    graph, (src, dst) = tmp_graphs("er100", FIXES["er100"])
+    landmarks = [0, 7, 23]
+    out = algorithms.landmark_distances(graph, landmarks)
+    for s in landmarks:
+        want = oracles.bfs_dist(src, dst, [s])
+        got = dict(zip(out["vertex_id"].astype(int), out[f"dist_{s}"].astype(int)))
+        assert got == want, s
+
+
+def test_landmark_distances_disconnected(tmp_graphs):
+    graph, _ = tmp_graphs("two_components", FIXES["two_components"])
+    out = algorithms.landmark_distances(graph, [0, 10])
+    got = out.set_index("vertex_id")
+    assert got.loc[10, "dist_0"] == -1 and got.loc[0, "dist_10"] == -1
+    assert got.loc[11, "dist_10"] == 1 and got.loc[1, "dist_0"] == 1

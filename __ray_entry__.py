@@ -967,6 +967,46 @@ def _q_landmark_distances_user(sf_dir: str):
     return out
 
 
+def _q_sssp_user(sf_dir: str):
+    """Weighted shortest distance (tropical min-plus SSSP) from the
+    smallest user id over the user-succession DAG with path-dependent
+    integer weights w(u→v) = 1 + (u % 3) — different paths to the same
+    vertex have different costs, so min-over-paths is actually exercised.
+    Oracle: recursive CTE enumerating (vertex, path-cost) pairs, MIN per
+    vertex; -1 = unreachable."""
+    import tempfile
+
+    from flashray import algorithms
+    from flashray.build import build_graph
+    from flashray.convert import to_edge_schema
+
+    edges = _user_succession_edges(sf_dir)
+
+    def add_w(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "weight", pa.array(1.0 + (s % 3).astype(np.float64))
+        )
+
+    wedges = edges.map_batches(add_w, batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(prefix="sssp_") as scratch:
+        g = build_graph(
+            to_edge_schema(wedges),
+            os.path.join(scratch, "g"),
+            num_partitions=8,
+        )
+        lm = int(
+            g.vertices_dataset(columns=["vertex_id"])
+            .to_pandas()["vertex_id"]
+            .min()
+        )
+        df = algorithms.sssp(g, [lm])
+    out = df.rename(columns={"vertex_id": "user_id"})
+    out["dist"] = out["value"].astype(np.int64)  # integer costs; -1 unreached
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out[["user_id", "dist"]]
+
+
 def _q_convert_transcripts_roundtrip(sf_dir: str):
     """S5 format converters: transcripts → JSONL text → Dataset. The
     north-rule invariant (per-turn text equality under stable ordering)
@@ -1125,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperball_user_graph": _q_hyperball_user_graph,
         "hyperball_engine_user": _q_hyperball_engine_user,
         "landmark_distances_user": _q_landmark_distances_user,
+        "sssp_user": _q_sssp_user,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
         "scc_reply_hist": _q_scc_reply_hist,
@@ -1360,6 +1401,29 @@ SELECT src AS user_id,
        ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
                   THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS ball_est
 FROM est""",
+        # weighted SSSP: recursive CTE enumerates every (vertex, path-cost)
+        # pair from the source (integer costs dedup under UNION), MIN per
+        # vertex = shortest weighted distance
+        "sssp_user": """
+WITH RECURSIVE
+b AS (SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+s AS (SELECT MIN(u) AS u FROM verts),
+r(v, c) AS (
+  SELECT u, CAST(0 AS BIGINT) FROM s
+  UNION
+  SELECT e.dst, r.c + 1 + (e.src % 3) FROM r JOIN e ON e.src = r.v
+  WHERE r.c < 4000
+),
+m AS (SELECT v, MIN(c) AS dist FROM r GROUP BY 1)
+SELECT CAST(verts.u AS BIGINT) AS user_id,
+       CAST(COALESCE(m.dist, -1) AS BIGINT) AS dist
+FROM verts LEFT JOIN m ON m.v = verts.u""",
         # per-landmark BFS distances: recursive CTE reaches every vertex
         # at every path length; MIN(d) per (landmark, vertex) = hop dist
         "landmark_distances_user": """

@@ -214,6 +214,24 @@ def bfs(graph: Graph, seeds, *, max_iters: int = 10_000, out_dir=None,
     )
 
 
+def sssp(graph: Graph, seeds, *, max_iters: int = 10_000, out_dir=None,
+         checkpoint_dir=None, checkpoint_interval: int = 10,
+         resume: bool = False, actor_cpus=None):
+    """Weighted shortest distance from the seed set (frontier Bellman-Ford
+    in the (min, +) semiring; non-negative weights; -1 = unreachable)."""
+    from flashray.programs import SSSP
+
+    def clean(df):
+        df["value"] = np.where(np.isinf(df["value"]), -1.0, df["value"])
+        return df
+
+    return _frontier_loop(
+        graph, SSSP(seeds), max_iters=max_iters, out_dir=out_dir,
+        checkpoint_dir=checkpoint_dir, checkpoint_interval=checkpoint_interval,
+        resume=resume, actor_cpus=actor_cpus, postprocess=clean,
+    )
+
+
 def landmark_distances(graph: Graph, landmarks, *, max_iters: int = 10_000,
                        actor_cpus=None):
     """Per-landmark hop distances in ONE sweep: K simultaneous BFS floods

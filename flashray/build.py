@@ -290,9 +290,11 @@ def build_graph(
 
 
 def build_graph_from_arrays(
-    src: np.ndarray, dst: np.ndarray, path: str, **kwargs
+    src: np.ndarray, dst: np.ndarray, path: str, weight=None, **kwargs
 ) -> Graph:
     """Convenience for fixtures/tests: numpy edge arrays → graph layout."""
     from flashray.fixtures import edges_table
 
-    return build_graph(ray.data.from_arrow(edges_table(src, dst)), path, **kwargs)
+    return build_graph(
+        ray.data.from_arrow(edges_table(src, dst, weight)), path, **kwargs
+    )

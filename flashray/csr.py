@@ -181,6 +181,7 @@ def scatter_partials(
     combine: str,
     identity,
     use_weights: bool = False,
+    weight_op: str = "mul",
     edge_mask: np.ndarray | None = None,
 ) -> np.ndarray:
     """Dense scatter: per-edge messages → per-(destination partition, dst)
@@ -189,11 +190,16 @@ def scatter_partials(
     destination q is ``[qranges[q], qranges[q+1])`` (static offsets the
     receiver learned at handshake). One buffer per partition keeps the
     plasma store write O(1) objects (measured: 128 small buffers per
-    return cost ~10 ms/actor/superstep in object-store writes)."""
+    return cost ~10 ms/actor/superstep in object-store writes).
+
+    ``weight_op="add"`` applies weights in the tropical (min, +) semiring
+    (SSSP relaxations: msg = dist + w); the identity must absorb the
+    addition (np.inf does, 0.0 does not)."""
     msgs = signal_by_code[shard.edge_src_code]
     if use_weights:
         w = shard.edge_weight
-        msgs = msgs * (w[:, None] if msgs.ndim == 2 else w)
+        w = w[:, None] if msgs.ndim == 2 else w
+        msgs = msgs + w if weight_op == "add" else msgs * w
     if edge_mask is not None:
         em = edge_mask[:, None] if msgs.ndim == 2 else edge_mask
         msgs = np.where(em, msgs, identity)
@@ -217,6 +223,7 @@ def scatter_partials_sparse(
     combine: str,
     identity,
     use_weights: bool = False,
+    weight_op: str = "mul",
     edge_mask: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sparse-frontier scatter: touch only the out-edges of active source
@@ -246,7 +253,8 @@ def scatter_partials_sparse(
     msgs = signal_by_code[shard.edge_src_code[eidx]]
     if use_weights:
         w = shard.edge_weight[eidx]
-        msgs = msgs * (w[:, None] if msgs.ndim == 2 else w)
+        w = w[:, None] if msgs.ndim == 2 else w
+        msgs = msgs + w if weight_op == "add" else msgs * w
     groups = shard.edge_group()[eidx]
     order = np.argsort(groups, kind="stable")
     groups = groups[order]

@@ -281,6 +281,7 @@ class ShardActor:
                 combine=prog.combine,
                 identity=prog.identity,
                 use_weights=prog.use_weights,
+                weight_op=prog.weight_op,
                 edge_mask=emask,
             )
             if len(pos) * 4 >= G * (3 if wide else 1):
@@ -302,6 +303,7 @@ class ShardActor:
             combine=prog.combine,
             identity=prog.identity,
             use_weights=prog.use_weights,
+            weight_op=prog.weight_op,
             edge_mask=emask,
         )
         return msgs, G, partials

@@ -176,15 +176,18 @@ def er_edges(n: int = 100, p: float = 0.05, seed: int = 42):
     return src.astype(np.int64), dst.astype(np.int64)
 
 
-def edges_table(src: np.ndarray, dst: np.ndarray) -> pa.Table:
+def edges_table(
+    src: np.ndarray, dst: np.ndarray, weight: np.ndarray | None = None
+) -> pa.Table:
     """Wrap fixture edge arrays in the EDGE_SCHEMA."""
     n = len(src)
+    w = np.ones(n) if weight is None else np.asarray(weight, dtype=np.float64)
     return pa.Table.from_arrays(
         [
             pa.array(src),
             pa.array(dst),
             pa.array(["fix"] * n, type=pa.string()),
-            pa.array(np.ones(n)),
+            pa.array(w),
             pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
         ],
         names=["src", "dst", "etype", "weight", "ts"],

@@ -35,6 +35,10 @@ class VertexProgram:
     output_columns: list[str] = []
     frontier_only: bool = False  # inactive sources send the identity
     use_weights: bool = False
+    # how edge weights enter the message: "mul" (rank · w — probability
+    # semiring) or "add" (dist + w — tropical min-plus semiring; identity
+    # must absorb the add, i.e. np.inf)
+    weight_op: str = "mul"
     uses_channels: bool = False  # shards load per-edge etype channels
     channel_map: dict = {}  # etype string -> int8 channel code
     # On split (skew) graphs: True lets the engine run fused single-wave
@@ -232,6 +236,55 @@ class BFS(VertexProgram):
     def signal(self, shard, state):
         v = state["values"]
         return np.where(v < INT_IDENTITY, v + 1, INT_IDENTITY)
+
+    def apply(self, shard, state, agg, N):
+        new = np.minimum(state["values"], agg)
+        changed = new < state["values"]
+        state["values"] = new
+        state["active"] = changed
+        n = int(changed.sum())
+        return {"delta": float(n), "changed": n, "active": n}
+
+
+class SSSP(VertexProgram):
+    """Weighted single-source shortest paths in the tropical (min, +)
+    semiring: each superstep relaxes every out-edge of the frontier with
+    msg = dist(u) + w(e), min-combined at the receiver (frontier
+    Bellman-Ford — the standard label-correcting distributed SSSP).
+    Non-negative weights only. identity = +inf absorbs both the frontier
+    mask and the per-edge add."""
+
+    combine = "min"
+    identity = np.inf
+    dtype = np.float64
+    frontier_only = True
+    use_weights = True
+    weight_op = "add"
+    stale_mirror_safe = True  # label-correcting min relaxation: messages
+    # carry candidate distances, so a delayed delivery can only delay
+    # convergence (and the 2-consecutive-quiet stop waits it out)
+
+    def __init__(self, seeds):
+        self.seeds = np.asarray(
+            sorted(set(int(s) for s in seeds)), dtype=np.int64
+        )
+        if not len(self.seeds):
+            raise ValueError("SSSP needs a non-empty seed set")
+
+    def init_state(self, shard, N):
+        values = np.full(shard.nv, np.inf)
+        active = np.zeros(shard.nv, dtype=bool)
+        if shard.nv and len(self.seeds):
+            pos = np.searchsorted(shard.vertex_ids, self.seeds)
+            m = (pos < shard.nv) & (
+                shard.vertex_ids[np.minimum(pos, shard.nv - 1)] == self.seeds
+            )
+            values[pos[m]] = 0.0
+            active[pos[m]] = True
+        return {"values": values, "active": active}
+
+    def signal(self, shard, state):
+        return state["values"]  # the engine adds w(e) per edge
 
     def apply(self, shard, state, agg, N):
         new = np.minimum(state["values"], agg)

@@ -208,3 +208,48 @@ def test_landmark_distances_disconnected(tmp_graphs):
     got = out.set_index("vertex_id")
     assert got.loc[10, "dist_0"] == -1 and got.loc[0, "dist_10"] == -1
     assert got.loc[11, "dist_10"] == 1 and got.loc[1, "dist_0"] == 1
+
+
+def test_sssp_matches_dijkstra(tmp_path):
+    """Weighted SSSP (tropical min-plus relaxations) vs Dijkstra oracle,
+    including a case where fewer hops != shorter distance."""
+    rng = np.random.default_rng(17)
+    n = 60
+    src, dst, w = [], [], []
+    seen = set()  # unique pairs: the builder SUMS duplicate-edge weights
+    for _ in range(240):
+        a, b = rng.integers(0, n, 2)
+        if a != b and (int(a), int(b)) not in seen:
+            seen.add((int(a), int(b)))
+            src.append(int(a)); dst.append(int(b))
+            w.append(float(rng.integers(1, 10)))
+    g = build_graph_from_arrays(
+        np.asarray(src, dtype=np.int64), np.asarray(dst, dtype=np.int64),
+        str(tmp_path / "wg"), weight=np.asarray(w), num_partitions=4,
+    )
+    df = algorithms.sssp(g, [0])
+    want = oracles.sssp_dijkstra(src, dst, w, [0])
+    got = dict(zip(df["vertex_id"].astype(int), df["value"]))
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_sssp_hops_vs_distance(tmp_path):
+    # 0->2 direct costs 10; 0->1->2 costs 2+3=5: SSSP must prefer the
+    # longer-hop cheaper path (BFS would not)
+    src = np.asarray([0, 0, 1], dtype=np.int64)
+    dst = np.asarray([2, 1, 2], dtype=np.int64)
+    w = np.asarray([10.0, 2.0, 3.0])
+    g = build_graph_from_arrays(src, dst, str(tmp_path / "t"), weight=w,
+                                num_partitions=2)
+    df = algorithms.sssp(g, [0])
+    got = dict(zip(df["vertex_id"].astype(int), df["value"]))
+    assert got == {0: 0.0, 1: 2.0, 2: 5.0}
+
+
+def test_sssp_unreachable(tmp_graphs):
+    graph, _ = tmp_graphs("two_components", FIXES["two_components"])
+    df = algorithms.sssp(graph, [0])
+    got = dict(zip(df["vertex_id"].astype(int), df["value"]))
+    assert got[10] == -1.0 and got[11] == -1.0 and got[0] == 0.0

@@ -28,10 +28,24 @@ g = build_graph(extract.extract_edges(rd.read_parquet(path)), out,
                 num_partitions=8, symmetrize=True)
 pr = algorithms.pagerank(g, eps=1e-10).sort_values("vertex_id")
 wc = algorithms.wcc(g).sort_values("vertex_id")
+vids = pr["vertex_id"].astype(int).tolist()
+ss = algorithms.sssp(g, [vids[0]]).sort_values("vertex_id")
+ld = algorithms.landmark_distances(g, vids[:2])
+from flashray.engine import Engine
+from flashray.programs import HyperBallProgram
+with Engine(g, HyperBallProgram(p=8)) as eng:
+    for _ in range(64):
+        if eng.step()["changed"] == 0:
+            break
+    hb = eng.values_pandas().sort_values("vertex_id")
 print(json.dumps({
     "pr": pr["value"].tolist(),
     "wcc": wc["value"].astype(int).tolist(),
-    "vids": pr["vertex_id"].astype(int).tolist(),
+    "vids": vids,
+    "sssp": ss["value"].tolist(),
+    "ld": ld.drop(columns=["vertex_id"]).to_numpy().ravel().tolist(),
+    "hb_est": hb["value"].tolist(),
+    "hb_harm": hb["harmonic"].tolist(),
 }))
 ray.shutdown()
 """
@@ -51,3 +65,7 @@ def test_results_identical_across_num_cpus(tmp_path):
     assert a["vids"] == b["vids"]
     assert a["wcc"] == b["wcc"]  # exact
     assert np.array_equal(np.asarray(a["pr"]), np.asarray(b["pr"]))  # bit-identical
+    assert a["sssp"] == b["sssp"]  # min-plus relaxation: exact
+    assert a["ld"] == b["ld"]  # multi-source BFS: exact
+    assert np.array_equal(np.asarray(a["hb_est"]), np.asarray(b["hb_est"]))
+    assert np.array_equal(np.asarray(a["hb_harm"]), np.asarray(b["hb_harm"]))

@@ -160,11 +160,30 @@ def run_bench() -> dict:
 
     t0 = time.perf_counter()
     with Engine(g_sym, HyperBallProgram(p=8)) as eng:
+        nf = [eng.broadcast_event({"op": "ball_sum"})["ball_sum"]]
         for _ in range(16):
-            if eng.step()["changed"] == 0:
+            m = eng.step()
+            if m["changed"] == 0:
                 break
+            nf.append(m["ball_sum"])
         extra["hyperball_supersteps"] = eng.iteration
     queries["hyperball_engine"] = time.perf_counter() - t0
+    from flashray.hyperball import effective_diameter
+
+    extra["effective_diameter"] = round(effective_diameter(nf), 3)
+
+    # weighted SSSP (tropical min-plus) from the smallest vertex id
+    from flashray import algorithms as _alg
+
+    t0 = time.perf_counter()
+    seed = int(
+        g_dir.vertices_dataset(columns=["vertex_id"])
+        .to_pandas()["vertex_id"]
+        .min()
+    )
+    sss = _alg.sssp(g_dir, [seed])
+    queries["sssp"] = time.perf_counter() - t0
+    extra["sssp_reached"] = int((sss["value"] >= 0).sum())
 
     _datapipe_bench(queries, extra)
 

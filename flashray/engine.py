@@ -942,8 +942,9 @@ class Engine:
             # persist the mirror the in-flight (lost-on-restore) scatter
             # used — metas#(k-1) — so a resumed run replays it exactly
             metas = ray.get(self._prev_meta_refs)
+            d = self.program.value_dim
             full = np.full(
-                len(self.split_ids),
+                (len(self.split_ids), d) if d else len(self.split_ids),
                 self.program.identity,
                 dtype=self.program.dtype,
             )

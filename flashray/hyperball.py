@@ -235,6 +235,7 @@ def hyperball_engine(
     num_partitions: int | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
+    return_nf: bool = False,
 ) -> pd.DataFrame:
     """:func:`hyperball` on the superstep engine: per-vertex HLL registers
     are vector-valued vertex state (``value_dim = 2^p``) max-merged through
@@ -269,13 +270,31 @@ def hyperball_engine(
         num_partitions=num_partitions,
     )
     with Engine(g, HyperBallProgram(p=p)) as eng:
+        nf = [eng.broadcast_event({"op": "ball_sum"})["ball_sum"]]  # N(0)
         for _ in range(max_iters):
-            if eng.step()["changed"] == 0:
-                break
+            m = eng.step()
+            if m["changed"] == 0:
+                break  # this step's ball_sum duplicates the previous one
+            nf.append(m["ball_sum"])  # N(t) = Σ_v |B_t(v)|
         df = eng.values_pandas()
     df = df.rename(columns={"value": "ball_est"})
-    return (
+    out = (
         df[["vertex_id", "ball_est", "harmonic"]]
         .sort_values("vertex_id")
         .reset_index(drop=True)
     )
+    return (out, nf) if return_nf else out
+
+
+def effective_diameter(nf, q: float = 0.9) -> float:
+    """Effective diameter from a neighborhood-function curve ``nf`` (as
+    returned by ``hyperball_engine(..., return_nf=True)``): the smallest
+    (linearly interpolated) t such that N(t) ≥ q · N(∞) — the standard
+    ANF/HyperBall summary (Palmer et al. KDD 2002; Boldi & Vigna)."""
+    target = q * nf[-1]
+    for t in range(len(nf)):
+        if nf[t] >= target:
+            if t == 0 or nf[t] == nf[t - 1]:
+                return float(t)
+            return t - 1 + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+    return float(len(nf) - 1)

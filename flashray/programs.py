@@ -500,7 +500,19 @@ class HyperBallProgram(VertexProgram):
             state["values"] = est_new
         state["active"] = changed
         state["t"] = t + 1
-        return {"delta": float(n), "changed": n, "active": n}
+        return {
+            "delta": float(n),
+            "changed": n,
+            "active": n,
+            # Σ_v |B_t(v)| partial — summed across partitions this is the
+            # neighborhood function N(t) (ANF / HyperBall's output curve)
+            "ball_sum": float(state["values"].sum()),
+        }
+
+    def on_event(self, shard, state, payload):
+        if payload.get("op") == "ball_sum":
+            return {"ball_sum": float(state["values"].sum())}
+        return {}
 
     def state_columns(self):
         return ["values", "regs", "harmonic", "active"]

@@ -160,3 +160,26 @@ def test_hyperball_partition_invariant():
     b = hyperball.hyperball(rd.from_pandas(df).repartition(5), p=8)
     assert (a["ball_est"].values == b["ball_est"].values).all()
     assert (a["harmonic"].values == b["harmonic"].values).all()
+
+
+def test_neighborhood_function_and_effective_diameter(tmp_path):
+    """N(t) = Σ_v min(t+1, n-v) on a directed n-chain; effective diameter
+    interpolates the 90% point of that curve (p=12 → near-exact)."""
+    n = 10
+    edges = rd.from_pandas(
+        pd.DataFrame({"src": list(range(n - 1)), "dst": list(range(1, n))})
+    )
+    out, nf = hyperball.hyperball_engine(
+        edges, str(tmp_path / "nf"), p=12, num_partitions=2, return_nf=True
+    )
+    want_nf = [
+        sum(min(t + 1, n - v) for v in range(n)) for t in range(n)
+    ]
+    assert len(nf) == len(want_nf)
+    np.testing.assert_allclose(nf, want_nf, rtol=0.02)
+    got_ed = hyperball.effective_diameter(nf)
+    # exact-curve effective diameter with the same interpolation
+    tgt = 0.9 * want_nf[-1]
+    t = next(i for i, v in enumerate(want_nf) if v >= tgt)
+    want_ed = t - 1 + (tgt - want_nf[t - 1]) / (want_nf[t] - want_nf[t - 1])
+    assert abs(got_ed - want_ed) < 0.2, (got_ed, want_ed)

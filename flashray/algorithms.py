@@ -232,27 +232,29 @@ def sssp(graph: Graph, seeds, *, max_iters: int = 10_000, out_dir=None,
     )
 
 
-def landmark_distances(graph: Graph, landmarks, *, max_iters: int = 10_000,
-                       actor_cpus=None):
-    """Per-landmark hop distances in ONE sweep: K simultaneous BFS floods
+def landmark_distances(graph: Graph, landmarks, *, weighted: bool = False,
+                       max_iters: int = 10_000, actor_cpus=None):
+    """Per-landmark distances in ONE sweep: K simultaneous BFS floods
     as vector-valued vertex state (:class:`programs.MultiSourceBFS`,
     ``value_dim = K``) — the standard landmark/pivot distance
-    featurization for graph ML, at 1 graph pass instead of K. Returns
+    featurization for graph ML, at 1 graph pass instead of K.
+    ``weighted=True`` floods weighted distances instead of hop counts
+    (K simultaneous tropical-semiring SSSPs). Returns
     (vertex_id, dist_<landmark>...) with -1 for unreachable."""
     import pandas as pd
 
     from flashray.programs import MultiSourceBFS
 
-    prog = MultiSourceBFS(landmarks)
+    prog = MultiSourceBFS(landmarks, weighted=weighted)
     with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
         eng.run(lambda m: m["changed"] == 0, max_iters=max_iters)
         df = eng.values_pandas()
     mat = np.stack(df["value"].to_numpy())  # (nv, K) from fixed-size lists
     out = pd.DataFrame({"vertex_id": df["vertex_id"].astype(np.int64)})
     for i, s in enumerate(prog.seeds):
-        out[f"dist_{int(s)}"] = np.where(
-            mat[:, i] >= INT_IDENTITY, -1, mat[:, i]
-        )
+        col = mat[:, i]
+        unreached = np.isinf(col) if weighted else col >= INT_IDENTITY
+        out[f"dist_{int(s)}"] = np.where(unreached, -1, col)
     return out.sort_values("vertex_id").reset_index(drop=True)
 
 

@@ -302,7 +302,11 @@ class MultiSourceBFS(VertexProgram):
     every per-landmark hop distance: the standard landmark-distance
     featurization, and the primitive behind K-sweep pseudo-diameter.
     Per-column math is identical to :class:`BFS`; columns whose flood
-    finished simply stop contributing (identity)."""
+    finished simply stop contributing (identity).
+
+    ``weighted=True`` composes with the tropical semiring: floods carry
+    weighted distances (per-edge msg = dist + w, identity +inf) — K
+    simultaneous SSSPs, i.e. weighted landmark distances."""
 
     combine = "min"
     identity = INT_IDENTITY
@@ -310,17 +314,23 @@ class MultiSourceBFS(VertexProgram):
     frontier_only = True
     stale_mirror_safe = True  # same value-carrying min flood as BFS
 
-    def __init__(self, seeds):
+    def __init__(self, seeds, weighted: bool = False):
         self.seeds = np.asarray(
             sorted(set(int(s) for s in seeds)), dtype=np.int64
         )
         if not len(self.seeds):
             raise ValueError("multi-source BFS needs a non-empty seed list")
         self.value_dim = len(self.seeds)
+        self.weighted = weighted
+        if weighted:
+            self.dtype = np.float64
+            self.identity = np.inf
+            self.use_weights = True
+            self.weight_op = "add"
 
     def init_state(self, shard, N):
         K = self.value_dim
-        dist = np.full((shard.nv, K), INT_IDENTITY, dtype=np.int64)
+        dist = np.full((shard.nv, K), self.identity, dtype=self.dtype)
         changed = np.zeros((shard.nv, K), dtype=bool)
         if shard.nv:
             pos = np.searchsorted(shard.vertex_ids, self.seeds)
@@ -341,6 +351,9 @@ class MultiSourceBFS(VertexProgram):
         # frontier — the scalar active bit can't distinguish which of a
         # vertex's K floods moved)
         v = state["values"]
+        if self.weighted:
+            # the engine adds w(e) per edge; inf marks inactive columns
+            return np.where(state["changed_cols"], v, np.inf)
         return np.where(
             state["changed_cols"] & (v < INT_IDENTITY), v + 1, INT_IDENTITY
         )

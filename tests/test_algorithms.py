@@ -253,3 +253,30 @@ def test_sssp_unreachable(tmp_graphs):
     df = algorithms.sssp(graph, [0])
     got = dict(zip(df["vertex_id"].astype(int), df["value"]))
     assert got[10] == -1.0 and got[11] == -1.0 and got[0] == 0.0
+
+
+def test_landmark_distances_weighted_matches_dijkstra(tmp_path):
+    """weighted=True landmark distances (multi-source tropical min-plus:
+    value_dim × weight_op compose) vs per-source Dijkstra."""
+    rng = np.random.default_rng(41)
+    n = 50
+    src, dst, w = [], [], []
+    seen = set()
+    for _ in range(200):
+        a, b = rng.integers(0, n, 2)
+        if a != b and (int(a), int(b)) not in seen:
+            seen.add((int(a), int(b)))
+            src.append(int(a)); dst.append(int(b))
+            w.append(float(rng.integers(1, 9)))
+    g = build_graph_from_arrays(
+        np.asarray(src, dtype=np.int64), np.asarray(dst, dtype=np.int64),
+        str(tmp_path / "wl"), weight=np.asarray(w), num_partitions=4,
+    )
+    landmarks = [0, 11, 29]
+    out = algorithms.landmark_distances(g, landmarks, weighted=True)
+    for s in landmarks:
+        want = oracles.sssp_dijkstra(src, dst, w, [s])
+        got = dict(zip(out["vertex_id"].astype(int), out[f"dist_{s}"]))
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, (s, v, got[v], want[v])

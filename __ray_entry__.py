@@ -1007,6 +1007,23 @@ def _q_sssp_user(sf_dir: str):
     return out[["user_id", "dist"]]
 
 
+def _q_random_walks_user(sf_dir: str):
+    """Deterministic random walks (training-corpus generation) over the
+    user-succession DAG: step t of walk w moves to the out-neighbor d
+    minimizing sha256('w:t:d') — RNG-free, so the oracle replays every
+    step with a correlated ORDER-BY-hash subquery in a recursive CTE.
+    Output (walk_id, step, vertex_id), walk_len 4, 1 walk per vertex."""
+    from flashray import walks
+
+    edges = _user_succession_edges(sf_dir)
+    out = walks.random_walks(
+        edges, walk_len=4, walks_per_vertex=1, hash_fn="sha", num_buckets=16
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def _q_convert_transcripts_roundtrip(sf_dir: str):
     """S5 format converters: transcripts → JSONL text → Dataset. The
     north-rule invariant (per-turn text equality under stable ordering)
@@ -1166,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperball_engine_user": _q_hyperball_engine_user,
         "landmark_distances_user": _q_landmark_distances_user,
         "sssp_user": _q_sssp_user,
+        "random_walks_user": _q_random_walks_user,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
         "scc_reply_hist": _q_scc_reply_hist,
@@ -1401,6 +1419,33 @@ SELECT src AS user_id,
        ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
                   THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS ball_est
 FROM est""",
+        # deterministic random walks: the recursive term re-chooses each
+        # step's successor as argmin sha256('walk:step:dst') over the
+        # current vertex's out-edges — exactly the engine's rule
+        "random_walks_user": """
+WITH RECURSIVE
+b AS (SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+r(walk_id, step, v) AS (
+  SELECT u, 0, u FROM verts
+  UNION ALL
+  SELECT r.walk_id, r.step + 1,
+         (SELECT e.dst FROM e WHERE e.src = r.v
+          ORDER BY CAST(concat('0x', substr(sha256(
+             CAST(r.walk_id AS VARCHAR) || ':' || CAST(r.step + 1 AS VARCHAR)
+             || ':' || CAST(e.dst AS VARCHAR)), 1, 16)) AS UBIGINT), e.dst
+          LIMIT 1)
+  FROM r WHERE r.step < 4
+    AND EXISTS (SELECT 1 FROM e WHERE e.src = r.v)
+)
+SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
+       CAST(v AS BIGINT) AS vertex_id
+FROM r""",
         # weighted SSSP: recursive CTE enumerates every (vertex, path-cost)
         # pair from the source (integer costs dedup under UNION), MIN per
         # vertex = shortest weighted distance

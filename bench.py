@@ -186,6 +186,19 @@ def run_bench() -> dict:
     queries["sssp"] = time.perf_counter() - t0
     extra["sssp_reached"] = int((sss["value"] >= 0).sum())
 
+    # deterministic random-walk corpus (DeepWalk-style) over the directed
+    # graph: 4 steps, splitmix priorities (the scale path)
+    from flashray import walks as _walks
+
+    t0 = time.perf_counter()
+    corpus = _walks.random_walks(
+        g_dir.edges_dataset(columns=["src", "dst"]),
+        walk_len=4,
+        num_buckets=P,
+    )
+    queries["random_walks"] = time.perf_counter() - t0
+    extra["walk_rows"] = int(len(corpus))
+
     _datapipe_bench(queries, extra)
 
     ray.shutdown()

@@ -1,0 +1,180 @@
+"""Deterministic random walks over an edge Dataset — graph-structured
+training-corpus generation (DeepWalk/node2vec-style: the walk corpus is the
+input to skip-gram embedding training; Perozzi et al. KDD 2014).
+
+RNG-free by construction: step t of walk w moves to the out-neighbor d
+minimizing a hash of (salt, w, t, d). Deterministic across runs, block
+layouts and parallelism; resumable (re-running a step recomputes the same
+choice); and — with ``hash_fn="sha"`` — exactly reproducible in SQL (the
+``random_walks_user`` driver oracle replays every step with a correlated
+ORDER-BY-hash subquery inside a recursive CTE).
+
+Dataflow per step (no per-walk Ray groups — the walk table is bucketed by
+hash(walk_id) into ``num_buckets`` groups and each bucket chooses all its
+walks' next hops in one vectorized pandas pass):
+
+    frontier (walk_id, v) ⋈ edges on v = src   [one bucket-join shuffle]
+      → candidates (walk_id, dst, priority)
+      → per-bucket argmin (priority, dst) per walk_id
+      → next frontier; rows (walk_id, step, vertex_id) appended
+
+Walks that reach a vertex with no out-edges simply end (inner join drops
+them) — matching the SQL oracle's EXISTS guard.
+
+Scale notes: the per-step shuffle ships one row per (frontier walk ×
+out-degree); ``hash_fn="splitmix"`` (default) keeps the priority pure
+vectorized numpy. ``hash_fn="sha"`` pays one sha256 per candidate row and
+exists for SQL-oracle parity — use splitmix at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from flashray.ids import _splitmix64
+from flashray.joins import bucket_hash_join
+
+_C_STEP = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _priority(walk_id, step: int, dst, salt: str, hash_fn: str) -> np.ndarray:
+    if hash_fn == "sha":
+        from flashray.datapipe.sketches import _sha_u64
+
+        return _sha_u64(
+            [
+                f"{salt}{int(w)}:{step}:{int(d)}"
+                for w, d in zip(walk_id, dst)
+            ]
+        )
+    w = np.asarray(walk_id).astype(np.uint64)
+    d = np.asarray(dst).astype(np.uint64)
+    s = np.uint64(step)
+    with np.errstate(over="ignore"):
+        h = _splitmix64(w + _C_STEP * (s + np.uint64(1)))
+        return _splitmix64(h ^ d)
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    *,
+    walk_len: int,
+    walks_per_vertex: int = 1,
+    salt: str = "",
+    num_buckets: int = 64,
+    hash_fn: str = "splitmix",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> pd.DataFrame:
+    """Generate ``walks_per_vertex`` deterministic walks of up to
+    ``walk_len`` steps from every vertex. Returns rows
+    (walk_id, step, vertex_id) sorted by (walk_id, step); walk_id =
+    start_vertex × walks_per_vertex + j. The result is one row per visited
+    position — write it to parquet for a training corpus instead of
+    collecting when the graph is large."""
+    I64 = pa.int64()
+    e = edges.map_batches(
+        lambda b: pa.table(
+            {"src": b[src_col].cast(I64), "dst": b[dst_col].cast(I64)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    verts = np.unique(
+        np.concatenate(
+            [
+                np.concatenate(
+                    [
+                        b["src"].to_numpy(zero_copy_only=False),
+                        b["dst"].to_numpy(zero_copy_only=False),
+                    ]
+                )
+                for b in e.iter_batches(batch_format="pyarrow", batch_size=65536)
+            ]
+        )
+    )
+    wpv = int(walks_per_vertex)
+    walk_id = np.repeat(verts, wpv) * wpv + np.tile(np.arange(wpv), len(verts))
+    frontier = ray.data.from_arrow(
+        pa.table(
+            {
+                "walk_id": pa.array(walk_id, type=I64),
+                "v": pa.array(np.repeat(verts, wpv), type=I64),
+            }
+        )
+    ).materialize()
+    out = [
+        pd.DataFrame(
+            {
+                "walk_id": walk_id,
+                "step": np.zeros(len(walk_id), dtype=np.int64),
+                "vertex_id": np.repeat(verts, wpv),
+            }
+        )
+    ]
+
+    fr_schema = pa.schema([("walk_id", I64), ("v", I64)])
+    e_schema = pa.schema([("src", I64), ("dst", I64)])
+
+    for t in range(1, int(walk_len) + 1):
+        cand = bucket_hash_join(
+            frontier,
+            e,
+            ["v"],
+            right_on=["src"],
+            num_buckets=num_buckets,
+            left_schema=fr_schema,
+            right_schema=e_schema,
+        )
+
+        def bucketize(b: pa.Table) -> pa.Table:
+            w = b["walk_id"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "__wbucket",
+                pa.array((w % num_buckets).astype(np.int64)),
+            )
+
+        def choose(g: pd.DataFrame, _t=t) -> pd.DataFrame:
+            # all candidates of a walk are in this bucket: argmin
+            # (priority, dst) per walk, vectorized via one sort
+            pri = _priority(
+                g["walk_id"].to_numpy(), _t, g["dst"].to_numpy(), salt, hash_fn
+            )
+            g = g.assign(__pri=pri).sort_values(
+                ["walk_id", "__pri", "dst"], kind="stable"
+            )
+            top = g.drop_duplicates("walk_id")
+            return pd.DataFrame(
+                {
+                    "walk_id": top["walk_id"].to_numpy(),
+                    "v": top["dst"].to_numpy(),
+                }
+            )
+
+        frontier = (
+            cand.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("__wbucket")
+            .map_groups(choose, batch_format="pandas")
+            .materialize()
+        )
+        step_df = frontier.to_pandas()
+        if not len(step_df):
+            break
+        out.append(
+            pd.DataFrame(
+                {
+                    "walk_id": step_df["walk_id"].astype(np.int64),
+                    "step": np.full(len(step_df), t, dtype=np.int64),
+                    "vertex_id": step_df["v"].astype(np.int64),
+                }
+            )
+        )
+
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,85 @@
+"""Deterministic random walks (training-corpus generation)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from flashray import walks
+
+
+def _replay_sha(src, dst, walk_len, salt=""):
+    """Independent replay of the documented rule with hashlib directly."""
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    verts = sorted(set(map(int, src)) | set(map(int, dst)))
+    rows = []
+    for w in verts:
+        cur = w
+        rows.append((w, 0, w))
+        for t in range(1, walk_len + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(
+                nbrs,
+                key=lambda d: (
+                    int.from_bytes(
+                        hashlib.sha256(
+                            f"{salt}{w}:{t}:{d}".encode()
+                        ).digest()[:8],
+                        "big",
+                    ),
+                    d,
+                ),
+            )
+            rows.append((w, t, cur))
+    return pd.DataFrame(rows, columns=["walk_id", "step", "vertex_id"])
+
+
+def test_walks_match_independent_replay():
+    rng = np.random.default_rng(13)
+    n = 30
+    src, dst = [], []
+    seen = set()
+    for _ in range(120):
+        a, b = rng.integers(0, n, 2)
+        if a != b and (int(a), int(b)) not in seen:
+            seen.add((int(a), int(b)))
+            src.append(int(a)); dst.append(int(b))
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    got = walks.random_walks(edges, walk_len=5, hash_fn="sha", num_buckets=8)
+    want = _replay_sha(src, dst, 5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_walks_dead_end_terminates():
+    # path 0->1->2: every walk runs to vertex 2 then stops
+    edges = rd.from_pandas(pd.DataFrame({"src": [0, 1], "dst": [1, 2]}))
+    out = walks.random_walks(edges, walk_len=10)
+    got = {
+        w: list(g.sort_values("step")["vertex_id"])
+        for w, g in out.groupby("walk_id")
+    }
+    assert got == {0: [0, 1, 2], 1: [1, 2], 2: [2]}
+
+
+def test_walks_partition_invariant_and_multiwalk():
+    df = pd.DataFrame({"src": [0, 0, 1, 2, 2], "dst": [1, 2, 2, 0, 1]})
+    a = walks.random_walks(
+        rd.from_pandas(df).repartition(1), walk_len=6, walks_per_vertex=3
+    )
+    b = walks.random_walks(
+        rd.from_pandas(df).repartition(5), walk_len=6, walks_per_vertex=3
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert a["walk_id"].nunique() == 9  # 3 vertices x 3 walks
+    # different walk ids from one start may diverge (independent hashes)
+    w0 = list(a[a["walk_id"] == 0]["vertex_id"])
+    w1 = list(a[a["walk_id"] == 1]["vertex_id"])
+    assert w0[0] == w1[0] == 0

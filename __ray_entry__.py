@@ -1024,6 +1024,22 @@ def _q_random_walks_user(sf_dir: str):
     return out
 
 
+def _q_skipgram_pairs_user(sf_dir: str):
+    """Skip-gram (center, context, n) training pairs from the
+    deterministic walk corpus (window 2) — the embedding-training set;
+    oracle replays the walks in SQL then self-joins within the window."""
+    from flashray import walks
+
+    edges = _user_succession_edges(sf_dir)
+    corpus = walks.random_walks(
+        edges, walk_len=4, walks_per_vertex=1, hash_fn="sha", num_buckets=16
+    )
+    out = walks.skipgram_pairs(corpus, window=2, num_buckets=16)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def _q_convert_transcripts_roundtrip(sf_dir: str):
     """S5 format converters: transcripts → JSONL text → Dataset. The
     north-rule invariant (per-turn text equality under stable ordering)
@@ -1184,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_distances_user": _q_landmark_distances_user,
         "sssp_user": _q_sssp_user,
         "random_walks_user": _q_random_walks_user,
+        "skipgram_pairs_user": _q_skipgram_pairs_user,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
         "scc_reply_hist": _q_scc_reply_hist,
@@ -1446,6 +1463,35 @@ r(walk_id, step, v) AS (
 SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
        CAST(v AS BIGINT) AS vertex_id
 FROM r""",
+        # skip-gram pairs: the same replayed walks, self-joined within a
+        # 2-step window, counted per ordered (center, context)
+        "skipgram_pairs_user": """
+WITH RECURSIVE
+b AS (SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+r(walk_id, step, v) AS (
+  SELECT u, 0, u FROM verts
+  UNION ALL
+  SELECT r.walk_id, r.step + 1,
+         (SELECT e.dst FROM e WHERE e.src = r.v
+          ORDER BY CAST(concat(\'0x\', substr(sha256(
+             CAST(r.walk_id AS VARCHAR) || \':\' || CAST(r.step + 1 AS VARCHAR)
+             || \':\' || CAST(e.dst AS VARCHAR)), 1, 16)) AS UBIGINT), e.dst
+          LIMIT 1)
+  FROM r WHERE r.step < 4
+    AND EXISTS (SELECT 1 FROM e WHERE e.src = r.v)
+),
+p AS (SELECT a.v AS center, bb.v AS context
+      FROM r a JOIN r bb ON a.walk_id = bb.walk_id
+      WHERE abs(a.step - bb.step) BETWEEN 1 AND 2)
+SELECT CAST(center AS BIGINT) AS center, CAST(context AS BIGINT) AS context,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2""",
         # weighted SSSP: recursive CTE enumerates every (vertex, path-cost)
         # pair from the source (integer costs dedup under UNION), MIN per
         # vertex = shortest weighted distance

@@ -178,3 +178,92 @@ def random_walks(
         .sort_values(["walk_id", "step"])
         .reset_index(drop=True)
     )
+
+
+def skipgram_pairs(
+    corpus,
+    *,
+    window: int,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """(center, context, n) co-occurrence pairs from a walk corpus — the
+    skip-gram training set for DeepWalk/node2vec embeddings: every ordered
+    pair of positions within ``window`` steps on the same walk, counted.
+
+    One bucket pass: walks are hash-bucketed (a walk's rows co-locate),
+    pairs are ``window`` vectorized self-merges per bucket (never a Ray
+    group per walk), then one bucketed count aggregate."""
+    from flashray.joins import bucket_group_agg
+
+    ds = (
+        ray.data.from_pandas(corpus)
+        if isinstance(corpus, pd.DataFrame)
+        else corpus
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        w = b["walk_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "walk_id": b["walk_id"].cast(pa.int64()),
+                "step": b["step"].cast(pa.int64()),
+                "vertex_id": b["vertex_id"].cast(pa.int64()),
+                "__wbucket": pa.array((w % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[["walk_id", "step", "vertex_id"]]
+        out = []
+        for d in range(1, window + 1):
+            shifted = base.assign(step=base["step"] + d)
+            m = shifted.merge(
+                base, on=["walk_id", "step"], suffixes=("_a", "_b")
+            )
+            if len(m):
+                # a sits d steps BEFORE b: emit both directions
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "center": m["vertex_id_a"].to_numpy(),
+                            "context": m["vertex_id_b"].to_numpy(),
+                        }
+                    )
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "center": m["vertex_id_b"].to_numpy(),
+                            "context": m["vertex_id_a"].to_numpy(),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "center": pd.Series(dtype=np.int64),
+                    "context": pd.Series(dtype=np.int64),
+                    "__one": pd.Series(dtype=np.int64),
+                }
+            )
+        res = pd.concat(out, ignore_index=True)
+        res["__one"] = np.ones(len(res), dtype=np.int64)
+        return res
+
+    prs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__wbucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    agg = bucket_group_agg(
+        prs,
+        ["center", "context"],
+        {"n": ("__one", "sum")},
+        num_buckets=num_buckets,
+    )
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    return (
+        df.sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )

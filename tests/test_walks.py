@@ -83,3 +83,35 @@ def test_walks_partition_invariant_and_multiwalk():
     w0 = list(a[a["walk_id"] == 0]["vertex_id"])
     w1 = list(a[a["walk_id"] == 1]["vertex_id"])
     assert w0[0] == w1[0] == 0
+
+
+def _replay_pairs(corpus, window):
+    rows = {}
+    for w, g in corpus.groupby("walk_id"):
+        seq = list(g.sort_values("step")["vertex_id"])
+        for i in range(len(seq)):
+            for j in range(len(seq)):
+                if i != j and abs(i - j) <= window:
+                    k = (int(seq[i]), int(seq[j]))
+                    rows[k] = rows.get(k, 0) + 1
+    return rows
+
+
+def test_skipgram_pairs_match_replay():
+    rng = np.random.default_rng(19)
+    n = 25
+    src, dst = [], []
+    seen = set()
+    for _ in range(90):
+        a, b = rng.integers(0, n, 2)
+        if a != b and (int(a), int(b)) not in seen:
+            seen.add((int(a), int(b)))
+            src.append(int(a)); dst.append(int(b))
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    corpus = walks.random_walks(edges, walk_len=5, walks_per_vertex=2)
+    got_df = walks.skipgram_pairs(corpus, window=2, num_buckets=8)
+    got = {
+        (int(r["center"]), int(r["context"])): int(r["n"])
+        for _, r in got_df.iterrows()
+    }
+    assert got == _replay_pairs(corpus, 2)

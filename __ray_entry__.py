@@ -404,6 +404,125 @@ def _q_triangles_tool_cooccur(sf_dir: str):
     return df[["tool", "triangles"]]
 
 
+def _q_clustering_tool_cooccur(sf_dir: str):
+    """Local clustering coefficient per tool on the tool co-occurrence
+    graph: cc = 2·triangles/(deg·(deg−1)) — exact; the SQL oracle
+    recomputes degree (distinct partners) and triangles (3-way self-join).
+    Output (tool, deg, triangles, cc) rounded to 6 dp."""
+    import ray.data as rd
+
+    from flashray import triangles as tri
+    from flashray.build import build_graph
+    from flashray.fixtures import edges_table
+    from flashray.ids import id64_array
+
+    edges = _tool_cooccur_edges_ds(sf_dir).to_pandas()
+    names = sorted(set(edges["tool_a"]) | set(edges["tool_b"]))
+    ids = id64_array(names)
+    id_of = dict(zip(names, ids))
+    name_of = {int(i): n for n, i in id_of.items()}
+    src = edges["tool_a"].map(id_of).to_numpy(dtype=np.int64)
+    dst = edges["tool_b"].map(id_of).to_numpy(dtype=np.int64)
+    path = os.path.join(_CACHE_ROOT, "graphs", f"toolco_cc_{_tier(sf_dir)}")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(
+        rd.from_arrow(edges_table(np.r_[src, dst], np.r_[dst, src])),
+        path,
+        num_partitions=4,
+    )
+    df = tri.clustering_coefficient(g).to_pandas()
+    df["tool"] = df["vertex_id"].map(lambda v: name_of[int(v)])
+    df["cc"] = df["cc"].round(6)
+    df["deg"] = df["deg"].astype(np.int64)
+    df["triangles"] = df["triangles"].astype(np.int64)
+    return df[["tool", "deg", "triangles", "cc"]]
+
+
+def _q_clustering_user_graph(sf_dir: str):
+    """Local clustering coefficient over the (symmetrized) user-succession
+    graph — a non-degenerate cc distribution, exact vs a SQL 3-way
+    self-join oracle. Output (user_id, deg, triangles, cc) at 6 dp."""
+    import shutil
+
+    from flashray import triangles as tri
+    from flashray.build import build_graph
+
+    from flashray.fixtures import EPOCH_US
+
+    def to_edge_schema(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(np.ones(n)),
+                "ts": pa.array(
+                    np.full(n, EPOCH_US), type=pa.timestamp("us")
+                ),
+            }
+        )
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        to_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", f"usercc_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    df = tri.clustering_coefficient(g).to_pandas()
+    df["user_id"] = df["vertex_id"].astype(np.int64)
+    df["cc"] = df["cc"].round(6)
+    df["deg"] = df["deg"].astype(np.int64)
+    df["triangles"] = df["triangles"].astype(np.int64)
+    return df[["user_id", "deg", "triangles", "cc"]]
+
+
+def _q_spmv_user(sf_dir: str):
+    """SpMV (FlashMatrix-parity kernel) over the user-succession DAG:
+    y[dst] = Σ x[src] over edges with x = user_id % 7 + 1 — exact vs the
+    SQL join+sum oracle. Output (user_id, y) at 6 dp."""
+    import shutil
+
+    from flashray import matrix
+    from flashray.build import build_graph
+    from flashray.fixtures import EPOCH_US
+
+    def to_edge_schema(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(np.ones(n)),
+                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
+            }
+        )
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        to_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", f"userspmv_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(edges, path, num_partitions=4)
+
+    def make_x(b: pa.Table) -> pa.Table:
+        v = b["vertex_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"vertex_id": v, "x": (v % 7 + 1).astype(np.float64)}
+        )
+
+    x = g.vertices_dataset(columns=["vertex_id"]).map_batches(
+        make_x, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = matrix.spmv(g, x).to_pandas()
+    out["user_id"] = out["vertex_id"].astype(np.int64)
+    out["y"] = out["y"].round(6)
+    return out[["user_id", "y"]]
+
+
 def _q_wcc_reply_sizes(sf_dir: str):
     """WCC on the reply-only graph; output = component-size histogram.
     Oracle invariant: reply edges connect exactly the turns of one
@@ -1166,6 +1285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_edges": _q_events_user_edges,
         "tool_cooccurrence": _q_tool_cooccurrence,
         "triangles_tool_cooccur": _q_triangles_tool_cooccur,
+        "clustering_tool_cooccur": _q_clustering_tool_cooccur,
+        "clustering_user_graph": _q_clustering_user_graph,
+        "spmv_user": _q_spmv_user,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
         "bfs_reply_depth": _q_bfs_reply_depth,
@@ -1577,6 +1699,61 @@ members AS (
   SELECT v1 AS tool FROM tri UNION ALL SELECT v2 FROM tri UNION ALL SELECT v3 FROM tri
 )
 SELECT tool, COUNT(*) AS triangles FROM members GROUP BY 1""",
+        "clustering_tool_cooccur": f"""
+WITH e0 AS ({tool_edges}),
+e AS (SELECT tool_a AS a, tool_b AS b FROM e0
+      UNION ALL SELECT tool_b, tool_a FROM e0),
+deg AS (SELECT a AS tool, COUNT(*) AS deg FROM e GROUP BY 1),
+tri AS (
+  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e2.b = e3.a AND e3.b = e1.a
+  WHERE e1.a < e1.b AND e1.b < e2.b
+),
+members AS (
+  SELECT v1 AS tool FROM tri UNION ALL SELECT v2 FROM tri
+  UNION ALL SELECT v3 FROM tri
+),
+tcnt AS (SELECT tool, COUNT(*) AS triangles FROM members GROUP BY 1)
+SELECT d.tool, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN d.deg >= 2
+                  THEN 2.0 * COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0.0 END, 6) AS cc
+FROM deg d LEFT JOIN tcnt t ON t.tool = d.tool""",
+        "clustering_user_graph": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+e AS (SELECT src AS a, dst AS bb FROM eu UNION ALL SELECT dst, src FROM eu),
+deg AS (SELECT a AS user_id, COUNT(*) AS deg FROM e GROUP BY 1),
+tri AS (SELECT e1.a AS v1, e1.bb AS v2, e2.bb AS v3
+        FROM e e1 JOIN e e2 ON e1.bb = e2.a
+        JOIN e e3 ON e2.bb = e3.a AND e3.bb = e1.a
+        WHERE e1.a < e1.bb AND e1.bb < e2.bb),
+members AS (SELECT v1 AS user_id FROM tri UNION ALL SELECT v2 FROM tri
+            UNION ALL SELECT v3 FROM tri),
+tcnt AS (SELECT user_id, COUNT(*) AS triangles FROM members GROUP BY 1)
+SELECT CAST(d.user_id AS BIGINT) AS user_id, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN d.deg >= 2
+                  THEN 2.0 * COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0.0 END, 6) AS cc
+FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id""",
+        "spmv_user": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+x AS (SELECT u AS vertex_id, CAST(u % 7 + 1 AS DOUBLE) AS x FROM verts),
+y AS (SELECT e.dst AS user_id, SUM(x.x) AS y
+      FROM e JOIN x ON x.vertex_id = e.src GROUP BY 1)
+SELECT CAST(v.u AS BIGINT) AS user_id, ROUND(COALESCE(y.y, 0.0), 6) AS y
+FROM verts v LEFT JOIN y ON y.user_id = v.u""",
         "wcc_reply_sizes": f"""
 WITH t AS ({_tsql()}),
 convs AS (SELECT conv_id, COUNT(*) AS size FROM t GROUP BY 1)

@@ -1,0 +1,196 @@
+"""Sparse matrix-vector products over the edge table — the FlashMatrix
+side of the reference lineage (FlashX couples FlashGraph with a
+semi-external-memory matrix engine; SpMV is the kernel under its PageRank
+/ eigensolver paths; SURVEY.md §2.3 S5 notes the fg2fm converter whose
+whole purpose is feeding this kernel).
+
+Ray-Data-first dataflow (no superstep engine needed — SpMV is one
+gather-scatter round):
+
+    edges (src, dst[, weight]) ⋈ x on the gather side   [one bucket join]
+      → (out_vertex, w·x) contributions
+      → bucket_group_agg sum                            [one bucket agg]
+      → left join the vertex table (vertices with no contributing edge
+        get 0.0)
+
+Both shuffles are int64-keyed and partial-combined; the vector never
+materializes on the driver. ``spmm`` is the multi-vector variant (k
+columns through the same two shuffles — the building block for batched
+power iteration / Krylov steps).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from flashray.build import Graph
+from flashray.joins import bucket_group_agg, bucket_hash_join
+
+_I64 = pa.int64()
+_F64 = pa.float64()
+
+
+def _as_dataset(x, cols: list[str]) -> ray.data.Dataset:
+    if isinstance(x, pd.DataFrame):
+        return ray.data.from_pandas(x[cols])
+    return x
+
+
+def spmv(
+    graph: Graph,
+    x,
+    *,
+    x_col: str = "x",
+    weighted: bool = False,
+    direction: str = "out",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """y = Aᵀx (``direction="out"``: y[dst] = Σ_{(src,dst)∈E} w·x[src],
+    messages flowing along edge direction like every vertex program) or
+    y = Ax (``direction="in"``: y[src] = Σ w·x[dst], the pull gather).
+
+    ``x`` is a Dataset or pandas DataFrame (vertex_id, x). Returns a
+    Dataset (vertex_id, y) covering EVERY vertex (0.0 where no edge
+    contributes). ``weighted=True`` multiplies by the edge weight
+    column."""
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    B = num_buckets or max(16, graph.num_partitions)
+    gather, out = ("src", "dst") if direction == "out" else ("dst", "src")
+
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    edges = graph.edges_dataset(columns=cols)
+    xs = _as_dataset(x, ["vertex_id", x_col])
+
+    esch = pa.schema(
+        [("src", _I64), ("dst", _I64)]
+        + ([("weight", _F64)] if weighted else [])
+    )
+    j = bucket_hash_join(
+        edges,
+        xs,
+        [gather],
+        right_on=["vertex_id"],
+        num_buckets=B,
+        left_schema=esch,
+        right_schema=pa.schema([("vertex_id", _I64), (x_col, _F64)]),
+    )
+
+    def contrib(b: pa.Table) -> pa.Table:
+        v = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if weighted:
+            v = v * b["weight"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"vertex_id": b[out].cast(_I64), "y": pa.array(v, type=_F64)}
+        )
+
+    summed = bucket_group_agg(
+        j.map_batches(contrib, batch_format="pyarrow"),
+        ["vertex_id"],
+        {"y": ("y", "sum")},
+        num_buckets=B,
+    )
+
+    verts = graph.vertices_dataset(columns=["vertex_id"])
+    full = bucket_hash_join(
+        verts,
+        summed,
+        ["vertex_id"],
+        how="left",
+        num_buckets=B,
+        left_schema=pa.schema([("vertex_id", _I64)]),
+        right_schema=pa.schema([("vertex_id", _I64), ("y", _F64)]),
+    )
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vertex_id": b["vertex_id"].astype(np.int64),
+                "y": b["y"].fillna(0.0).astype(np.float64),
+            }
+        )
+
+    return full.map_batches(fill, batch_format="pandas")
+
+
+def spmm(
+    graph: Graph,
+    x,
+    *,
+    x_cols: list[str],
+    weighted: bool = False,
+    direction: str = "out",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Multi-vector SpMV: k columns of ``x`` through ONE join + ONE
+    aggregate (k-fold fewer shuffles than k spmv calls). Returns
+    (vertex_id, y_<col>…) over every vertex."""
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    B = num_buckets or max(16, graph.num_partitions)
+    gather, out = ("src", "dst") if direction == "out" else ("dst", "src")
+
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    edges = graph.edges_dataset(columns=cols)
+    xs = _as_dataset(x, ["vertex_id"] + list(x_cols))
+
+    esch = pa.schema(
+        [("src", _I64), ("dst", _I64)]
+        + ([("weight", _F64)] if weighted else [])
+    )
+    j = bucket_hash_join(
+        edges,
+        xs,
+        [gather],
+        right_on=["vertex_id"],
+        num_buckets=B,
+        left_schema=esch,
+        right_schema=pa.schema(
+            [("vertex_id", _I64)] + [(c, _F64) for c in x_cols]
+        ),
+    )
+
+    ycols = [f"y_{c}" for c in x_cols]
+
+    def contrib(b: pa.Table) -> pa.Table:
+        w = (
+            b["weight"].to_numpy(zero_copy_only=False)
+            if weighted
+            else None
+        )
+        data = {"vertex_id": b[out].cast(_I64)}
+        for c, yc in zip(x_cols, ycols):
+            v = b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            data[yc] = pa.array(v * w if w is not None else v, type=_F64)
+        return pa.table(data)
+
+    summed = bucket_group_agg(
+        j.map_batches(contrib, batch_format="pyarrow"),
+        ["vertex_id"],
+        {yc: (yc, "sum") for yc in ycols},
+        num_buckets=B,
+    )
+
+    verts = graph.vertices_dataset(columns=["vertex_id"])
+    full = bucket_hash_join(
+        verts,
+        summed,
+        ["vertex_id"],
+        how="left",
+        num_buckets=B,
+        left_schema=pa.schema([("vertex_id", _I64)]),
+        right_schema=pa.schema(
+            [("vertex_id", _I64)] + [(yc, _F64) for yc in ycols]
+        ),
+    )
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        data = {"vertex_id": b["vertex_id"].astype(np.int64)}
+        for yc in ycols:
+            data[yc] = b[yc].fillna(0.0).astype(np.float64)
+        return pd.DataFrame(data)
+
+    return full.map_batches(fill, batch_format="pandas")

@@ -344,3 +344,69 @@ def topk_scan(graph: Graph, k: int = 10, *, num_buckets: int | None = None):
     return scan_statistic(graph, num_buckets=num_buckets).sort(
         ["scan", "vertex_id"], descending=[True, False]
     ).limit(k)
+
+
+def clustering_coefficient(
+    graph: Graph, *, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Local clustering coefficient per vertex:
+    ``cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1))`` over the undirected
+    (canonical, cross-etype-deduped) edge set; 0.0 for deg < 2.
+
+    Derived from the same wedge-join dataflow as :func:`triangles` (A5) —
+    no new shuffle shape; one extra left join of the degree table against
+    the per-vertex triangle counts. Returns (vertex_id, deg, triangles,
+    cc); every vertex with at least one undirected edge appears."""
+    B = num_buckets or max(16, graph.num_partitions)
+    tri = triangles(graph, num_buckets=B)
+    und = _canonical_undirected(graph)
+    deg = _degree_table(graph, und)
+    j = bucket_hash_join(
+        deg,
+        tri,
+        ["vertex_id"],
+        how="left",
+        num_buckets=B,
+        left_schema=pa.schema([("vertex_id", pa.int64()), ("deg", pa.int64())]),
+        right_schema=pa.schema(
+            [("vertex_id", pa.int64()), ("triangles", pa.int64())]
+        ),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["deg"].to_numpy().astype(np.int64)
+        t = b["triangles"].fillna(0).to_numpy().astype(np.int64)
+        denom = (d * (d - 1)).astype(np.float64)
+        cc = np.where(denom > 0, 2.0 * t / np.maximum(denom, 1.0), 0.0)
+        return pd.DataFrame(
+            {
+                "vertex_id": b["vertex_id"].astype(np.int64),
+                "deg": d,
+                "triangles": t,
+                "cc": cc,
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+def transitivity(graph: Graph, *, num_buckets: int | None = None) -> float:
+    """Global transitivity (graph clustering coefficient):
+    ``3·triangles / wedges`` with wedges = Σ_v deg(v)·(deg(v)−1)/2.
+    0.0 for wedge-free graphs."""
+    B = num_buckets or max(16, graph.num_partitions)
+    und = _canonical_undirected(graph).materialize()
+    deg = _degree_table(graph, und)
+
+    def wedge_counts(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"wedges": pa.array([int(np.sum(d * (d - 1) // 2))])})
+
+    wedges = (
+        deg.map_batches(wedge_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("wedges")
+    )
+    if not wedges:
+        return 0.0
+    tri3 = 3 * _closed_wedges(graph, B).count()
+    return tri3 / wedges

@@ -1,0 +1,117 @@
+"""SpMV / SpMM vs dense numpy oracles (FlashMatrix-parity kernel)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flashray import fixtures, matrix
+from flashray.build import build_graph_from_arrays
+
+
+@pytest.fixture(scope="module")
+def er(tmp_path_factory):
+    src, dst = fixtures.er_edges()
+    rng = np.random.default_rng(7)
+    w = rng.uniform(0.5, 2.0, size=len(src))
+    base = tmp_path_factory.mktemp("spmv")
+    g = build_graph_from_arrays(
+        src, dst, str(base / "er"), weight=w, num_partitions=4
+    )
+    return g, src, dst, w
+
+
+def _x_for(g):
+    vids = np.sort(
+        g.vertices_dataset(columns=["vertex_id"]).to_pandas()["vertex_id"].to_numpy()
+    )
+    x = (vids % 7 + 1).astype(np.float64)
+    return vids, x
+
+
+@pytest.mark.parametrize("direction", ["out", "in"])
+def test_spmv_unweighted(er, direction):
+    g, src, dst, _ = er
+    vids, x = _x_for(g)
+    pos = {int(v): i for i, v in enumerate(vids)}
+    want = np.zeros(len(vids))
+    for s, d in zip(src, dst):
+        if direction == "out":
+            want[pos[int(d)]] += x[pos[int(s)]]
+        else:
+            want[pos[int(s)]] += x[pos[int(d)]]
+    got = (
+        matrix.spmv(
+            g,
+            pd.DataFrame({"vertex_id": vids, "x": x}),
+            direction=direction,
+        )
+        .to_pandas()
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+    assert (got["vertex_id"].to_numpy() == vids).all()
+    assert np.allclose(got["y"].to_numpy(), want, atol=1e-12)
+
+
+def test_spmv_weighted(er):
+    g, src, dst, w = er
+    vids, x = _x_for(g)
+    pos = {int(v): i for i, v in enumerate(vids)}
+    want = np.zeros(len(vids))
+    for s, d, ww in zip(src, dst, w):
+        want[pos[int(d)]] += ww * x[pos[int(s)]]
+    got = (
+        matrix.spmv(
+            g, pd.DataFrame({"vertex_id": vids, "x": x}), weighted=True
+        )
+        .to_pandas()
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got["y"].to_numpy(), want, atol=1e-9)
+
+
+def test_spmm_matches_spmv(er):
+    g, _, _, _ = er
+    vids, x = _x_for(g)
+    x2 = ((vids % 3) - 1).astype(np.float64)
+    xdf = pd.DataFrame({"vertex_id": vids, "a": x, "b": x2})
+    got = (
+        matrix.spmm(g, xdf, x_cols=["a", "b"])
+        .to_pandas()
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+    for col, vec in (("a", x), ("b", x2)):
+        single = (
+            matrix.spmv(g, pd.DataFrame({"vertex_id": vids, "x": vec}))
+            .to_pandas()
+            .sort_values("vertex_id")
+            .reset_index(drop=True)
+        )
+        assert np.allclose(got[f"y_{col}"].to_numpy(), single["y"].to_numpy())
+
+
+def test_spmv_power_iteration_matches_pagerank_step(er):
+    """One damped SpMV over rank/outdeg == one PageRank pull superstep —
+    the FlashMatrix equivalence that motivates the kernel."""
+    g, src, dst, _ = er
+    vids, _ = _x_for(g)
+    n = len(vids)
+    pos = {int(v): i for i, v in enumerate(vids)}
+    outdeg = np.zeros(n)
+    for s in src:
+        outdeg[pos[int(s)]] += 1
+    r0 = np.full(n, 1.0 / n)
+    contrib = np.where(outdeg > 0, r0 / np.maximum(outdeg, 1), 0.0)
+    got = (
+        matrix.spmv(g, pd.DataFrame({"vertex_id": vids, "x": contrib}))
+        .to_pandas()
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+    r1 = 0.15 / n + 0.85 * got["y"].to_numpy()
+    want = np.zeros(n)
+    for s, d in zip(src, dst):
+        want[pos[int(d)]] += contrib[pos[int(s)]]
+    assert np.allclose(r1, 0.15 / n + 0.85 * want, atol=1e-12)

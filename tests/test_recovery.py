@@ -75,6 +75,13 @@ def test_dead_actor_probe_and_manual_recover(er_graph, tmp_path):
         eng.step()
         eng.checkpoint(ckpt)
         ray.kill(eng.actors[0])
+        # ray.kill is async: wait until the kill has actually landed
+        # before asserting the probe sees it
+        import time
+
+        deadline = time.time() + 60
+        while eng._probe_dead() != [0] and time.time() < deadline:
+            time.sleep(0.5)
         assert eng._probe_dead() == [0]
         assert eng.recover(ckpt) == 2
         assert eng._probe_dead() == []

@@ -112,3 +112,55 @@ def test_directed_triangles_er(tmp_path):
                     if adj[v, w] and adj[w, u] and u < v and u < w and u != w:
                         want += 1
     assert triangles.directed_triangle_count(g) == want
+
+
+def test_clustering_coefficient(graphs):
+    graph, (src, dst) = graphs("er100", fixtures.er_edges)
+    tri = oracles.triangles_per_vertex(src, dst)
+    deg = {}
+    seen = set()
+    for s, d in zip(src, dst):
+        lo, hi = min(int(s), int(d)), max(int(s), int(d))
+        if lo != hi and (lo, hi) not in seen:
+            seen.add((lo, hi))
+            deg[lo] = deg.get(lo, 0) + 1
+            deg[hi] = deg.get(hi, 0) + 1
+    got = triangles.clustering_coefficient(graph).to_pandas()
+    gmap = {
+        int(r.vertex_id): (int(r.deg), int(r.triangles), float(r.cc))
+        for r in got.itertuples()
+    }
+    for v, dv in deg.items():
+        gd, gt, gcc = gmap[v]
+        assert gd == dv
+        assert gt == tri.get(v, 0)
+        want_cc = 2.0 * tri.get(v, 0) / (dv * (dv - 1)) if dv >= 2 else 0.0
+        assert abs(gcc - want_cc) < 1e-12, v
+
+
+def test_clustering_k3_star(graphs):
+    g3, _ = graphs("k3", fixtures.k3_edges)
+    cc = triangles.clustering_coefficient(g3).to_pandas()
+    assert np.allclose(cc["cc"], 1.0)
+    assert triangles.transitivity(g3) == 1.0
+    gs, _ = graphs("star8", fixtures.star_edges)
+    ccs = triangles.clustering_coefficient(gs).to_pandas()
+    assert np.allclose(ccs["cc"], 0.0)
+    assert triangles.transitivity(gs) == 0.0
+
+
+def test_transitivity_er(graphs):
+    graph, (src, dst) = graphs("er100", fixtures.er_edges)
+    tri = oracles.triangles_per_vertex(src, dst)
+    n_tri = sum(tri.values()) // 3
+    deg = {}
+    seen = set()
+    for s, d in zip(src, dst):
+        lo, hi = min(int(s), int(d)), max(int(s), int(d))
+        if lo != hi and (lo, hi) not in seen:
+            seen.add((lo, hi))
+            deg[lo] = deg.get(lo, 0) + 1
+            deg[hi] = deg.get(hi, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    got = triangles.transitivity(graph)
+    assert abs(got - 3.0 * n_tri / wedges) < 1e-12

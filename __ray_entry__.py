@@ -839,6 +839,49 @@ def _q_docs_quality(sf_dir: str):
     ]
 
 
+def _q_embeddings_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (sem_kmeans parity) over the embeddings
+    table: k=4, one Lloyd round from the 4 lowest-id seed vectors, then
+    assign — the SQL oracle replays the round with list_distance +
+    element-wise AVG. Output (vec_id, cluster), exact."""
+    import ray.data as rd
+
+    from flashray.datapipe import kmeans
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    cents, _ = kmeans.kmeans(
+        ds, k=4, max_iters=1, tol=0.0, init="lowest_ids", concurrency=4
+    )
+    out = kmeans.kmeans_assign(ds, cents, concurrency=4).to_pandas()
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["cluster"] = out["cluster"].astype(np.int64)
+    return out[["vec_id", "cluster"]]
+
+
+def _q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document (duplicate-word
+    fraction, top word/2-gram/3-gram share) — SQL oracle rebuilds the
+    n-gram counts with regexp_extract_all + list_zip. 6-dp match."""
+    import ray.data as rd
+
+    from flashray.datapipe import textstats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = textstats.add_repetition_stats(ds, concurrency=4).to_pandas()
+    for c in ("dup_word_frac", "top_word_frac", "top_2gram_frac",
+              "top_3gram_frac"):
+        out[c] = out[c].round(6)
+    return out[
+        ["doc_id", "dup_word_frac", "top_word_frac", "top_2gram_frac",
+         "top_3gram_frac"]
+    ]
+
+
 def _q_media_features(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -1307,6 +1350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "docs_langid": _q_docs_langid,
         "docs_quality": _q_docs_quality,
+        "docs_repetition": _q_docs_repetition,
+        "embeddings_kmeans": _q_embeddings_kmeans,
         "docs_fingerprints": _q_docs_fingerprints,
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
@@ -1923,6 +1968,65 @@ SELECT d.doc_id,
   CAST(COALESCE(sw.hits, 0) AS DOUBLE)
     / greatest(COALESCE(sw.n, 0), 1) AS stopword_ratio
 FROM documents d LEFT JOIN sw ON sw.doc_id = d.doc_id""",
+        "docs_repetition": """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+t1 AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+words AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS nd
+          FROM t1 GROUP BY 1),
+wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t1 GROUP BY 1, 2),
+topw AS (SELECT doc_id, MAX(c) AS topc FROM wc GROUP BY 1),
+bi0 AS (SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS bg FROM base),
+bi1 AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM bi0
+        WHERE bg[2] IS NOT NULL),
+bc AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi1 GROUP BY 1, 2, 3),
+topb AS (SELECT doc_id, MAX(c) AS topc FROM bc GROUP BY 1),
+tr0 AS (SELECT doc_id, unnest(list_zip(toks, toks[2:], toks[3:])) AS tg
+        FROM base),
+tr1 AS (SELECT doc_id, tg[1] AS w1, tg[2] AS w2, tg[3] AS w3 FROM tr0
+        WHERE tg[3] IS NOT NULL),
+tc AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS c FROM tr1 GROUP BY 1, 2, 3, 4),
+topt AS (SELECT doc_id, MAX(c) AS topc FROM tc GROUP BY 1)
+SELECT b.doc_id,
+  ROUND(CASE WHEN COALESCE(w.n, 0) > 0
+             THEN (w.n - w.nd) * 1.0 / w.n ELSE 0.0 END, 6) AS dup_word_frac,
+  ROUND(CASE WHEN COALESCE(w.n, 0) > 0
+             THEN COALESCE(tw.topc, 0) * 1.0 / w.n ELSE 0.0 END, 6)
+    AS top_word_frac,
+  ROUND(CASE WHEN COALESCE(w.n, 0) > 1
+             THEN COALESCE(tb.topc, 0) * 1.0 / (w.n - 1) ELSE 0.0 END, 6)
+    AS top_2gram_frac,
+  ROUND(CASE WHEN COALESCE(w.n, 0) > 2
+             THEN COALESCE(tt.topc, 0) * 1.0 / (w.n - 2) ELSE 0.0 END, 6)
+    AS top_3gram_frac
+FROM base b LEFT JOIN words w USING (doc_id)
+LEFT JOIN topw tw ON tw.doc_id = b.doc_id
+LEFT JOIN topb tb ON tb.doc_id = b.doc_id
+LEFT JOIN topt tt ON tt.doc_id = b.doc_id""",
+        "embeddings_kmeans": """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cl, v
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)),
+a1 AS (SELECT e.vec_id, e.v,
+              (SELECT s.cl FROM seeds s
+               ORDER BY list_distance(e.v, s.v), s.cl LIMIT 1) AS cl
+       FROM emb e),
+m AS (SELECT cl, pos, AVG(val) AS mv FROM (
+        SELECT cl, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM a1
+      ) GROUP BY 1, 2),
+c1 AS (SELECT cl, list(mv ORDER BY pos) AS v FROM m GROUP BY 1),
+cents AS (SELECT s.cl, COALESCE(c1.v, s.v) AS v
+          FROM seeds s LEFT JOIN c1 ON c1.cl = s.cl),
+a2 AS (SELECT e.vec_id,
+              (SELECT c.cl FROM cents c
+               ORDER BY list_distance(e.v, c.v), c.cl LIMIT 1) AS cl
+       FROM emb e)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster
+FROM a2""",
         "docs_fingerprints": f"""
 WITH RECURSIVE pw(k, p) AS (
   SELECT 0, CAST(1 AS HUGEINT)

@@ -119,6 +119,93 @@ class Fingerprint:
         return batch
 
 
+class RepetitionStats:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    *Scaling Language Models* — the duplicate-text quality filters used by
+    large-scale LLM data pipelines): fraction of duplicated words and the
+    share of the most frequent word / adjacent 2-gram / 3-gram.
+
+    Tokens are ``\\S+`` runs (SQL-reproducible: DuckDB
+    ``regexp_extract_all`` + ``list_zip`` n-grams — driver oracle
+    ``docs_repetition``). Vectorized across the whole batch: all tokens
+    flatten into one array with a doc index, counts come from pandas
+    C-level groupbys — never a per-document Python loop."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.tok = re.compile(r"\S+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        toks = s.str.findall(self.tok)
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            if int(n.sum())
+            else np.empty(0, dtype=object)
+        )
+        doc = np.repeat(np.arange(len(s), dtype=np.int64), n)
+
+        def top_and_distinct(keys, docs, nrows):
+            """(max multiplicity per doc, distinct count per doc) of the
+            tuple keys — one pandas C-level groupby."""
+            if not len(docs):
+                z = np.zeros(nrows, dtype=np.int64)
+                return z, z.copy()
+            df = pd.DataFrame({"d": docs})
+            for i, k in enumerate(keys):
+                df[f"k{i}"] = k
+            c = df.groupby(["d"] + [f"k{i}" for i in range(len(keys))],
+                           sort=False).size()
+            per_doc = c.groupby(level=0).agg(["max", "count"])
+            top = np.zeros(nrows, dtype=np.int64)
+            nd = np.zeros(nrows, dtype=np.int64)
+            idx = per_doc.index.to_numpy()
+            top[idx] = per_doc["max"].to_numpy()
+            nd[idx] = per_doc["count"].to_numpy()
+            return top, nd
+
+        nrows = len(s)
+        topw, ndist = top_and_distinct([flat], doc, nrows)
+        # adjacent n-grams: consecutive positions whose doc index matches
+        same2 = doc[:-1] == doc[1:] if len(doc) else np.zeros(0, dtype=bool)
+        top2, _ = top_and_distinct(
+            [flat[:-1][same2], flat[1:][same2]], doc[:-1][same2], nrows
+        )
+        same3 = (
+            (doc[:-2] == doc[1:-1]) & (doc[1:-1] == doc[2:])
+            if len(doc) > 1
+            else np.zeros(0, dtype=bool)
+        )
+        top3, _ = top_and_distinct(
+            [flat[:-2][same3], flat[1:-1][same3], flat[2:][same3]],
+            doc[:-2][same3],
+            nrows,
+        )
+
+        nf = n.astype(np.float64)
+        batch["dup_word_frac"] = np.where(n > 0, (n - ndist) / np.maximum(nf, 1), 0.0)
+        batch["top_word_frac"] = np.where(n > 0, topw / np.maximum(nf, 1), 0.0)
+        batch["top_2gram_frac"] = np.where(
+            n > 1, top2 / np.maximum(nf - 1, 1), 0.0
+        )
+        batch["top_3gram_frac"] = np.where(
+            n > 2, top3 / np.maximum(nf - 2, 1), 0.0
+        )
+        return batch
+
+
+def add_repetition_stats(ds, *, text_col: str = "text", concurrency: int = 4,
+                         batch_size: int = 4096):
+    return ds.map_batches(
+        RepetitionStats,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=_util.pool_size(concurrency),
+    )
+
+
 def add_text_stats(ds, *, text_col: str = "text", concurrency: int = 4,
                    batch_size: int = 4096):
     return ds.map_batches(

@@ -292,3 +292,40 @@ def test_multimodal_real_decode_pipeline():
     assert (
         frames["frame_fingerprint"].values == again["frame_fingerprint"].values
     ).all()
+
+
+def test_repetition_stats():
+    from collections import Counter
+
+    texts = [
+        "a b a b c",
+        "x",
+        "",
+        "y y y",
+        "the cat the cat the dog",
+        "unique words only here now",
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = (
+        textstats.add_repetition_stats(ds, concurrency=2, batch_size=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    for i, t in enumerate(texts):
+        w = t.split()
+        n = len(w)
+        dup = (n - len(set(w))) / n if n else 0.0
+        topw = max(Counter(w).values()) / n if n else 0.0
+        bis = list(zip(w, w[1:]))
+        top2 = max(Counter(bis).values()) / (n - 1) if n > 1 else 0.0
+        tris = list(zip(w, w[1:], w[2:]))
+        top3 = max(Counter(tris).values()) / (n - 2) if n > 2 else 0.0
+        row = out.iloc[i]
+        assert abs(row["dup_word_frac"] - dup) < 1e-12, i
+        assert abs(row["top_word_frac"] - topw) < 1e-12, i
+        assert abs(row["top_2gram_frac"] - top2) < 1e-12, i
+        assert abs(row["top_3gram_frac"] - top3) < 1e-12, i

@@ -1202,6 +1202,39 @@ def _q_skipgram_pairs_user(sf_dir: str):
     return out
 
 
+def _q_node2vec_walks_user(sf_dir: str):
+    """node2vec biased second-order walks (p=4, q=0.25) over the
+    SYMMETRIZED user-succession graph — reverse edges make the 1/p
+    return branch reachable. Deterministic integer cumulative-sum
+    inversion on sha256(walk:step); the oracle replays every step with
+    a windowed-SUM subquery in a recursive CTE."""
+    from flashray import walks
+
+    edges = _user_succession_edges(sf_dir)
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    out = walks.node2vec_walks(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        walk_len=4,
+        p=4.0,
+        q=0.25,
+        hash_fn="sha",
+        num_buckets=16,
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def _q_convert_transcripts_roundtrip(sf_dir: str):
     """S5 format converters: transcripts → JSONL text → Dataset. The
     north-rule invariant (per-turn text equality under stable ordering)
@@ -1367,6 +1400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_distances_user": _q_landmark_distances_user,
         "sssp_user": _q_sssp_user,
         "random_walks_user": _q_random_walks_user,
+        "node2vec_walks_user": _q_node2vec_walks_user,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1626,6 +1660,55 @@ r(walk_id, step, v) AS (
           LIMIT 1)
   FROM r WHERE r.step < 4
     AND EXISTS (SELECT 1 FROM e WHERE e.src = r.v)
+)
+SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
+       CAST(v AS BIGINT) AS vertex_id
+FROM r""",
+        # node2vec biased walks: recursive CTE replays the engine's exact
+        # integer-weight cumulative-sum inversion — weights 250000 (return,
+        # 1/p with p=4), 1000000 (neighbor-of-prev), 4000000 (outward,
+        # 1/q with q=0.25); draw = sha256(walk:step) % total; step 1 is
+        # the uniform argmin-hash rule
+        "node2vec_walks_user": """
+WITH RECURSIVE
+b AS (SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e0 AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+r(walk_id, step, prev, v) AS (
+  SELECT u, 0, CAST(-1 AS BIGINT), CAST(u AS BIGINT) FROM verts
+  UNION ALL
+  SELECT r.walk_id, r.step + 1, r.v,
+    CASE WHEN r.step = 0 THEN
+      (SELECT e1.dst FROM e e1 WHERE e1.src = r.v
+       ORDER BY CAST(concat('0x', substr(sha256(
+          CAST(r.walk_id AS VARCHAR) || ':' || CAST(r.step + 1 AS VARCHAR)
+          || ':' || CAST(e1.dst AS VARCHAR)), 1, 16)) AS UBIGINT), e1.dst
+       LIMIT 1)
+    ELSE
+      (SELECT t.dst FROM (
+         SELECT w.dst,
+                SUM(w.w) OVER (ORDER BY w.dst ROWS UNBOUNDED PRECEDING)
+                  AS cum,
+                SUM(w.w) OVER () AS tot
+         FROM (SELECT e2.dst,
+                      CASE WHEN e2.dst = r.prev THEN 250000
+                           WHEN EXISTS (SELECT 1 FROM e e3
+                                        WHERE e3.src = r.prev
+                                          AND e3.dst = e2.dst) THEN 1000000
+                           ELSE 4000000 END AS w
+               FROM e e2 WHERE e2.src = r.v) w
+       ) t
+       WHERE CAST(t.cum AS UBIGINT) > (CAST(concat('0x', substr(sha256(
+          CAST(r.walk_id AS VARCHAR) || ':' || CAST(r.step + 1 AS VARCHAR)),
+          1, 16)) AS UBIGINT) % CAST(t.tot AS UBIGINT))
+       ORDER BY t.dst LIMIT 1)
+    END
+  FROM r WHERE r.step < 4 AND EXISTS (SELECT 1 FROM e WHERE e.src = r.v)
 )
 SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
        CAST(v AS BIGINT) AS vertex_id

@@ -85,7 +85,8 @@ def random_walks(
 
     verts = np.unique(
         np.concatenate(
-            [
+            [np.empty(0, dtype=np.int64)]
+            + [
                 np.concatenate(
                     [
                         b["src"].to_numpy(zero_copy_only=False),
@@ -160,6 +161,257 @@ def random_walks(
             .map_groups(choose, batch_format="pandas")
             .materialize()
         )
+        step_df = frontier.to_pandas()
+        if not len(step_df):
+            break
+        out.append(
+            pd.DataFrame(
+                {
+                    "walk_id": step_df["walk_id"].astype(np.int64),
+                    "step": np.full(len(step_df), t, dtype=np.int64),
+                    "vertex_id": step_df["v"].astype(np.int64),
+                }
+            )
+        )
+
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+
+
+def _alpha_weights(p: float, q: float, scale: int = 1_000_000) -> tuple[int, int, int]:
+    """node2vec bias factors as exact integers (so the cumulative-sum
+    inversion is integer math, bit-identical in numpy and SQL):
+    return = round(scale/p), in-triangle = scale, outward = round(scale/q)."""
+    return int(round(scale / float(p))), int(scale), int(round(scale / float(q)))
+
+
+def _bias_u(walk_id: np.ndarray, step: int, salt: str, hash_fn: str) -> np.ndarray:
+    """Per-(walk, step) uniform draw for the weighted choice, as uint64."""
+    if hash_fn == "sha":
+        from flashray.datapipe.sketches import _sha_u64
+
+        return _sha_u64([f"{salt}{int(w)}:{step}" for w in walk_id])
+    w = np.asarray(walk_id).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return _splitmix64(
+            _splitmix64(w + _C_STEP * np.uint64(step + 1)) ^ _C_BIAS
+        )
+
+
+_C_BIAS = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def node2vec_walks(
+    edges: ray.data.Dataset,
+    *,
+    walk_len: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_vertex: int = 1,
+    salt: str = "",
+    num_buckets: int = 64,
+    hash_fn: str = "splitmix",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_scale: int = 1_000_000,
+) -> pd.DataFrame:
+    """node2vec biased second-order walks (Grover & Leskovec, KDD 2016):
+    from ``v`` (arrived via ``prev``), candidate ``d`` is weighted
+    1/p if d == prev, 1 if (prev, d) is an edge, else 1/q. Deterministic,
+    RNG-free: the step-t draw for walk w is hash(salt, w, t) and the next
+    hop is the first candidate (ascending d) whose integer cumulative
+    weight exceeds draw % total — exactly reproducible in SQL with a
+    windowed SUM over the same integer weights (driver oracle
+    ``node2vec_walks_user``). Step 1 has no ``prev`` and is the uniform
+    argmin-hash rule of :func:`random_walks`.
+
+    The second-order flag needs "is d a neighbor of prev" — normally an
+    edge-set join per step. This implementation avoids it: the PREVIOUS
+    step's candidate set for walk w is exactly N(prev), so the flag is a
+    per-bucket merge of two consecutive candidate sets, both already
+    bucketed by hash(walk_id). Per step: one bucket-join shuffle
+    (frontier x edges) + one bucket groupby over cand_t ∪ cand_{t-1}.
+
+    ``edges`` must be duplicate-free — repeated (src, dst) rows would
+    double that candidate's weight. Returns (walk_id, step, vertex_id)
+    like :func:`random_walks`."""
+    wp, wc, wq = _alpha_weights(p, q, weight_scale)
+    I64 = pa.int64()
+    e = edges.map_batches(
+        lambda b: pa.table(
+            {"src": b[src_col].cast(I64), "dst": b[dst_col].cast(I64)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    verts = np.unique(
+        np.concatenate(
+            [np.empty(0, dtype=np.int64)]
+            + [
+                np.concatenate(
+                    [
+                        b["src"].to_numpy(zero_copy_only=False),
+                        b["dst"].to_numpy(zero_copy_only=False),
+                    ]
+                )
+                for b in e.iter_batches(batch_format="pyarrow", batch_size=65536)
+            ]
+        )
+    )
+    wpv = int(walks_per_vertex)
+    walk_id = np.repeat(verts, wpv) * wpv + np.tile(np.arange(wpv), len(verts))
+    start_v = np.repeat(verts, wpv)
+    frontier = ray.data.from_arrow(
+        pa.table(
+            {
+                "walk_id": pa.array(walk_id, type=I64),
+                "prev": pa.array(np.full(len(walk_id), -1), type=I64),
+                "v": pa.array(start_v, type=I64),
+            }
+        )
+    ).materialize()
+    out = [
+        pd.DataFrame(
+            {
+                "walk_id": walk_id,
+                "step": np.zeros(len(walk_id), dtype=np.int64),
+                "vertex_id": start_v,
+            }
+        )
+    ]
+
+    fr_schema = pa.schema([("walk_id", I64), ("prev", I64), ("v", I64)])
+    e_schema = pa.schema([("src", I64), ("dst", I64)])
+    prev_cand: ray.data.Dataset | None = None
+
+    def bucketize(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            w = b["walk_id"].to_numpy(zero_copy_only=False)
+            cols = {
+                "walk_id": b["walk_id"].cast(I64),
+                "prev": (
+                    b["prev"].cast(I64)
+                    if "prev" in b.column_names
+                    else pa.array(np.zeros(b.num_rows, dtype=np.int64))
+                ),
+                "v": (
+                    b["v"].cast(I64)
+                    if "v" in b.column_names
+                    else pa.array(np.zeros(b.num_rows, dtype=np.int64))
+                ),
+                "dst": b["dst"].cast(I64),
+                "__wbucket": pa.array((w % num_buckets).astype(np.int64)),
+                "__side": pa.array(
+                    np.full(b.num_rows, side, dtype=np.int64)
+                ),
+            }
+            return pa.table(cols)
+
+        return fn
+
+    _empty = pd.DataFrame(
+        {
+            "walk_id": pd.Series(dtype=np.int64),
+            "prev": pd.Series(dtype=np.int64),
+            "v": pd.Series(dtype=np.int64),
+        }
+    )
+
+    for t in range(1, int(walk_len) + 1):
+        cand = bucket_hash_join(
+            frontier,
+            e,
+            ["v"],
+            right_on=["src"],
+            num_buckets=num_buckets,
+            left_schema=fr_schema,
+            right_schema=e_schema,
+        ).map_batches(bucketize(0), batch_format="pyarrow").materialize()
+
+        if t == 1:
+
+            def choose_first(g: pd.DataFrame, _t=t) -> pd.DataFrame:
+                if not len(g):
+                    return _empty.copy()
+                pri = _priority(
+                    g["walk_id"].to_numpy(), _t, g["dst"].to_numpy(),
+                    salt, hash_fn,
+                )
+                g = g.assign(__pri=pri).sort_values(
+                    ["walk_id", "__pri", "dst"], kind="stable"
+                )
+                top = g.drop_duplicates("walk_id")
+                return pd.DataFrame(
+                    {
+                        "walk_id": top["walk_id"].to_numpy(),
+                        "prev": top["v"].to_numpy(),
+                        "v": top["dst"].to_numpy(),
+                    }
+                )
+
+            frontier = (
+                cand.groupby("__wbucket")
+                .map_groups(choose_first, batch_format="pandas")
+                .materialize()
+            )
+        else:
+
+            def choose_biased(g: pd.DataFrame, _t=t) -> pd.DataFrame:
+                cur = g[g["__side"] == 0]
+                if not len(cur):
+                    return _empty.copy()
+                pcs = (
+                    g[g["__side"] == 1][["walk_id", "dst"]]
+                    .drop_duplicates()
+                    .assign(__nbr=np.int64(1))
+                )
+                m = cur.merge(pcs, on=["walk_id", "dst"], how="left")
+                w = np.full(len(m), wq, dtype=np.int64)
+                w[m["__nbr"].notna().to_numpy()] = wc
+                w[m["dst"].to_numpy() == m["prev"].to_numpy()] = wp
+                m = m.assign(__w=w).sort_values(
+                    ["walk_id", "dst"], kind="stable"
+                )
+                grp = m.groupby("walk_id", sort=False)["__w"]
+                cum = grp.cumsum().to_numpy()
+                tot = grp.transform("sum").to_numpy()
+                u = (
+                    _bias_u(m["walk_id"].to_numpy(), _t, salt, hash_fn)
+                    % tot.astype(np.uint64)
+                ).astype(np.int64)
+                sel = m[cum > u].drop_duplicates("walk_id")
+                return pd.DataFrame(
+                    {
+                        "walk_id": sel["walk_id"].to_numpy(),
+                        "prev": sel["v"].to_numpy(),
+                        "v": sel["dst"].to_numpy(),
+                    }
+                )
+
+            frontier = (
+                cand.union(prev_cand)
+                .groupby("__wbucket")
+                .map_groups(choose_biased, batch_format="pandas")
+                .materialize()
+            )
+
+        prev_cand = cand.map_batches(
+            lambda b: pa.table(
+                {
+                    "walk_id": b["walk_id"],
+                    "prev": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                    "v": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                    "dst": b["dst"],
+                    "__wbucket": b["__wbucket"],
+                    "__side": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
         step_df = frontier.to_pandas()
         if not len(step_df):
             break

@@ -85,6 +85,108 @@ def test_walks_partition_invariant_and_multiwalk():
     assert w0[0] == w1[0] == 0
 
 
+def _replay_node2vec(src, dst, walk_len, p, q, salt=""):
+    """Independent replay of the node2vec rule with hashlib directly:
+    step 1 = uniform argmin-hash; step t>=2 = integer cumulative-sum
+    inversion over (1/p, 1, 1/q)-scaled weights, draw = sha256(w:t)."""
+    from flashray.walks import _alpha_weights
+
+    wp, wc, wq = _alpha_weights(p, q)
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    for v in adj:
+        adj[v] = sorted(set(adj[v]))
+    verts = sorted(set(map(int, src)) | set(map(int, dst)))
+
+    def h(s):
+        return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+
+    rows = []
+    for w in verts:
+        prev, cur = None, w
+        rows.append((w, 0, w))
+        for t in range(1, walk_len + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            if prev is None:
+                nxt = min(nbrs, key=lambda d: (h(f"{salt}{w}:{t}:{d}"), d))
+            else:
+                pn = set(adj.get(prev, []))
+                ws = [
+                    wp if d == prev else (wc if d in pn else wq)
+                    for d in nbrs
+                ]
+                u = h(f"{salt}{w}:{t}") % sum(ws)
+                cum = 0
+                for d, wt in zip(nbrs, ws):
+                    cum += wt
+                    if cum > u:
+                        nxt = d
+                        break
+            rows.append((w, t, nxt))
+            prev, cur = cur, nxt
+    return pd.DataFrame(rows, columns=["walk_id", "step", "vertex_id"])
+
+
+def _sym_test_graph(seed=17, n=24, m=80):
+    """Random digraph with every edge ALSO reversed — guarantees the
+    1/p return branch and triangle branch are both reachable."""
+    rng = np.random.default_rng(seed)
+    seen = set()
+    for _ in range(m):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            seen.add((int(a), int(b)))
+            seen.add((int(b), int(a)))
+    src = [a for a, _ in sorted(seen)]
+    dst = [b for _, b in sorted(seen)]
+    return src, dst
+
+
+def test_node2vec_matches_independent_replay():
+    src, dst = _sym_test_graph()
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    got = walks.node2vec_walks(
+        edges, walk_len=5, p=4.0, q=0.25, hash_fn="sha", num_buckets=8
+    )
+    want = _replay_node2vec(src, dst, 5, 4.0, 0.25)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_node2vec_bias_branches_fire():
+    # p tiny => returning to prev dominates; on a symmetric path the walk
+    # must oscillate 0,1,0,1...
+    edges = rd.from_pandas(
+        pd.DataFrame({"src": [0, 1, 1, 2], "dst": [1, 0, 2, 1]})
+    )
+    out = walks.node2vec_walks(edges, walk_len=4, p=1e-6, q=1.0)
+    w0 = list(out[out["walk_id"] == 0].sort_values("step")["vertex_id"])
+    assert w0 == [0, 1, 0, 1, 0]
+    # q tiny with p huge => never return, always move outward
+    out2 = walks.node2vec_walks(edges, walk_len=2, p=1e6, q=1e-6)
+    w02 = list(out2[out2["walk_id"] == 0].sort_values("step")["vertex_id"])
+    assert w02 == [0, 1, 2]
+
+
+def test_node2vec_partition_invariant():
+    src, dst = _sym_test_graph(seed=5)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    a = walks.node2vec_walks(
+        rd.from_pandas(df).repartition(1), walk_len=4, p=2.0, q=0.5,
+        num_buckets=4,
+    )
+    b = walks.node2vec_walks(
+        rd.from_pandas(df).repartition(7), walk_len=4, p=2.0, q=0.5,
+        num_buckets=16,
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def _replay_pairs(corpus, window):
     rows = {}
     for w, g in corpus.groupby("walk_id"):

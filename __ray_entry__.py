@@ -1202,6 +1202,30 @@ def _q_skipgram_pairs_user(sf_dir: str):
     return out
 
 
+def _q_docs_line_dedup(sf_dir: str):
+    """C4-style cross-corpus record-unit dedup over documents, in word
+    mode (sep=' ': the fixture corpus has no newlines, and its tiny
+    vocabulary makes every common word a HOT key — exercising the
+    salt-replicated stats join). Every word occurrence except the
+    globally-first is dropped when the word appears >= 2 times."""
+    import ray.data as rd
+
+    from flashray.datapipe.dedup import line_dedup
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = (
+        line_dedup(docs, sep=" ", num_buckets=32, salt_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
 def _q_node2vec_walks_user(sf_dir: str):
     """node2vec biased second-order walks (p=4, q=0.25) over the
     SYMMETRIZED user-succession graph — reverse edges make the 1/p
@@ -1401,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_user": _q_sssp_user,
         "random_walks_user": _q_random_walks_user,
         "node2vec_walks_user": _q_node2vec_walks_user,
+        "docs_line_dedup": _q_docs_line_dedup,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1664,6 +1689,31 @@ r(walk_id, step, v) AS (
 SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
        CAST(v AS BIGINT) AS vertex_id
 FROM r""",
+        # C4-style record-unit dedup, word mode: unit counts + global-first
+        # (min doc_id*1e6+pos) per word, keep rule replayed per occurrence,
+        # per-doc reassembly via ORDER BY position string_agg
+        "docs_line_dedup": """
+WITH l AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+gi AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l),
+occ AS (SELECT doc_id, i AS line_idx, ls[i] AS line FROM gi
+        WHERE ls[i] <> ''),
+st AS (SELECT line, COUNT(*) AS n,
+              MIN(doc_id * 1000000 + line_idx) AS first
+       FROM occ GROUP BY 1),
+k AS (SELECT o.doc_id, o.line_idx, o.line,
+             (st.n < 2 OR o.doc_id * 1000000 + o.line_idx = st.first)
+               AS kept
+      FROM occ o JOIN st USING (line)),
+agg AS (SELECT doc_id,
+               string_agg(CASE WHEN kept THEN line END, ' '
+                          ORDER BY line_idx) AS text_dedup,
+               COUNT(*) AS lines_total,
+               SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS lines_kept
+        FROM k GROUP BY 1)
+SELECT d.doc_id, COALESCE(a.text_dedup, '') AS text_dedup,
+       CAST(COALESCE(a.lines_total, 0) AS BIGINT) AS lines_total,
+       CAST(COALESCE(a.lines_kept, 0) AS BIGINT) AS lines_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
         # node2vec biased walks: recursive CTE replays the engine's exact
         # integer-weight cumulative-sum inversion — weights 250000 (return,
         # 1/p with p=4), 1000000 (neighbor-of-prev), 4000000 (outward,

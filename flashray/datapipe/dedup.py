@@ -592,3 +592,165 @@ def candidate_pairs_ngram_jaccard(
         .map_groups(verify, batch_format="pandas")
     )
     return bucket_group_agg(pairs, ["a", "b"], {"jaccard": ("jaccard", "max")})
+
+
+def line_dedup(
+    docs: ray.data.Dataset,
+    *,
+    min_count: int = 2,
+    sep: str = "\n",
+    num_buckets: int = 64,
+    salt_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """C4-style cross-corpus record-unit dedup (Raffel et al., JMLR 2020
+    §2.2 removed all but one of any repeated three-sentence span): split
+    every document on ``sep``, count each non-empty unit's occurrences
+    across the WHOLE corpus, and drop every occurrence of a unit seen
+    >= ``min_count`` times except the globally-first one (smallest
+    (doc_id, position)). Returns one row per input document:
+    (doc_id, text_dedup, lines_total, lines_kept); empty units never
+    count and are never emitted.
+
+    Dataflow (3 shuffles, skew-armored):
+      1. explode -> per-batch PARTIAL (n, first) per unit, so a unit
+         repeated across the corpus contributes one row per batch, not
+         per occurrence, to the stats shuffle;
+      2. bucket_group_agg of partials -> (unit, n, first);
+      3. occurrences LEFT-join stats on (unit, doc_id % salt_buckets)
+         with the stats side replicated ``salt_buckets`` times — a unit
+         duplicated into millions of documents spreads over
+         ``salt_buckets`` buckets instead of melting one task;
+      4. reassemble per document (bucket by doc_id, vectorized groupby).
+
+    Positions are packed as doc_id*1e6 + position for the global-first
+    min — documents are assumed to have < 1e6 units (and ids < 2^43)."""
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    S = int(salt_buckets)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy().astype(np.int64),
+                "text": df[text_col].astype(str),
+            }
+        )
+        s = d.assign(line=d["text"].str.split(sep, regex=False))[
+            ["doc_id", "line"]
+        ].explode("line")
+        s["line_idx"] = s.groupby("doc_id").cumcount().to_numpy() + 1
+        s = s[s["line"].astype(str) != ""]
+        # one sentinel row per doc so all-empty documents still appear
+        # in the reassembly stage (never counted, never kept)
+        sent = pd.DataFrame(
+            {
+                "doc_id": d["doc_id"],
+                "line": "",
+                "line_idx": np.zeros(len(d), dtype=np.int64),
+            }
+        )
+        out = pd.concat([s, sent], ignore_index=True)
+        out["line_idx"] = out["line_idx"].astype(np.int64)
+        out["packed"] = out["doc_id"] * 1_000_000 + out["line_idx"]
+        return out
+
+    occ = docs.map_batches(explode, batch_format="pandas").materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nz = df[df["line"] != ""]
+        if not len(nz):
+            return pd.DataFrame(
+                {
+                    "line": pd.Series(dtype=str),
+                    "n": pd.Series(dtype=np.int64),
+                    "first": pd.Series(dtype=np.int64),
+                }
+            )
+        return nz.groupby("line", as_index=False).agg(
+            n=("packed", "size"), first=("packed", "min")
+        )
+
+    stats = bucket_group_agg(
+        occ.map_batches(partial, batch_format="pandas"),
+        ["line"],
+        {"n": ("n", "sum"), "first": ("first", "min")},
+        num_buckets=num_buckets,
+    )
+
+    def rep_stats(df: pd.DataFrame) -> pd.DataFrame:
+        k = len(df)
+        out = df.loc[df.index.repeat(S)].reset_index(drop=True)
+        out["__jsalt"] = np.tile(np.arange(S, dtype=np.int64), k)
+        return out
+
+    def salt_occ(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__jsalt"] = (df["doc_id"].to_numpy() % S).astype(np.int64)
+        return df
+
+    flagged = bucket_hash_join(
+        occ.map_batches(salt_occ, batch_format="pandas"),
+        stats.map_batches(rep_stats, batch_format="pandas"),
+        ["line", "__jsalt"],
+        how="left",
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("line", pa.string()),
+                ("line_idx", pa.int64()),
+                ("packed", pa.int64()),
+                ("__jsalt", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("line", pa.string()),
+                ("n", pa.int64()),
+                ("first", pa.int64()),
+                ("__jsalt", pa.int64()),
+            ]
+        ),
+    )
+
+    def add_dbucket(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64, na_value=np.inf)
+        first = df["first"].to_numpy(dtype=np.float64, na_value=-1.0)
+        kept = (df["line"].to_numpy() != "") & (
+            (n < min_count) | (df["packed"].to_numpy() == first)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "line": df["line"],
+                "line_idx": df["line_idx"].to_numpy().astype(np.int64),
+                "kept": kept,
+                "__dbucket": (
+                    df["doc_id"].to_numpy().astype(np.int64) % num_buckets
+                ),
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "line_idx"], kind="stable")
+        base = g[["doc_id"]].drop_duplicates().set_index("doc_id")
+        nz = g[g["line"] != ""]
+        total = nz.groupby("doc_id").size()
+        kept = nz[nz["kept"]]
+        keptn = kept.groupby("doc_id").size()
+        txt = kept.groupby("doc_id")["line"].agg(sep.join)
+        res = base.assign(
+            text_dedup=txt, lines_total=total, lines_kept=keptn
+        ).reset_index()
+        res["text_dedup"] = res["text_dedup"].fillna("")
+        res["lines_total"] = res["lines_total"].fillna(0).astype(np.int64)
+        res["lines_kept"] = res["lines_kept"].fillna(0).astype(np.int64)
+        return res[["doc_id", "text_dedup", "lines_total", "lines_kept"]]
+
+    return (
+        flagged.map_batches(add_dbucket, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(assemble, batch_format="pandas")
+    )

@@ -329,3 +329,73 @@ def test_repetition_stats():
         assert abs(row["top_word_frac"] - topw) < 1e-12, i
         assert abs(row["top_2gram_frac"] - top2) < 1e-12, i
         assert abs(row["top_3gram_frac"] - top3) < 1e-12, i
+
+
+def _line_dedup_oracle(docs, min_count=2, sep="\n"):
+    occ = []
+    for doc_id, text in docs:
+        for i, l in enumerate(text.split(sep), start=1):
+            if l:
+                occ.append((doc_id, i, l))
+    stats = {}
+    for d, i, l in occ:
+        n, first = stats.get(l, (0, None))
+        p = d * 1_000_000 + i
+        stats[l] = (n + 1, p if first is None or p < first else first)
+    res = {d: [[], 0, 0] for d, _ in docs}
+    for d, i, l in occ:
+        n, first = stats[l]
+        kept = n < min_count or d * 1_000_000 + i == first
+        res[d][1] += 1
+        if kept:
+            res[d][0].append(l)
+            res[d][2] += 1
+    return pd.DataFrame(
+        [(d, sep.join(v[0]), v[1], v[2]) for d, v in sorted(res.items())],
+        columns=["doc_id", "text_dedup", "lines_total", "lines_kept"],
+    )
+
+
+def test_line_dedup_matches_oracle(ray_session):
+    from flashray.datapipe.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter"
+    footer = "all rights reserved"
+    docs = [
+        (1, f"alpha beta\n{boiler}\ngamma"),
+        (2, f"{boiler}\ndelta\n{footer}"),
+        (3, f"epsilon\n\n{footer}\n{boiler}"),
+        (4, ""),                      # empty doc still appears
+        (5, "unique only here"),
+        (6, f"{boiler}\n{boiler}"),   # dup within one doc too
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(docs, columns=["doc_id", "text"])
+    ).repartition(3)
+    got = (
+        line_dedup(ds, num_buckets=8, salt_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _line_dedup_oracle(docs)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the boilerplate survives exactly once, in doc 1 (globally first)
+    assert got.loc[got.doc_id == 1, "text_dedup"].iloc[0].count(boiler) == 1
+    assert got.loc[got.doc_id == 2, "text_dedup"].iloc[0] == "delta\nall rights reserved"
+    assert got.loc[got.doc_id == 6, "text_dedup"].iloc[0] == ""
+
+
+def test_line_dedup_word_mode_and_min_count(ray_session):
+    from flashray.datapipe.dedup import line_dedup
+
+    docs = [(10, "a b c a"), (20, "b c d"), (30, "d e")]
+    ds = rd.from_pandas(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = (
+        line_dedup(ds, sep=" ", min_count=3, num_buckets=4, salt_buckets=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _line_dedup_oracle(docs, min_count=3, sep=" ")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -1202,6 +1202,51 @@ def _q_skipgram_pairs_user(sf_dir: str):
     return out
 
 
+def _q_assortativity_user(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the user-succession DAG:
+    Pearson correlation of (out-degree(src), in-degree(dst)) over edges,
+    computed as two bucket joins + a streaming sufficient-statistics
+    pass. Oracle: DuckDB corr() over the same degree joins, 6 dp."""
+    from flashray import algorithms
+
+    edges = _user_succession_edges(sf_dir)
+    r = algorithms.degree_assortativity(edges, num_buckets=32)
+    return pd.DataFrame({"assortativity": [round(float(r), 6)]})
+
+
+def _q_egonet_user(sf_dir: str):
+    """Ego-net sampling (A16 composition): induced subgraph on every
+    vertex within 2 out-hops of the two lowest user ids — one capped
+    multi-source BFS sweep, then a broadcast semi-join. Oracle:
+    recursive-CTE ball of radius 2 + edge membership."""
+    import tempfile
+
+    from flashray import api
+    from flashray.build import build_graph
+    from flashray.convert import to_edge_schema
+
+    edges = _user_succession_edges(sf_dir)
+    with tempfile.TemporaryDirectory(prefix="ego_") as scratch:
+        g = build_graph(
+            to_edge_schema(edges),
+            os.path.join(scratch, "g"),
+            num_partitions=8,
+        )
+        vids = g.vertices_dataset(columns=["vertex_id"]).to_pandas()[
+            "vertex_id"
+        ]
+        seeds = sorted(vids.nsmallest(2).astype(int).tolist())
+        out = (
+            api.egonet_edges(g, seeds, hops=2)
+            .to_pandas()[["src", "dst"]]
+            .sort_values(["src", "dst"])
+            .reset_index(drop=True)
+        )
+    out["src"] = out["src"].astype(np.int64)
+    out["dst"] = out["dst"].astype(np.int64)
+    return out
+
+
 def _q_docs_line_dedup(sf_dir: str):
     """C4-style cross-corpus record-unit dedup over documents, in word
     mode (sep=' ': the fixture corpus has no newlines, and its tiny
@@ -1426,6 +1471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_user": _q_random_walks_user,
         "node2vec_walks_user": _q_node2vec_walks_user,
         "docs_line_dedup": _q_docs_line_dedup,
+        "assortativity_user": _q_assortativity_user,
+        "egonet_user": _q_egonet_user,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
         "subgraph_convs": _q_subgraph_convs,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1689,6 +1736,39 @@ r(walk_id, step, v) AS (
 SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
        CAST(v AS BIGINT) AS vertex_id
 FROM r""",
+        # degree assortativity: corr() over (out-deg(src), in-deg(dst))
+        # per edge, 6 dp
+        "assortativity_user": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+od AS (SELECT src, COUNT(*) AS xd FROM e GROUP BY 1),
+id AS (SELECT dst, COUNT(*) AS yd FROM e GROUP BY 1)
+SELECT ROUND(corr(od.xd, id.yd), 6) AS assortativity
+FROM e JOIN od ON od.src = e.src JOIN id ON id.dst = e.dst""",
+        # ego-net: recursive ball of radius 2 from the two lowest user
+        # ids, then edges with BOTH endpoints inside the ball
+        "egonet_user": """
+WITH RECURSIVE
+b AS (SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+seeds AS (SELECT u FROM verts ORDER BY u LIMIT 2),
+r(v, d) AS (
+  SELECT u, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 2
+),
+ball AS (SELECT DISTINCT v FROM r)
+SELECT e.src, e.dst FROM e
+JOIN ball x ON x.v = e.src JOIN ball y ON y.v = e.dst
+ORDER BY 1, 2""",
         # C4-style record-unit dedup, word mode: unit counts + global-first
         # (min doc_id*1e6+pos) per word, keep rule replayed per occurrence,
         # per-doc reassembly via ORDER BY position string_agg

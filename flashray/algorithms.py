@@ -320,6 +320,80 @@ def degrees(graph: Graph):
     return graph.vertices_dataset()
 
 
+def degree_assortativity(
+    edges,
+    *,
+    num_buckets: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> float:
+    """Degree assortativity (Newman, PRL 2002): Pearson correlation of
+    (out-degree(src), in-degree(dst)) over the directed edge set —
+    positive when high-degree vertices link to each other. Runs as two
+    bucket joins (edges × src-degree, × dst-degree) followed by a
+    streaming sufficient-statistics pass (n, Σx, Σy, Σx², Σy², Σxy as
+    one partial row per batch; tiny driver reduce) — never materializes
+    the joined edge table. For the undirected measure, pass a
+    symmetrized edge set (each edge in both directions); out- and
+    in-degree then both equal the total degree."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    I64 = pa.int64()
+    e = edges.map_batches(
+        lambda b: pa.table(
+            {"src": b[src_col].cast(I64), "dst": b[dst_col].cast(I64)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    e_schema = pa.schema([("src", I64), ("dst", I64)])
+    dout = bucket_group_agg(
+        e, ["src"], {"xd": ("dst", "size")}, num_buckets=num_buckets
+    )
+    din = bucket_group_agg(
+        e, ["dst"], {"yd": ("src", "size")}, num_buckets=num_buckets
+    )
+    j1 = bucket_hash_join(
+        e,
+        dout,
+        ["src"],
+        num_buckets=num_buckets,
+        left_schema=e_schema,
+        right_schema=pa.schema([("src", I64), ("xd", I64)]),
+    )
+    j2 = bucket_hash_join(
+        j1,
+        din,
+        ["dst"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("src", I64), ("dst", I64), ("xd", I64)]),
+        right_schema=pa.schema([("dst", I64), ("yd", I64)]),
+    )
+
+    def suff(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["xd"].to_numpy(dtype=np.float64)
+        y = df["yd"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "n": [float(len(x))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    s = j2.map_batches(suff, batch_format="pandas").to_pandas().sum()
+    num = s.n * s.sxy - s.sx * s.sy
+    den = np.sqrt(
+        (s.n * s.sxx - s.sx * s.sx) * (s.n * s.syy - s.sy * s.sy)
+    )
+    return float(num / den) if den > 0 else float("nan")
+
+
 def _with_lineage(result, lineage, **timings):
     """Attach per-superstep lineage metrics + engine timings to a
     DataFrame result. With the pipelined runner, per-superstep wall_sec

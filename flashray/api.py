@@ -48,6 +48,35 @@ def induced_subgraph(
     return build_graph(subgraph_edges(graph, vertex_ids), path, **build_kwargs)
 
 
+def egonet_edges(
+    graph: Graph, seeds, hops: int, *, actor_cpus=None
+) -> ray.data.Dataset:
+    """Induced subgraph on every vertex within ``hops`` out-steps of any
+    seed (ego-net sampling — the neighborhood-extraction primitive for
+    graph ML minibatching). One multi-source BFS sweep
+    (:func:`algorithms.landmark_distances`: all seeds flood
+    simultaneously as vector state) bounds the distance, then the
+    reachable vertex set broadcasts through :func:`subgraph_edges`.
+    The vertex set is ego-local by construction — the broadcast stays
+    small even on huge graphs (raise ``hops`` with care)."""
+    from flashray.csr import INT_IDENTITY
+    from flashray.engine import Engine
+    from flashray.programs import MultiSourceBFS
+
+    seeds = [int(s) for s in seeds]
+    prog = MultiSourceBFS(seeds)
+    with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
+        # each BFS superstep advances one hop: capping max_iters at
+        # ``hops`` bounds BOTH the work (O(ball), not O(graph)) and the
+        # distances — every reached vertex is within ``hops`` by
+        # construction, so "reached" is the whole membership test
+        eng.run(lambda m: m["changed"] == 0, max_iters=int(hops))
+        df = eng.values_pandas()
+    mat = np.stack(df["value"].to_numpy())
+    verts = df.loc[(mat < INT_IDENTITY).any(axis=1), "vertex_id"].to_numpy()
+    return subgraph_edges(graph, verts)
+
+
 def window_edges(graph: Graph, t0, t1) -> ray.data.Dataset:
     """Edges with ``t0 <= ts < t1`` (row-group filter pushed to the read)."""
     lo = pa.scalar(np.datetime64(t0, "us"), type=pa.timestamp("us"))

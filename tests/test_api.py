@@ -86,3 +86,50 @@ def test_weighted_pagerank(tmp_path):
     assert not np.allclose(
         df.sort_values("vertex_id")["value"], un.sort_values("vertex_id")["value"]
     )
+
+
+def test_egonet_edges(er_graph):
+    g, (src, dst) = er_graph
+    # python oracle: directed BFS ball of radius 2 from two seeds
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), set()).add(int(d))
+    seeds = [int(min(src)), int(max(src))]
+    ball = set(seeds)
+    frontier = set(seeds)
+    for _ in range(2):
+        frontier = {d for v in frontier for d in adj.get(v, ())} - ball
+        ball |= frontier
+    want = {
+        (int(s), int(d))
+        for s, d in zip(src, dst)
+        if int(s) in ball and int(d) in ball
+    }
+    got_df = api.egonet_edges(g, seeds, hops=2).to_pandas()
+    got = set(zip(got_df["src"].astype(int), got_df["dst"].astype(int)))
+    assert got == want and len(want) > 0
+
+
+def test_degree_assortativity_matches_dense():
+    src, dst = fixtures.er_edges(50, 0.06, seed=23)
+    e = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    got = algorithms.degree_assortativity(e, num_buckets=8)
+    # dense oracle
+    import collections
+
+    od = collections.Counter(map(int, src))
+    idg = collections.Counter(map(int, dst))
+    x = np.array([od[int(s)] for s in src], dtype=float)
+    y = np.array([idg[int(d)] for d in dst], dtype=float)
+    want = np.corrcoef(x, y)[0, 1]
+    assert abs(got - want) < 1e-12
+
+
+def test_degree_assortativity_star_disassortative():
+    # hub fanning out to leaves (high out-deg -> mostly in-deg 1) plus a
+    # low-out-degree 2-cycle whose endpoints have in-deg 2: r < 0
+    src = np.array([0] * 10 + [1, 2], dtype=np.int64)
+    dst = np.array(list(range(1, 11)) + [2, 1], dtype=np.int64)
+    e = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    got = algorithms.degree_assortativity(e, num_buckets=4)
+    assert got < 0

@@ -1202,6 +1202,92 @@ def _q_skipgram_pairs_user(sf_dir: str):
     return out
 
 
+def _q_edge_support_tool_cooccur(sf_dir: str):
+    """Per-EDGE triangle support (the k-truss quantity) on the tool
+    co-occurrence graph, keyed by tool-name pair; SQL oracle = 3-way
+    self-join, one row per triangle member edge, counted."""
+    import ray.data as rd
+    import shutil
+
+    from flashray import triangles as tri
+    from flashray.build import build_graph
+    from flashray.fixtures import edges_table
+    from flashray.ids import id64_array
+
+    edges = _tool_cooccur_edges_ds(sf_dir).to_pandas()
+    names = sorted(set(edges["tool_a"]) | set(edges["tool_b"]))
+    ids = id64_array(names)
+    id_of = dict(zip(names, ids))
+    name_of = {int(i): n for n, i in id_of.items()}
+    src = edges["tool_a"].map(id_of).to_numpy(dtype=np.int64)
+    dst = edges["tool_b"].map(id_of).to_numpy(dtype=np.int64)
+    path = os.path.join(_CACHE_ROOT, "graphs", f"toolsup_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(
+        rd.from_arrow(edges_table(np.r_[src, dst], np.r_[dst, src])),
+        path,
+        num_partitions=4,
+    )
+    df = tri.edge_support(g).to_pandas()
+    out = pd.DataFrame(
+        {
+            "ta": df["lo"].map(lambda v: name_of[int(v)]),
+            "tb": df["hi"].map(lambda v: name_of[int(v)]),
+            "support": df["support"].astype(np.int64),
+        }
+    )
+    # id order != name order: re-canonicalize the NAME pair
+    tool_a = out[["ta", "tb"]].min(axis=1)
+    tool_b = out[["ta", "tb"]].max(axis=1)
+    return (
+        pd.DataFrame(
+            {"tool_a": tool_a, "tool_b": tool_b, "support": out["support"]}
+        )
+        .sort_values(["tool_a", "tool_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_docs_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document (tf · ln(N/df), 6-dp-rounded
+    ranking with term tie-break so numpy and DuckDB libm agree)."""
+    import ray.data as rd
+
+    from flashray.datapipe.textstats import tfidf_top_terms
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = (
+        tfidf_top_terms(docs, k=3, num_buckets=32)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
+def _q_docs_hash_split(sf_dir: str):
+    """Deterministic leakage-safe train/val/test assignment: split =
+    which cumulative band sha256(doc_id) falls in — exact integer band
+    bounds shared with the SQL replay via sketches.split_thresholds."""
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import hash_split
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = hash_split(
+        docs, key_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "split"]]
+
+
 def _q_assortativity_user(sf_dir: str):
     """Degree assortativity (Newman 2002) of the user-succession DAG:
     Pearson correlation of (out-degree(src), in-degree(dst)) over edges,
@@ -1471,6 +1557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_user": _q_random_walks_user,
         "node2vec_walks_user": _q_node2vec_walks_user,
         "docs_line_dedup": _q_docs_line_dedup,
+        "edge_support_tool_cooccur": _q_edge_support_tool_cooccur,
+        "docs_tfidf": _q_docs_tfidf,
+        "docs_hash_split": _q_docs_hash_split,
         "assortativity_user": _q_assortativity_user,
         "egonet_user": _q_egonet_user,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -1736,6 +1825,33 @@ r(walk_id, step, v) AS (
 SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
        CAST(v AS BIGINT) AS vertex_id
 FROM r""",
+        # TF-IDF top-3 per doc: same tf/df/N, same ROUND-then-rank rule
+        "docs_tfidf": """
+WITH w AS (SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term), n),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM s)
+SELECT doc_id, term, tfidf FROM r WHERE rk <= 3""",
+        # deterministic hash split: same sha256-derived uint64, same exact
+        # integer band bounds (sketches.split_thresholds)
+        "docs_hash_split": """
+SELECT doc_id,
+  CASE WHEN h < CAST('14757395258967642112' AS UBIGINT) THEN 'train'
+       WHEN h < CAST('16602069666338596864' AS UBIGINT) THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))
+                  AS UBIGINT) AS h
+      FROM documents)""",
         # degree assortativity: corr() over (out-deg(src), in-deg(dst))
         # per edge, 6 dp
         "assortativity_user": """
@@ -1957,6 +2073,23 @@ members AS (
   SELECT v1 AS tool FROM tri UNION ALL SELECT v2 FROM tri UNION ALL SELECT v3 FROM tri
 )
 SELECT tool, COUNT(*) AS triangles FROM members GROUP BY 1""",
+        "edge_support_tool_cooccur": f"""
+WITH e0 AS ({tool_edges}),
+e AS (SELECT tool_a AS a, tool_b AS b FROM e0
+      UNION ALL SELECT tool_b, tool_a FROM e0),
+tri AS (
+  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e2.b = e3.a AND e3.b = e1.a
+  WHERE e1.a < e1.b AND e1.b < e2.b
+),
+mem AS (
+  SELECT v1 AS x, v2 AS y FROM tri
+  UNION ALL SELECT v1, v3 FROM tri
+  UNION ALL SELECT v2, v3 FROM tri
+),
+sup AS (SELECT x, y, COUNT(*) AS n FROM mem GROUP BY 1, 2)
+SELECT e0.tool_a, e0.tool_b, CAST(COALESCE(s.n, 0) AS BIGINT) AS support
+FROM e0 LEFT JOIN sup s ON s.x = e0.tool_a AND s.y = e0.tool_b""",
         "clustering_tool_cooccur": f"""
 WITH e0 AS ({tool_edges}),
 e AS (SELECT tool_a AS a, tool_b AS b FROM e0

@@ -238,3 +238,65 @@ def bottomk_sample(
     return pa.Table.from_pandas(
         df.drop(columns=["__pri"]), preserve_index=False
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split (train/val/test assignment)
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(label, upper-bound) pairs partitioning the uint64 hash space by
+    cumulative fraction. Computed once so the Ray side and a SQL replay
+    use the IDENTICAL integer boundaries (floats never compared)."""
+    total = float(sum(fractions.values()))
+    cum = 0.0
+    out = []
+    labels = list(fractions)
+    for i, lab in enumerate(labels):
+        cum += fractions[lab] / total
+        bound = (1 << 64) if i == len(labels) - 1 else int(cum * (1 << 64))
+        out.append((lab, bound))
+    return out
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+    hash_fn: str = "sha",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: row → split label by
+    which cumulative-fraction band sha256(salt || key) falls in. Pure
+    per-batch map (no shuffle, no RNG state); the same key lands in the
+    same split across runs, machines and dataset versions — the
+    leakage-safe way to split corpora keyed by document/user id.
+    ``hash_fn="splitmix"`` is the vectorized scale path for int64 keys
+    (not SQL-replayable)."""
+    from flashray.ids import _splitmix64
+
+    fr = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    bands = split_thresholds(fr)
+    labels = np.array([lab for lab, _ in bands])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("split", pa.array([], type=pa.string()))
+        if hash_fn == "sha":
+            h = _sha_u64([salt + str(v) for v in batch[key_col].to_pylist()])
+        else:
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = _splitmix64(k ^ _sha_u64([salt or "hash_split"])[0])
+        # EXACT uint64 band comparison — float64 would misplace hashes
+        # within 2^11 of a boundary relative to a SQL integer replay
+        idx = np.full(len(h), len(labels) - 1, dtype=np.int64)
+        taken = np.zeros(len(h), dtype=bool)
+        for i, (_, bound) in enumerate(bands[:-1]):
+            m = (~taken) & (h < np.uint64(bound))
+            idx[m] = i
+            taken |= m
+        return batch.append_column("split", pa.array(labels[idx]))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -237,3 +237,97 @@ def add_fingerprint(ds, *, text_col: str = "text", concurrency: int = 4,
         batch_size=batch_size,
         concurrency=_util.pool_size(concurrency),
     )
+
+
+def tfidf_top_terms(
+    docs,
+    *,
+    k: int = 3,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k TF-IDF terms per document: tfidf = tf · ln(N / df) with tf =
+    in-doc term count, df = number of documents containing the term, N =
+    corpus size. Ranking uses the 6-dp-ROUNDED score with a term-name
+    tie-break, so 1-ulp libm differences between numpy and a SQL replay
+    can never flip the selection (e.g. 2·ln 5 vs ln 25 collapse to the
+    same rounded value and fall through to the lexicographic tie-break).
+
+    Dataflow: one explode pass emits EXACT per-doc term counts (a doc is
+    one row, so its counts complete inside its batch — no tf shuffle);
+    df aggregates per-batch partials through one bucket shuffle; tf ⋈ df
+    on term; top-k per doc in a doc-bucketed vectorized pass. Returns a
+    Dataset of (doc_id, term, tfidf)."""
+    import pyarrow as pa
+    import ray.data  # noqa: F401  (docs is a Dataset)
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    N = docs.count()
+
+    def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy().astype(np.int64),
+                "term": df[text_col].astype(str).str.split(),
+            }
+        ).explode("term")
+        d = d[d["term"].notna() & (d["term"] != "")]
+        return d.groupby(["doc_id", "term"], as_index=False).agg(
+            tf=("term", "size")
+        )
+
+    tf = docs.map_batches(tf_batch, batch_format="pandas").materialize()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # tf rows are (doc, term)-distinct: size == docs-in-batch per term
+        return df.groupby("term", as_index=False).agg(df=("doc_id", "size"))
+
+    dfreq = bucket_group_agg(
+        tf.map_batches(df_partial, batch_format="pandas"),
+        ["term"],
+        {"df": ("df", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    joined = bucket_hash_join(
+        tf,
+        dfreq,
+        ["term"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "term": df["term"],
+                "tfidf": np.round(
+                    df["tf"].to_numpy(dtype=np.float64)
+                    * np.log(N / df["df"].to_numpy(dtype=np.float64)),
+                    6,
+                ),
+            }
+        )
+        out["__dbucket"] = out["doc_id"] % num_buckets
+        return out
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tfidf", "term"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        top = g.groupby("doc_id", sort=False).head(k)
+        return top[["doc_id", "term", "tfidf"]]
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(topk, batch_format="pandas")
+    )

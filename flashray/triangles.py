@@ -245,6 +245,67 @@ def triangles(graph: Graph, *, num_buckets: int | None = None) -> ray.data.Datas
     )
 
 
+def edge_support(
+    graph: Graph,
+    *,
+    num_buckets: int | None = None,
+    include_zero: bool = True,
+) -> ray.data.Dataset:
+    """Per-EDGE triangle support (the k-truss quantity): for every
+    undirected edge (lo, hi), the number of triangles containing it.
+    Each closed wedge contributes its three member edges; one bucketed
+    sum. ``include_zero`` left-joins the canonical edge set so
+    triangle-free edges appear with support 0."""
+    B = num_buckets or max(16, graph.num_partitions)
+    closed = _closed_wedges(graph, B)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        w1 = b["w1"].to_numpy(zero_copy_only=False)
+        w2 = b["w2"].to_numpy(zero_copy_only=False)
+        c = b["center"].to_numpy(zero_copy_only=False)
+        lo = np.concatenate([w1, np.minimum(c, w1), np.minimum(c, w2)])
+        hi = np.concatenate([w2, np.maximum(c, w1), np.maximum(c, w2)])
+        return pa.table(
+            {
+                "lo": lo,
+                "hi": hi,
+                "support": np.ones(3 * len(c), dtype=np.int64),
+            }
+        )
+
+    from flashray.joins import bucket_group_agg
+
+    sup = bucket_group_agg(
+        closed.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True),
+        ["lo", "hi"],
+        {"support": ("support", "sum")},
+        num_buckets=B,
+    )
+    if not include_zero:
+        return sup
+    I64 = pa.int64()
+    und = _canonical_undirected(graph)
+    j = bucket_hash_join(
+        und, sup, ["lo", "hi"], how="left", num_buckets=B,
+        left_schema=pa.schema([("lo", I64), ("hi", I64)]),
+        right_schema=pa.schema([("lo", I64), ("hi", I64), ("support", I64)]),
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lo": df["lo"].to_numpy().astype(np.int64),
+                "hi": df["hi"].to_numpy().astype(np.int64),
+                "support": df["support"]
+                .fillna(0)
+                .to_numpy()
+                .astype(np.int64),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pandas")
+
+
 def triangle_count(graph: Graph, *, num_buckets: int | None = None) -> int:
     """Global triangle count (each triangle once)."""
     B = num_buckets or max(16, graph.num_partitions)

@@ -399,3 +399,48 @@ def test_line_dedup_word_mode_and_min_count(ray_session):
     )
     want = _line_dedup_oracle(docs, min_count=3, sep=" ")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tfidf_top_terms_matches_oracle(ray_session):
+    import math
+
+    from flashray.datapipe.textstats import tfidf_top_terms
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple date date date elderberry"),
+        (4, "fig"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = (
+        tfidf_top_terms(ds, k=2, num_buckets=4)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    # dense oracle
+    N = len(docs)
+    tf, dfreq = {}, {}
+    for d, t in docs:
+        ws = t.split()
+        for w in set(ws):
+            dfreq[w] = dfreq.get(w, 0) + 1
+        for w in ws:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    rows = []
+    for d, _ in docs:
+        terms = [
+            (round(c * math.log(N / dfreq[w]), 6), w)
+            for (dd, w), c in tf.items()
+            if dd == d
+        ]
+        terms.sort(key=lambda x: (-x[0], x[1]))
+        for s, w in terms[:2]:
+            rows.append((d, w, s))
+    want = (
+        pd.DataFrame(rows, columns=["doc_id", "term", "tfidf"])
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

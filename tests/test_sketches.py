@@ -70,3 +70,46 @@ def test_bottomk_sample():
     # a different salt draws a different (but equally deterministic) sample
     s3 = sketches.bottomk_sample(ds, 50, "id", salt="other").to_pandas()
     assert sorted(s3["id"]) != sorted(s1["id"])
+
+
+def test_hash_split_deterministic_and_proportional(ray_session):
+    import hashlib
+
+    from flashray.datapipe.sketches import hash_split
+
+    n = 4000
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n)}))
+    out = hash_split(
+        ds, key_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).to_pandas()
+    # independent replay with hashlib + exact integer bands
+    def band(v):
+        h = int.from_bytes(
+            hashlib.sha256(str(v).encode()).digest()[:8], "big"
+        )
+        if h < int(0.8 * (1 << 64)):
+            return "train"
+        if h < int((0.8 + 0.1) * (1 << 64)):
+            return "val"
+        return "test"
+
+    want = [band(v) for v in out["doc_id"]]
+    assert list(out["split"]) == want
+    counts = out["split"].value_counts()
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    # partition-layout invariance
+    out2 = hash_split(
+        ds.repartition(7), key_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out2["split"]) == list(
+        out.sort_values("doc_id")["split"]
+    )
+    # splitmix scale path: deterministic, roughly proportional
+    sm = hash_split(
+        ds, key_col="doc_id", hash_fn="splitmix",
+        fractions={"train": 0.5, "val": 0.5},
+    ).to_pandas()
+    c = sm["split"].value_counts()
+    assert abs(c["train"] / n - 0.5) < 0.05

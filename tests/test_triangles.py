@@ -164,3 +164,33 @@ def test_transitivity_er(graphs):
     wedges = sum(d * (d - 1) // 2 for d in deg.values())
     got = triangles.transitivity(graph)
     assert abs(got - 3.0 * n_tri / wedges) < 1e-12
+
+
+def test_edge_support_er(graphs):
+    graph, (src, dst) = graphs("er100", fixtures.er_edges)
+    got = triangles.edge_support(graph).to_pandas()
+    # brute-force oracle over the undirected simple graph
+    und = set()
+    for s, d in zip(src, dst):
+        if s != d:
+            und.add((min(int(s), int(d)), max(int(s), int(d))))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {
+        (a, b): len(adj[a] & adj[b]) for a, b in und
+    }
+    assert len(got) == len(und)
+    gm = {
+        (int(r.lo), int(r.hi)): int(r.support)
+        for r in got.itertuples()
+    }
+    assert gm == want
+    assert sum(want.values()) > 0  # fixture actually has triangles
+
+
+def test_edge_support_k3(graphs):
+    graph, _ = graphs("k3", fixtures.k3_edges)
+    got = triangles.edge_support(graph).to_pandas()
+    assert len(got) == 3 and (got["support"] == 1).all()

@@ -1202,6 +1202,33 @@ def _q_skipgram_pairs_user(sf_dir: str):
     return out
 
 
+def _q_docs_quality_filter(sf_dir: str):
+    """Composed Gopher-style quality filter: token band [20, 100000],
+    duplicate-word fraction <= 0.55, top-2-gram share <= 0.1 — reason
+    names the FIRST failing rule; thresholds chosen to split the fixture
+    corpus across all outcomes."""
+    import ray.data as rd
+
+    from flashray.datapipe.textstats import quality_filter
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = (
+        quality_filter(
+            docs,
+            min_tokens=20,
+            max_dup_word_frac=0.55,
+            max_top_2gram_frac=0.1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def _q_edge_support_tool_cooccur(sf_dir: str):
     """Per-EDGE triangle support (the k-truss quantity) on the tool
     co-occurrence graph, keyed by tool-name pair; SQL oracle = 3-way
@@ -1557,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_user": _q_random_walks_user,
         "node2vec_walks_user": _q_node2vec_walks_user,
         "docs_line_dedup": _q_docs_line_dedup,
+        "docs_quality_filter": _q_docs_quality_filter,
         "edge_support_tool_cooccur": _q_edge_support_tool_cooccur,
         "docs_tfidf": _q_docs_tfidf,
         "docs_hash_split": _q_docs_hash_split,
@@ -2314,6 +2342,41 @@ SELECT d.doc_id,
   CAST(COALESCE(sw.hits, 0) AS DOUBLE)
     / greatest(COALESCE(sw.n, 0), 1) AS stopword_ratio
 FROM documents d LEFT JOIN sw ON sw.doc_id = d.doc_id""",
+        # composed quality filter: same token/dup/2-gram stats as the
+        # repetition oracle, thresholds replayed on 6-dp-rounded values,
+        # reason = FIRST failing rule in the engine's fixed order
+        "docs_quality_filter": """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+t1 AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+words AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS nd
+          FROM t1 GROUP BY 1),
+bi0 AS (SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS bg FROM base),
+bi1 AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM bi0
+        WHERE bg[2] IS NOT NULL),
+bc AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi1 GROUP BY 1, 2, 3),
+topb AS (SELECT doc_id, MAX(c) AS topc FROM bc GROUP BY 1),
+m AS (SELECT b.doc_id,
+             COALESCE(w.n, 0) AS n,
+             ROUND(CASE WHEN COALESCE(w.n, 0) > 0
+                        THEN (w.n - w.nd) * 1.0 / w.n ELSE 0.0 END, 6)
+               AS dup,
+             ROUND(CASE WHEN COALESCE(w.n, 0) > 1
+                        THEN COALESCE(tb.topc, 0) * 1.0 / (w.n - 1)
+                        ELSE 0.0 END, 6) AS top2
+      FROM base b LEFT JOIN words w USING (doc_id)
+      LEFT JOIN topb tb ON tb.doc_id = b.doc_id),
+r AS (SELECT doc_id,
+             CASE WHEN n < 20 THEN 'too_few_tokens'
+                  WHEN n > 100000 THEN 'too_many_tokens'
+                  WHEN dup > 0.55 THEN 'dup_words'
+                  WHEN top2 > 0.1 THEN 'top_2gram'
+                  ELSE '' END AS reason
+      FROM m)
+SELECT doc_id, CAST(CASE WHEN reason = '' THEN 1 ELSE 0 END AS BIGINT)
+         AS keep, reason
+FROM r""",
         "docs_repetition": """
 WITH base AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents

@@ -331,3 +331,71 @@ def tfidf_top_terms(
         .groupby("__dbucket")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+class _FusedQualityStats:
+    """TextStats + RepetitionStats applied by ONE actor (regexes compiled
+    once in __init__) — half the actors, no chained-pool CPU starvation."""
+
+    def __init__(self, text_col: str = "text"):
+        self.ts = TextStats(text_col)
+        self.rs = RepetitionStats(text_col)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return self.rs(self.ts(batch))
+
+
+def quality_filter(
+    docs,
+    *,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_dup_word_frac: float = 0.6,
+    max_top_2gram_frac: float = 0.35,
+    concurrency: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Composed Gopher/C4-style document quality filter (Rae et al. 2021
+    table A1 shape): token-count band, duplicate-word fraction cap, and
+    top-2-gram share cap, evaluated in a fixed order — ``reason`` names
+    the FIRST failing rule ('' = kept). One stateless pass chaining the
+    existing TextStats + RepetitionStats actor pools; decisions compare
+    6-dp-ROUNDED fractions so a SQL replay agrees bit-for-bit. Returns a
+    Dataset of (doc_id, keep 0/1, reason)."""
+    import ray.data  # noqa: F401
+
+    # ONE fused actor pool: chaining two pools of pool_size() actors can
+    # reserve every session CPU and starve the upstream read (deadlock
+    # observed at num_cpus=8 with 4+4 actors)
+    stats = docs.map_batches(
+        _FusedQualityStats,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas",
+        concurrency=_util.pool_size(concurrency),
+    )
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["token_count"].to_numpy(dtype=np.int64)
+        dup = np.round(df["dup_word_frac"].to_numpy(dtype=np.float64), 6)
+        top2 = np.round(df["top_2gram_frac"].to_numpy(dtype=np.float64), 6)
+        reason = np.full(len(df), "", dtype=object)
+        undecided = np.ones(len(df), dtype=bool)
+        for mask, name in [
+            (n < min_tokens, "too_few_tokens"),
+            (n > max_tokens, "too_many_tokens"),
+            (dup > max_dup_word_frac, "dup_words"),
+            (top2 > max_top_2gram_frac, "top_2gram"),
+        ]:
+            hit = undecided & mask
+            reason[hit] = name
+            undecided &= ~hit
+        return pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy().astype(np.int64),
+                "keep": undecided.astype(np.int64),
+                "reason": reason,
+            }
+        )
+
+    return stats.map_batches(decide, batch_format="pandas")

@@ -444,3 +444,28 @@ def test_tfidf_top_terms_matches_oracle(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_quality_filter_rules_fire_in_order(ray_session):
+    from flashray.datapipe.textstats import quality_filter
+
+    docs = [
+        (1, "one two three"),                          # too few tokens
+        (2, " ".join(["w"] * 40)),                     # dup + top2: dup first
+        (3, " ".join(f"t{i}" for i in range(30))),     # clean -> keep
+        (4, " ".join(f"u{i % 20}" for i in range(30))),# mild dup, under caps
+        (5, " ".join(["a b"] * 12)),                   # alternating: top_2gram
+    ]
+    ds = rd.from_pandas(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = (
+        # dup cap raised so doc 5 (dup 0.917, top-2gram 0.52) reaches the
+        # top_2gram rule while doc 2 (dup 0.975) still fails dup_words
+        quality_filter(ds, min_tokens=10, max_dup_word_frac=0.95)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["reason"]) == [
+        "too_few_tokens", "dup_words", "", "", "top_2gram",
+    ]
+    assert list(got["keep"]) == [0, 0, 1, 1, 0]

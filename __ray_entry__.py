@@ -1202,6 +1202,24 @@ def _q_skipgram_pairs_user(sf_dir: str):
     return out
 
 
+def _q_events_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of events.value: global range-
+    partitioned sort, each order statistic read via split_at_indices —
+    index rule matches DuckDB quantile_disc (ceil(q·n)−1)."""
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import exact_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = exact_quantiles(ds, "value", qs)
+    return pd.DataFrame(
+        {"q": qs, "value": [round(got[q], 6) for q in qs]}
+    )
+
+
 def _q_docs_quality_filter(sf_dir: str):
     """Composed Gopher-style quality filter: token band [20, 100000],
     duplicate-word fraction <= 0.55, top-2-gram share <= 0.1 — reason
@@ -1584,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_user": _q_random_walks_user,
         "node2vec_walks_user": _q_node2vec_walks_user,
         "docs_line_dedup": _q_docs_line_dedup,
+        "events_quantiles": _q_events_quantiles,
         "docs_quality_filter": _q_docs_quality_filter,
         "edge_support_tool_cooccur": _q_edge_support_tool_cooccur,
         "docs_tfidf": _q_docs_tfidf,
@@ -2342,6 +2361,13 @@ SELECT d.doc_id,
   CAST(COALESCE(sw.hits, 0) AS DOUBLE)
     / greatest(COALESCE(sw.n, 0), 1) AS stopword_ratio
 FROM documents d LEFT JOIN sw ON sw.doc_id = d.doc_id""",
+        # exact order statistics: quantile_disc per requested q
+        "events_quantiles": """
+WITH s AS (SELECT quantile_disc(value, [0.01, 0.25, 0.5, 0.75, 0.99]) AS v
+           FROM events)
+SELECT t.q, ROUND(s.v[t.i] , 6) AS value
+FROM s, (VALUES (0.01, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.99, 5))
+       t(q, i)""",
         # composed quality filter: same token/dup/2-gram stats as the
         # repetition oracle, thresholds replayed on 6-dp-rounded values,
         # reason = FIRST failing rule in the engine's fixed order

@@ -300,3 +300,33 @@ def hash_split(
         return batch.append_column("split", pa.array(labels[idx]))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset, col: str, qs: list[float]
+) -> dict[float, float]:
+    """EXACT distributed quantiles of a numeric column: one global
+    range-partitioned sort (Ray Data's sample-split shuffle), then each
+    requested order statistic is read as the FIRST row of a
+    ``split_at_indices`` cut — no block ever reaches the driver. Index
+    rule matches DuckDB ``quantile_disc``: element ceil(q·n)−1
+    (0-based, clamped), computed in float64 exactly as the SQL side
+    computes it. For approximate quantiles at extreme scale prefer a
+    sketch; this is the exact oracle-grade path."""
+    import math
+
+    n = ds.count()
+    if n == 0:
+        return {float(q): float("nan") for q in qs}
+    idx_of = {
+        float(q): min(n - 1, max(0, math.ceil(float(q) * n) - 1))
+        for q in qs
+    }
+    uniq = sorted(set(idx_of.values()))
+    s = ds.select_columns([col]).sort(col).materialize()
+    splits = s.split_at_indices(uniq)
+    val_at = {}
+    for j, k in enumerate(uniq):
+        row = splits[j + 1].take(1)
+        val_at[k] = float(row[0][col])
+    return {q: val_at[i] for q, i in idx_of.items()}

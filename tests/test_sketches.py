@@ -113,3 +113,20 @@ def test_hash_split_deterministic_and_proportional(ray_session):
     ).to_pandas()
     c = sm["split"].value_counts()
     assert abs(c["train"] / n - 0.5) < 0.05
+
+
+def test_exact_quantiles_match_duckdb_rule(ray_session):
+    import duckdb
+
+    from flashray.datapipe.sketches import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1000, 997).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(9)
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0]
+    got = exact_quantiles(ds, "v", qs)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    for q in qs:
+        want = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert got[q] == float(want), (q, got[q], want)

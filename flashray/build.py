@@ -147,13 +147,27 @@ def _auto_partitions(num_edges: int) -> int:
     return int(min(512, max(16, p)))
 
 
+def _strip_meta(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop pandas round-trip schema metadata before writing parquet:
+    blocks that passed through a pandas ``map_groups`` carry a
+    ``b'pandas'`` metadata dict, it lands in the FILE schema, and every
+    later ``read_parquet`` then logs Ray's "Failed to hash the schemas
+    (for deduplication)" warning on the unhashable dict (and loses
+    schema-dedup). Stripping at the writer fixes all readers."""
+    return ds.map_batches(
+        lambda b: b.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _write_partitioned(ds: ray.data.Dataset, base: str, columns: list[str]):
     """Hive-partitioned parquet (``part=<p>/``), many files per partition
     (one per block×value): no stage ever holds a whole partition in one
     task — the previous one-file-per-partition ``map_groups`` writer
     required a full partition to fit a single task's memory, the first
     thing to die at 100×. The shard reader reads directories."""
-    ds.select_columns(columns + ["part"]).write_parquet(
+    _strip_meta(ds.select_columns(columns + ["part"])).write_parquet(
         base, partition_cols=["part"], mode="overwrite"
     )
 
@@ -201,7 +215,7 @@ def build_graph(
         dedup = True
     if dedup:
         edges = dedup_edges(edges)
-    edges.write_parquet(tmp_edges, mode="overwrite")
+    _strip_meta(edges).write_parquet(tmp_edges, mode="overwrite")
 
     # metadata-only count (no data read) fixes the partition count
     num_edges_total = ray.data.read_parquet(tmp_edges).count()

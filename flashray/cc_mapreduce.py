@@ -188,6 +188,8 @@ def wcc_mapreduce(
     # id for roots
     final = bucket_group_agg(both, ["vertex_id"], {"value": ("value", "min")})
     if out_dir is not None:
-        final.write_parquet(out_dir, mode="overwrite")
+        from flashray.build import _strip_meta
+
+        _strip_meta(final).write_parquet(out_dir, mode="overwrite")
         return ray.data.read_parquet(out_dir)
     return final.to_pandas().sort_values("vertex_id").reset_index(drop=True)

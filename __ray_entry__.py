@@ -479,6 +479,45 @@ def _q_clustering_user_graph(sf_dir: str):
     return df[["user_id", "deg", "triangles", "cc"]]
 
 
+def _q_link_prediction_user(sf_dir: str):
+    """Link-prediction scores (common neighbors / Jaccard / Adamic-Adar)
+    for every NON-edge pair at distance 2 in the symmetrized
+    user-succession graph; exact vs a SQL wedge-join oracle at 6 dp."""
+    import shutil
+
+    from flashray import triangles as tri
+    from flashray.build import build_graph
+    from flashray.fixtures import EPOCH_US
+
+    def to_edge_schema(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(np.ones(n)),
+                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
+            }
+        )
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        to_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", f"userlp_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    df = tri.link_prediction(g).to_pandas()
+    df["u"] = df["u"].astype(np.int64)
+    df["v"] = df["v"].astype(np.int64)
+    df["cn"] = df["cn"].astype(np.int64)
+    df["jaccard"] = df["jaccard"].round(6)
+    df["adamic_adar"] = df["adamic_adar"].round(6)
+    return df[["u", "v", "cn", "jaccard", "adamic_adar"]].sort_values(
+        ["u", "v"]
+    ).reset_index(drop=True)
+
+
 def _q_spmv_user(sf_dir: str):
     """SpMV (FlashMatrix-parity kernel) over the user-succession DAG:
     y[dst] = Σ x[src] over edges with x = user_id % 7 + 1 — exact vs the
@@ -1247,6 +1286,95 @@ def _q_docs_quality_filter(sf_dir: str):
     return out
 
 
+def _q_events_asof_purchase(sf_dir: str):
+    """As-of join: each click matched to the same user's most recent
+    purchase at or before it (DuckDB ASOF JOIN semantics). The purchase
+    side is pre-aggregated to one row per (user, ts) so the match is
+    value-deterministic on both systems."""
+    import ray.data as rd
+
+    from flashray.datapipe.temporal import asof_join
+    from flashray.joins import bucket_group_agg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts"]).rename_columns(
+            ["click_id", "user_id", "click_ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    purchases = bucket_group_agg(
+        ev.filter(expr="event_type == 'purchase'").select_columns(
+            ["user_id", "ts", "value"]
+        ),
+        ["user_id", "ts"],
+        {"purchase_value": ("value", "max")},
+        hash_keys=["user_id"],
+        num_buckets=16,
+    ).map_batches(
+        lambda b: b.rename_columns(["user_id", "purchase_ts", "purchase_value"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        how="inner",
+        num_buckets=16,
+    ).to_pandas()
+    cols = ["click_id", "user_id", "click_ts", "purchase_ts", "purchase_value"]
+    return out[cols].sort_values("click_id").reset_index(drop=True)
+
+
+def _q_events_range_purchases(sf_dir: str):
+    """Range join: every purchase of the same user inside the 30-minute
+    window after a click — interval×point join keyed on user_id."""
+    import ray.data as rd
+
+    from flashray.datapipe.temporal import range_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts"]).rename_columns(
+            ["click_id", "user_id", "start_ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    clicks = clicks.add_column(
+        "end_ts",
+        lambda df: df["start_ts"] + pd.Timedelta(minutes=30),
+        batch_format="pandas",
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts", "value"]).rename_columns(
+            ["purchase_id", "user_id", "purchase_ts", "purchase_value"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = range_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_start="start_ts",
+        left_end="end_ts",
+        right_ts="purchase_ts",
+        closed="left",
+        num_buckets=16,
+    ).to_pandas()
+    cols = ["click_id", "user_id", "purchase_id", "purchase_ts", "purchase_value"]
+    return (
+        out[cols].sort_values(["click_id", "purchase_id"]).reset_index(drop=True)
+    )
+
+
 def _q_edge_support_tool_cooccur(sf_dir: str):
     """Per-EDGE triangle support (the k-truss quantity) on the tool
     co-occurrence graph, keyed by tool-name pair; SQL oracle = 3-way
@@ -1563,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_tool_cooccur": _q_triangles_tool_cooccur,
         "clustering_tool_cooccur": _q_clustering_tool_cooccur,
         "clustering_user_graph": _q_clustering_user_graph,
+        "link_prediction_user": _q_link_prediction_user,
         "spmv_user": _q_spmv_user,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
@@ -1603,6 +1732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks_user": _q_node2vec_walks_user,
         "docs_line_dedup": _q_docs_line_dedup,
         "events_quantiles": _q_events_quantiles,
+        "events_asof_purchase": _q_events_asof_purchase,
+        "events_range_purchases": _q_events_range_purchases,
         "docs_quality_filter": _q_docs_quality_filter,
         "edge_support_tool_cooccur": _q_edge_support_tool_cooccur,
         "docs_tfidf": _q_docs_tfidf,
@@ -2179,6 +2310,30 @@ SELECT CAST(d.user_id AS BIGINT) AS user_id, CAST(d.deg AS BIGINT) AS deg,
                   THEN 2.0 * COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1))
                   ELSE 0.0 END, 6) AS cc
 FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id""",
+        # link prediction: wedges e(w,u)+e(w,v) with u<v over the
+        # symmetrized user graph; cn = wedge count, aa = sum 1/ln(deg(w)),
+        # jaccard = cn/(deg_u+deg_v-cn); non-edge pairs only
+        "link_prediction_user": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+e AS (SELECT src AS a, dst AS bb FROM eu UNION ALL SELECT dst, src FROM eu),
+deg AS (SELECT a AS user_id, COUNT(*) AS deg FROM e GROUP BY 1),
+w AS (SELECT e1.bb AS u, e2.bb AS v, e1.a AS w
+      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.bb < e2.bb),
+agg AS (SELECT w.u, w.v, COUNT(*) AS cn, SUM(1.0 / LN(dw.deg)) AS aa
+        FROM w JOIN deg dw ON dw.user_id = w.w GROUP BY 1, 2)
+SELECT CAST(g.u AS BIGINT) AS u, CAST(g.v AS BIGINT) AS v,
+       CAST(g.cn AS BIGINT) AS cn,
+       ROUND(g.cn * 1.0 / (du.deg + dv.deg - g.cn), 6) AS jaccard,
+       ROUND(g.aa, 6) AS adamic_adar
+FROM agg g
+JOIN deg du ON du.user_id = g.u
+JOIN deg dv ON dv.user_id = g.v
+LEFT JOIN eu x ON x.src = g.u AND x.dst = g.v
+WHERE x.src IS NULL""",
         "spmv_user": """
 WITH b AS (SELECT DISTINCT user_id, event_type,
                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
@@ -2368,6 +2523,27 @@ WITH s AS (SELECT quantile_disc(value, [0.01, 0.25, 0.5, 0.75, 0.99]) AS v
 SELECT t.q, ROUND(s.v[t.i] , 6) AS value
 FROM s, (VALUES (0.01, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.99, 5))
        t(q, i)""",
+        # as-of join: DuckDB ASOF JOIN, right side pre-aggregated to one
+        # row per (user, ts) so the matched value is deterministic
+        "events_asof_purchase": """
+WITH l AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts AS purchase_ts, MAX(value) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.click_id, l.user_id, l.click_ts, r.purchase_ts, r.purchase_value
+FROM l ASOF JOIN r
+  ON l.user_id = r.user_id AND l.click_ts >= r.purchase_ts""",
+        # range join: interval x point, [click, click+30min) per user
+        "events_range_purchases": """
+WITH a AS (SELECT event_id AS click_id, user_id, ts AS start_ts,
+                  ts + INTERVAL 30 MINUTE AS end_ts
+           FROM events WHERE event_type = 'click'),
+     b AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                  value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+SELECT a.click_id, a.user_id, b.purchase_id, b.purchase_ts, b.purchase_value
+FROM a JOIN b ON a.user_id = b.user_id
+ AND b.purchase_ts >= a.start_ts AND b.purchase_ts < a.end_ts""",
         # composed quality filter: same token/dup/2-gram stats as the
         # repetition oracle, thresholds replayed on 6-dp-rounded values,
         # reason = FIRST failing rule in the engine's fixed order

@@ -1,0 +1,267 @@
+"""Temporal joins Ray Data lacks natively: as-of join and range join.
+
+Both reuse the bucketed co-partitioning plumbing from
+``flashray.joins._tagged_union``: ONE hash shuffle of the tagged union on
+the equality keys, then a vectorized per-bucket merge. Partitioning
+assumption (same as every per-key operator here): all rows of one
+equality key land in one bucket, so a single key's rows must fit one
+task — raise ``num_buckets`` with key cardinality and salt upstream only
+if a single key itself outgrows a task.
+
+- ``asof_join``: for each left row, the single right row with the same
+  key and the nearest timestamp at or before it (``direction=
+  "backward"``, the DuckDB/pandas default), at or after it
+  (``"forward"``), or closest either way (``"nearest"``); per-bucket
+  ``pandas.merge_asof`` (C mergesort scan, no cartesian blow-up).
+- ``range_join``: left rows carry an interval ``[start, end)``; emit
+  every (left, right) pair of the same key with the right timestamp
+  inside the interval. Per-bucket composite-key ``searchsorted`` —
+  output-linear, never a per-key cartesian product — with a per-key
+  sliced fallback when the composite would overflow int64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from flashray.joins import _tagged_union
+
+
+def _typed_empty(cols: list[tuple[str, pa.DataType]]) -> pd.DataFrame:
+    """Empty pandas frame with the union schema's dtypes, so empty buckets
+    emit typed blocks (untyped empties trigger Ray schema-drift warnings
+    and can poison a later unify)."""
+    return pa.table(
+        {c: pa.array([], type=t) for c, t in cols}
+    ).to_pandas()
+
+
+def _restore_int_dtypes(
+    df: pd.DataFrame, all_cols: list[tuple[str, pa.DataType]]
+) -> pd.DataFrame:
+    # a left/outer merge nulls missing right columns, which floats int64 in
+    # pandas; restore exact dtypes wherever no nulls survived (63-bit ids
+    # corrupt beyond 2^53 as float64)
+    for c, typ in all_cols:
+        if c in df.columns and pa.types.is_integer(typ):
+            col = df[c]
+            if col.dtype != np.int64 and not col.isna().any():
+                df[c] = col.astype(np.int64)
+    return df
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    how: str = "inner",
+    num_buckets: int = 64,
+    suffixes: tuple[str, str] = ("", "_r"),
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Distributed as-of join (DuckDB ``ASOF JOIN`` / pandas
+    ``merge_asof`` semantics), keyed on ``on`` equality.
+
+    ``how="inner"`` (DuckDB's ASOF default) drops unmatched left rows;
+    ``how="left"`` keeps them with nulls. ``tolerance`` (a
+    ``pd.Timedelta`` or numeric) filters the matched row — it never falls
+    back to a farther one, matching pandas. Ties on equal right
+    timestamps resolve to the row latest in ``(key, ts)`` sort order;
+    pre-aggregate the right side to one row per (key, ts) when you need a
+    value-deterministic answer (the oracle queries do).
+    """
+    on = list(on)
+    rts_in = right_ts if right_ts is not None else left_ts
+    both, ctx = _tagged_union(
+        left,
+        right,
+        on,
+        on,
+        num_buckets=num_buckets,
+        suffixes=suffixes,
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )
+    rkeys, lout, rout = ctx["rkeys"], ctx["lout"], ctx["rout"]
+    all_cols = ctx["all_cols"]
+    rts = ctx["ren"].get(rts_in, rts_in)
+    if rts not in rout:
+        raise ValueError(
+            f"right_ts column {rts_in!r} not found on the right side"
+        )
+    out_cols = lout + rout
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == 0, lout]
+        rg = g.loc[g["__side"] == 1, rout + [k for k in rkeys if k not in rout]]
+        if lg.empty:
+            return _typed_empty(all_cols)[out_cols]
+        if rg.empty:
+            if how == "inner":
+                return _typed_empty(all_cols)[out_cols]
+            # all-null right columns, typed the same way merge_asof types
+            # unmatched rows in non-empty buckets (NaT / NaN / None)
+            out = lg.copy()
+            for c, t in all_cols:
+                if c in rout:
+                    if pa.types.is_timestamp(t):
+                        out[c] = np.full(len(out), np.datetime64("NaT"), "M8[us]")
+                    elif pa.types.is_string(t) or pa.types.is_binary(t):
+                        out[c] = pd.Series([None] * len(out), index=out.index,
+                                           dtype=object)
+                    else:
+                        out[c] = np.full(len(out), np.nan)
+            return out[out_cols]
+        # merge_asof requires both frames sorted on the time key
+        lg = lg.sort_values(left_ts, kind="mergesort")
+        rg = rg.sort_values(rts, kind="mergesort")
+        rg = rg.assign(__matched=np.int8(1))
+        out = pd.merge_asof(
+            lg,
+            rg,
+            left_on=left_ts,
+            right_on=rts,
+            left_by=on,
+            right_by=rkeys,
+            direction=direction,
+            tolerance=tolerance,
+        )
+        if how == "inner":
+            out = out[out["__matched"].notna()]
+        out = out.drop(columns="__matched")
+        return _restore_int_dtypes(out, all_cols)[out_cols]
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def _ts_int64(col: pd.Series) -> np.ndarray:
+    """Timestamps/numerics as comparable int64. datetime64 columns are
+    normalized to ONE unit (ns) first: the two sides of a join routinely
+    arrive with different resolutions (parquet us vs pandas-derived ns),
+    and raw .astype(int64) would compare epoch-us against epoch-ns."""
+    v = col.to_numpy()
+    if np.issubdtype(v.dtype, np.datetime64):
+        return v.astype("datetime64[ns]").astype("int64")
+    return v.astype("int64", copy=False)
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_ts: str,
+    closed: str = "left",
+    num_buckets: int = 64,
+    suffixes: tuple[str, str] = ("", "_r"),
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Distributed interval×point range join: inner-join every left row
+    whose ``[left_start, left_end)`` interval (``closed`` = "left",
+    "both", "right" or "neither") contains a same-key right row's
+    ``right_ts``.
+
+    Per bucket: jointly code the key tuples (C groupby), sort the right
+    side by (key code, ts), and binary-search both interval bounds for
+    ALL left rows at once on a composite ``code*span + (ts-min)`` int64
+    key — two ``np.searchsorted`` calls per bucket, output-linear pair
+    expansion via repeat/cumsum, no per-key cartesian product. When
+    ``codes*span`` would overflow int64 (astronomical key-cardinality ×
+    time-span products), falls back to a per-key sliced search that is
+    still row-vectorized inside each key.
+    """
+    on = list(on)
+    both, ctx = _tagged_union(
+        left,
+        right,
+        on,
+        on,
+        num_buckets=num_buckets,
+        suffixes=suffixes,
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )
+    rkeys, lout, rout = ctx["rkeys"], ctx["lout"], ctx["rout"]
+    all_cols = ctx["all_cols"]
+    rts = ctx["ren"].get(right_ts, right_ts)
+    if rts not in rout:
+        raise ValueError(f"right_ts column {right_ts!r} not found on the right side")
+    if closed not in ("left", "both", "right", "neither"):
+        raise ValueError(f"closed must be left|both|right|neither, got {closed!r}")
+    out_cols = lout + rout
+    lo_side = "left" if closed in ("left", "both") else "right"
+    hi_side = "right" if closed in ("both", "right") else "left"
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == 0, lout].reset_index(drop=True)
+        rg = g.loc[g["__side"] == 1, rout + [k for k in rkeys if k not in rout]]
+        rg = rg.reset_index(drop=True)
+        if lg.empty or rg.empty:
+            return _typed_empty(all_cols)[out_cols]
+        # joint key coding across both sides (same tuple -> same code)
+        combined = pd.concat(
+            [lg[on], rg[rkeys].set_axis(on, axis=1)], ignore_index=True
+        )
+        codes = combined.groupby(on, sort=False).ngroup().to_numpy()
+        lcode, rcode = codes[: len(lg)], codes[len(lg):]
+
+        r_ts = _ts_int64(rg[rts])
+        order = np.lexsort((r_ts, rcode))
+        rcode_s, rts_s = rcode[order], r_ts[order]
+
+        start = _ts_int64(lg[left_start])
+        end = _ts_int64(lg[left_end])
+        tmin = int(rts_s.min())
+        span = int(rts_s.max()) - tmin + 2  # +2: headroom for clipped bounds
+        ncodes = int(codes.max()) + 1
+        if ncodes * span < np.iinfo(np.int64).max // 2:
+            comp = rcode_s * span + (rts_s - tmin)
+            # right offsets live in [0, span-2]; clipping bounds into
+            # [-1, span-1] keeps out-of-range bounds semantically exact for
+            # EITHER searchsorted side: code*span - 1 sits strictly between
+            # adjacent code slices, code*span + span-1 strictly after the
+            # slice's last value
+            s_off = np.clip(start - tmin, -1, span - 1)
+            e_off = np.clip(end - tmin, -1, span - 1)
+            lo = np.searchsorted(comp, lcode * span + s_off, side=lo_side)
+            hi = np.searchsorted(comp, lcode * span + e_off, side=hi_side)
+        else:  # pragma: no cover - astronomical span fallback
+            gstart = np.searchsorted(rcode_s, lcode, side="left")
+            gend = np.searchsorted(rcode_s, lcode, side="right")
+            lo = np.empty(len(lg), dtype=np.int64)
+            hi = np.empty(len(lg), dtype=np.int64)
+            for c in np.unique(lcode):
+                m = lcode == c
+                gs, ge = int(gstart[np.argmax(m)]), int(gend[np.argmax(m)])
+                sl = rts_s[gs:ge]
+                lo[m] = gs + np.searchsorted(sl, start[m], side=lo_side)
+                hi[m] = gs + np.searchsorted(sl, end[m], side=hi_side)
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return _typed_empty(all_cols)[out_cols]
+        lidx = np.repeat(np.arange(len(lg)), counts)
+        offsets = np.r_[0, np.cumsum(counts)[:-1]]
+        ridx = np.arange(total) - offsets[lidx] + lo[lidx]
+        out = pd.concat(
+            [
+                lg.iloc[lidx].reset_index(drop=True),
+                rg.iloc[order[ridx]][rout].reset_index(drop=True),
+            ],
+            axis=1,
+        )
+        return _restore_int_dtypes(out, all_cols)[out_cols]
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

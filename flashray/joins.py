@@ -67,24 +67,27 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
     return pa.schema(fields)
 
 
-def bucket_hash_join(
+def _tagged_union(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     on: list[str],
+    right_on: list[str],
     *,
-    how: str = "inner",
     num_buckets: int = 64,
-    right_on: list[str] | None = None,
     suffixes: tuple[str, str] = ("", "_r"),
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
-) -> ray.data.Dataset:
-    """Hash-partitioned join; both sides shuffled once on the bucket key.
+) -> tuple[ray.data.Dataset, dict]:
+    """Shared co-partitioning plumbing for every bucketed two-sided
+    operator (hash join, as-of join, range join): tag each side, pad both
+    to one union schema (typed zero sentinels, suffix-renamed right
+    columns), hash-bucket on the key columns, and union. The caller runs
+    its per-bucket merge in a ``groupby("__bucket").map_groups``.
 
-    Pass ``left_schema``/``right_schema`` when a side may be empty (an
-    empty Dataset reports no schema) or to skip the schema-peek execution."""
-    on = list(on)
-    right_on = list(right_on) if right_on is not None else on
+    Returns ``(both, ctx)`` where ctx carries ``on``/``rkeys`` (left/right
+    key names post-rename), ``lout``/``rout`` (non-overlapping output
+    column lists), ``ren`` (right-side rename map) and ``all_cols``
+    (``(name, arrow type)`` of the union schema)."""
 
     def tag(side: int, keys: list[str]):
         def fn(b: pa.Table) -> pa.Table:
@@ -160,6 +163,46 @@ def bucket_hash_join(
 
     lout = [c for c, _ in lschema]
     rout = [c for c, _ in rschema]
+    return both, {
+        "on": on,
+        "rkeys": rkeys,
+        "lout": lout,
+        "rout": rout,
+        "ren": ren,
+        "all_cols": all_cols,
+    }
+
+
+def bucket_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+    right_on: list[str] | None = None,
+    suffixes: tuple[str, str] = ("", "_r"),
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Hash-partitioned join; both sides shuffled once on the bucket key.
+
+    Pass ``left_schema``/``right_schema`` when a side may be empty (an
+    empty Dataset reports no schema) or to skip the schema-peek execution."""
+    on = list(on)
+    right_on = list(right_on) if right_on is not None else on
+    both, ctx = _tagged_union(
+        left,
+        right,
+        on,
+        right_on,
+        num_buckets=num_buckets,
+        suffixes=suffixes,
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )
+    rkeys, lout, rout = ctx["rkeys"], ctx["lout"], ctx["rout"]
+    all_cols = ctx["all_cols"]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == 0]

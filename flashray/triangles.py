@@ -451,6 +451,152 @@ def clustering_coefficient(
     return j.map_batches(finish, batch_format="pandas")
 
 
+def link_prediction(
+    graph: Graph,
+    *,
+    include_edges: bool = False,
+    max_center_degree: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Topological link-prediction scores for every vertex pair at
+    distance 2: common neighbors, Jaccard, Adamic-Adar. Returns
+    (u, v, cn, jaccard, adamic_adar) with u < v; by default pairs that are
+    ALREADY edges are anti-joined away (set ``include_edges=True`` to
+    score them too).
+
+    Dataflow: full (unoriented) adjacency rows bucketed by center — a
+    center's degree is its group run-length, so cn and aa =
+    Σ 1/ln(deg(center)) need NO degree join; one bucketed sum per pair;
+    Jaccard = cn/(deg_u+deg_v−cn) attaches the two endpoint degrees via
+    the same broadcast-or-join split as the triangle orientation.
+
+    A degree-d hub center emits d(d−1)/2 candidate pairs — quadratic and
+    inherent to the definition. ``max_center_degree`` skips super-hub
+    centers (their 1/ln(deg) contribution is near-noise for ranking);
+    leave it None for exact semantics (the oracle queries do)."""
+    B = num_buckets or max(16, graph.num_partitions)
+    und = _canonical_undirected(graph).materialize()
+    deg = _degree_table(graph, und)
+
+    def adjacency(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        center = np.concatenate([lo, hi])
+        return pa.table(
+            {
+                "center": center,
+                "nbr": np.concatenate([hi, lo]),
+                "cbucket": (center % B).astype(np.int64),
+            }
+        )
+
+    def wedge_scores(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["center"].to_numpy()
+        n = g["nbr"].to_numpy()
+        order = np.lexsort((n, c))
+        c, n = c[order], n[order]
+        uniq, counts = np.unique(c, return_counts=True)
+        if max_center_degree is not None:
+            keep = np.repeat(counts <= max_center_degree, counts)
+            c, n = c[keep], n[keep]
+            uniq, counts = np.unique(c, return_counts=True)
+        u, v, center = pairs_within_groups(c, n)
+        degc = counts[np.searchsorted(uniq, center)]
+        return pd.DataFrame(
+            {
+                "u": u,
+                "v": v,
+                "cn1": np.ones(len(u), dtype=np.int64),
+                "aa": 1.0 / np.log(degc),  # deg(center) >= 2 by construction
+            }
+        )
+
+    from flashray.joins import bucket_group_agg
+
+    pairs = bucket_group_agg(
+        und.map_batches(adjacency, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cbucket")
+        .map_groups(wedge_scores, batch_format="pandas"),
+        ["u", "v"],
+        {"cn": ("cn1", "sum"), "adamic_adar": ("aa", "sum")},
+        num_buckets=B,
+    )
+
+    I64, F64 = pa.int64(), pa.float64()
+    psch = [("u", I64), ("v", I64), ("cn", I64), ("adamic_adar", F64)]
+    if not include_edges:
+        marker = und.map_batches(
+            lambda b: b.append_column(
+                "is_edge", pa.array(np.ones(b.num_rows, dtype=np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+        pairs = bucket_hash_join(
+            pairs, marker, ["u", "v"], right_on=["lo", "hi"], how="left",
+            num_buckets=B,
+            left_schema=pa.schema(psch),
+            right_schema=pa.schema([("lo", I64), ("hi", I64), ("is_edge", pa.int8())]),
+        )
+
+        def drop_edges(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[df["is_edge"].isna()].drop(columns=["lo", "hi", "is_edge"])
+            for col in ("u", "v", "cn"):
+                out[col] = out[col].astype(np.int64)
+            return out
+
+        pairs = pairs.map_batches(drop_edges, batch_format="pandas")
+
+    if graph.meta.num_vertices <= BROADCAST_VERTEX_LIMIT:
+        import ray as _ray
+
+        dpd = deg.to_pandas()
+        order = np.argsort(dpd["vertex_id"].to_numpy())
+        ids_ref = _ray.put(dpd["vertex_id"].to_numpy()[order])
+        deg_ref = _ray.put(dpd["deg"].to_numpy()[order])
+
+        def jac_bcast(b: pa.Table) -> pa.Table:
+            ids = _ray.get(ids_ref)
+            dg = _ray.get(deg_ref)
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            cn = b["cn"].to_numpy(zero_copy_only=False)
+            du = dg[np.searchsorted(ids, u)]
+            dv = dg[np.searchsorted(ids, v)]
+            return b.append_column(
+                "jaccard", pa.array(cn / (du + dv - cn).astype(np.float64))
+            ).select(["u", "v", "cn", "jaccard", "adamic_adar"])
+
+        return pairs.map_batches(
+            jac_bcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    dsch = pa.schema([("vertex_id", I64), ("deg", I64)])
+    j = bucket_hash_join(
+        pairs, deg, ["u"], right_on=["vertex_id"], num_buckets=B,
+        left_schema=pa.schema(psch), right_schema=dsch,
+    )
+    j = j.map_batches(
+        lambda b: b.rename_columns(
+            ["deg_u" if c == "deg" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucket_hash_join(
+        j, deg, ["v"], right_on=["vertex_id"], num_buckets=B,
+        left_schema=pa.schema(psch + [("deg_u", I64)]), right_schema=dsch,
+    )
+
+    def jac(b: pa.Table) -> pa.Table:
+        cn = b["cn"].to_numpy(zero_copy_only=False)
+        du = b["deg_u"].to_numpy(zero_copy_only=False)
+        dv = b["deg"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "jaccard", pa.array(cn / (du + dv - cn).astype(np.float64))
+        ).select(["u", "v", "cn", "jaccard", "adamic_adar"])
+
+    return j.map_batches(jac, batch_format="pyarrow")
+
+
 def transitivity(graph: Graph, *, num_buckets: int | None = None) -> float:
     """Global transitivity (graph clustering coefficient):
     ``3·triangles / wedges`` with wedges = Σ_v deg(v)·(deg(v)−1)/2.

@@ -1,0 +1,289 @@
+"""As-of join and range join vs pandas / brute-force / DuckDB oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from flashray.datapipe.temporal import asof_join, range_join
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _rand_frames(seed, n_left=400, n_right=300, n_keys=17):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "t": rng.integers(0, 10_000, n_left).astype("int64"),
+            "lid": np.arange(n_left, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_right),
+            "t": rng.integers(0, 10_000, n_right).astype("int64"),
+            "rid": np.arange(n_right, dtype="int64"),
+            "v": rng.normal(size=n_right).round(6),
+        }
+    )
+    # dedupe right (k, t) so the asof match is value-deterministic
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    return left, right
+
+
+def _sorted(df, cols):
+    return (
+        df[cols].sort_values(cols).reset_index(drop=True).astype("float64")
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_matches_pandas(direction):
+    left, right = _rand_frames(7)
+    got = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on=["k"],
+        left_ts="t",
+        direction=direction,
+        how="left",
+        num_buckets=8,
+    ).to_pandas()
+    want = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort").rename(columns={"t": "t_r"}),
+        left_on="t",
+        right_on="t_r",
+        by="k",
+        direction=direction,
+    )
+    cols = ["k", "t", "lid", "t_r", "rid", "v"]
+    assert len(got) == len(left)
+    pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(want, cols))
+
+
+def test_asof_inner_drops_unmatched():
+    left, right = _rand_frames(11)
+    right = right[right["k"] != 3]  # key 3 has no right rows at all
+    got = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on=["k"],
+        left_ts="t",
+        how="inner",
+        num_buckets=8,
+    ).to_pandas()
+    want = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort").rename(columns={"t": "t_r"}),
+        left_on="t",
+        right_on="t_r",
+        by="k",
+    ).dropna(subset=["rid"])
+    assert not (got["k"] == 3).any()
+    cols = ["k", "t", "lid", "t_r", "rid", "v"]
+    pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(want, cols))
+    # int64 ids survive exactly when every row matched in its bucket group
+    assert got["lid"].notna().all()
+
+
+def test_asof_tolerance():
+    left, right = _rand_frames(13)
+    got = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on=["k"],
+        left_ts="t",
+        how="inner",
+        tolerance=250,
+        num_buckets=8,
+    ).to_pandas()
+    want = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort").rename(columns={"t": "t_r"}),
+        left_on="t",
+        right_on="t_r",
+        by="k",
+        tolerance=250,
+    ).dropna(subset=["rid"])
+    assert (got["t"] - got["t_r"] <= 250).all()
+    cols = ["k", "t", "lid", "t_r", "rid", "v"]
+    pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(want, cols))
+
+
+def test_asof_timestamps_vs_duckdb():
+    con = duckdb.connect()
+    got = asof_join(
+        rd.read_parquet(EVENTS).filter(expr="event_type == 'click'"),
+        rd.read_parquet(EVENTS)
+        .filter(expr="event_type == 'purchase'")
+        .groupby(["user_id", "ts"])
+        .max("value"),
+        on=["user_id"],
+        left_ts="ts",
+        how="inner",
+        num_buckets=8,
+    ).to_pandas()
+    want = con.execute(
+        f"""
+        WITH l AS (SELECT event_id, user_id, ts FROM
+                   read_parquet('{EVENTS}') WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, max(value) AS vmax
+                   FROM read_parquet('{EVENTS}')
+                   WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_r, r.vmax
+        FROM l ASOF JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        """
+    ).df()
+    cols = ["event_id", "user_id", "ts", "ts_r"]
+    got = got.rename(columns={"max(value)": "vmax"})
+    g = got.sort_values(cols).reset_index(drop=True)
+    w = want.sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(w)
+    for c in cols + ["vmax"]:
+        assert (g[c].to_numpy() == w[c].to_numpy()).all(), c
+
+
+def _brute_range(left, right, closed):
+    out = []
+    lo_op = {"left": np.greater_equal, "both": np.greater_equal,
+             "right": np.greater, "neither": np.greater}[closed]
+    hi_op = {"left": np.less, "both": np.less_equal,
+             "right": np.less_equal, "neither": np.less}[closed]
+    for _, lrow in left.iterrows():
+        m = (
+            (right["k"] == lrow["k"])
+            & lo_op(right["t"], lrow["s"])
+            & hi_op(right["t"], lrow["e"])
+        )
+        for _, rrow in right[m].iterrows():
+            out.append((lrow["k"], lrow["s"], lrow["e"], lrow["lid"],
+                        rrow["t"], rrow["rid"], rrow["v"]))
+    return pd.DataFrame(
+        out, columns=["k", "s", "e", "lid", "t", "rid", "v"]
+    )
+
+
+@pytest.mark.parametrize("closed", ["left", "both", "right", "neither"])
+def test_range_join_matches_bruteforce(closed):
+    rng = np.random.default_rng(29)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, 120),
+            "s": rng.integers(0, 900, 120).astype("int64"),
+            "lid": np.arange(120, dtype="int64"),
+        }
+    )
+    left["e"] = left["s"] + rng.integers(0, 200, 120)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, 150),
+            "t": rng.integers(-50, 1200, 150).astype("int64"),
+            "rid": np.arange(150, dtype="int64"),
+            "v": rng.normal(size=150).round(6),
+        }
+    )
+    got = range_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on=["k"],
+        left_start="s",
+        left_end="e",
+        right_ts="t",
+        closed=closed,
+        num_buckets=4,
+    ).to_pandas()
+    want = _brute_range(left, right, closed)
+    cols = ["k", "s", "e", "lid", "t", "rid", "v"]
+    assert len(got) == len(want)
+    if len(want):
+        pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(want, cols))
+
+
+def test_range_join_partition_invariant_and_empty():
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 60),
+            "s": rng.integers(0, 500, 60).astype("int64"),
+            "lid": np.arange(60, dtype="int64"),
+        }
+    )
+    left["e"] = left["s"] + 80
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 80),
+            "t": rng.integers(0, 600, 80).astype("int64"),
+            "rid": np.arange(80, dtype="int64"),
+            "v": np.ones(80),
+        }
+    )
+    kw = dict(on=["k"], left_start="s", left_end="e", right_ts="t")
+    a = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                   num_buckets=1, **kw).to_pandas()
+    b = range_join(
+        rd.from_pandas(left).repartition(7),
+        rd.from_pandas(right).repartition(3),
+        num_buckets=16,
+        **kw,
+    ).to_pandas()
+    cols = ["k", "s", "e", "lid", "t", "rid", "v"]
+    pd.testing.assert_frame_equal(_sorted(a, cols), _sorted(b, cols))
+    # disjoint time ranges -> typed empty result
+    far = right.assign(t=right["t"] + 10_000_000)
+    empty = range_join(rd.from_pandas(left), rd.from_pandas(far),
+                       num_buckets=4, **kw).to_pandas()
+    assert len(empty) == 0
+
+
+def test_range_join_timestamps_vs_duckdb():
+    con = duckdb.connect()
+    ev = rd.read_parquet(EVENTS)
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda b: b.rename_columns(
+            [
+                {"event_id": "click_id", "ts": "start_ts"}.get(c, c)
+                for c in b.column_names
+            ]
+        ).select(["click_id", "user_id", "start_ts"]),
+        batch_format="pyarrow",
+    )
+    clicks = clicks.add_column(
+        "end_ts",
+        lambda df: df["start_ts"] + pd.Timedelta(minutes=30),
+        batch_format="pandas",
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    got = range_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_start="start_ts",
+        left_end="end_ts",
+        right_ts="ts",
+        num_buckets=8,
+    ).to_pandas()
+    want = con.execute(
+        f"""
+        WITH a AS (SELECT event_id AS click_id, user_id, ts AS start_ts,
+                          ts + INTERVAL 30 MINUTE AS end_ts
+                   FROM read_parquet('{EVENTS}') WHERE event_type='click'),
+             b AS (SELECT event_id, user_id, ts, value
+                   FROM read_parquet('{EVENTS}') WHERE event_type='purchase')
+        SELECT a.click_id, a.user_id, a.start_ts, a.end_ts,
+               b.event_id, b.ts, b.value
+        FROM a JOIN b ON a.user_id = b.user_id
+         AND b.ts >= a.start_ts AND b.ts < a.end_ts
+        """
+    ).df()
+    cols = ["click_id", "user_id", "event_id", "ts"]
+    g = got.sort_values(cols).reset_index(drop=True)
+    w = want.sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    for c in cols + ["value"]:
+        assert (g[c].to_numpy() == w[c].to_numpy()).all(), c

@@ -194,3 +194,53 @@ def test_edge_support_k3(graphs):
     graph, _ = graphs("k3", fixtures.k3_edges)
     got = triangles.edge_support(graph).to_pandas()
     assert len(got) == 3 and (got["support"] == 1).all()
+
+
+def _brute_link_pred(src, dst, include_edges=False):
+    """Python oracle: adjacency sets, scores for every distance-2 pair."""
+    import math
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+    out = {}
+    verts = sorted(adj)
+    for i, u in enumerate(verts):
+        for v in verts[i + 1:]:
+            common = adj[u] & adj[v]
+            if not common:
+                continue
+            if not include_edges and v in adj[u]:
+                continue
+            cn = len(common)
+            jac = cn / len(adj[u] | adj[v])
+            aa = sum(1.0 / math.log(len(adj[w])) for w in common)
+            out[(u, v)] = (cn, jac, aa)
+    return out
+
+
+@pytest.mark.parametrize("include_edges", [False, True])
+def test_link_prediction_er(graphs, include_edges):
+    graph, (src, dst) = graphs("er100", fixtures.er_edges)
+    got = triangles.link_prediction(graph, include_edges=include_edges).to_pandas()
+    want = _brute_link_pred(src, dst, include_edges)
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        cn, jac, aa = want[(int(row.u), int(row.v))]
+        assert int(row.cn) == cn
+        assert abs(row.jaccard - jac) < 1e-9
+        assert abs(row.adamic_adar - aa) < 1e-9
+
+
+def test_link_prediction_center_cap(graphs):
+    # star: the hub is the only center; capping below its degree removes
+    # every candidate pair
+    graph, (src, dst) = graphs("star8", fixtures.star_edges)
+    full = triangles.link_prediction(graph).to_pandas()
+    want = _brute_link_pred(src, dst)
+    assert len(full) == len(want) > 0
+    capped = triangles.link_prediction(graph, max_center_degree=2).to_pandas()
+    assert len(capped) == 0

@@ -479,6 +479,42 @@ def _q_clustering_user_graph(sf_dir: str):
     return df[["user_id", "deg", "triangles", "cc"]]
 
 
+def _q_ktruss_user(sf_dir: str):
+    """4-truss of the symmetrized user-succession graph (every surviving
+    edge in >= 2 triangles within the truss); exact vs a round-unrolled
+    SQL peeling oracle."""
+    import shutil
+
+    from flashray import triangles as tri
+    from flashray.build import build_graph
+    from flashray.fixtures import EPOCH_US
+
+    def to_edge_schema(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(np.ones(n)),
+                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
+            }
+        )
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        to_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", f"userkt_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    df = tri.k_truss(g, 4).to_pandas()
+    for c in ("lo", "hi", "support"):
+        df[c] = df[c].astype(np.int64)
+    return df[["lo", "hi", "support"]].sort_values(["lo", "hi"]).reset_index(
+        drop=True
+    )
+
+
 def _q_link_prediction_user(sf_dir: str):
     """Link-prediction scores (common neighbors / Jaccard / Adamic-Adar)
     for every NON-edge pair at distance 2 in the symmetrized
@@ -1692,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_tool_cooccur": _q_clustering_tool_cooccur,
         "clustering_user_graph": _q_clustering_user_graph,
         "link_prediction_user": _q_link_prediction_user,
+        "ktruss_user": _q_ktruss_user,
         "spmv_user": _q_spmv_user,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
@@ -1756,6 +1793,46 @@ def _tsql() -> str:
     from flashray import fixtures
 
     return fixtures.transcripts_sql("sf0.01")
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Round-unrolled k-truss peeling over the user-succession graph.
+
+    SQL cannot express the peel loop directly (recursive CTEs append, they
+    don't re-filter), so each round is one unrolled CTE stage: triangles of
+    the current edge set -> per-edge support -> filter. ``rounds`` must be
+    >= the graph's peel depth; extra rounds are no-ops past the fixed point
+    (the filter is idempotent), so a safe upper bound is cheap."""
+    head = f"""
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+e0 AS (SELECT src AS lo, dst AS hi FROM eu)"""
+    stages = []
+    prev = "e0"
+    for i in list(range(1, rounds + 1)) + ["F"]:
+        stages.append(f"""
+sym{i} AS MATERIALIZED (SELECT lo AS a, hi AS bb FROM {prev}
+           UNION ALL SELECT hi, lo FROM {prev}),
+tri{i} AS MATERIALIZED (SELECT e1.a AS v1, e1.bb AS v2, e2.bb AS v3
+           FROM sym{i} e1 JOIN sym{i} e2 ON e1.bb = e2.a
+           JOIN sym{i} e3 ON e2.bb = e3.a AND e3.bb = e1.a
+           WHERE e1.a < e1.bb AND e1.bb < e2.bb),
+mem{i} AS (SELECT v1 AS lo, v2 AS hi FROM tri{i} UNION ALL
+           SELECT v1, v3 FROM tri{i} UNION ALL SELECT v2, v3 FROM tri{i}),
+sup{i} AS MATERIALIZED (SELECT lo, hi, COUNT(*) AS c FROM mem{i} GROUP BY 1, 2)""")
+        if i != "F":
+            stages.append(f"""
+e{i} AS MATERIALIZED (SELECT e.lo, e.hi FROM {prev} e JOIN sup{i} s
+         ON s.lo = e.lo AND s.hi = e.hi WHERE s.c >= {k - 2})""")
+            prev = f"e{i}"
+    tail = f"""
+SELECT CAST(e.lo AS BIGINT) AS lo, CAST(e.hi AS BIGINT) AS hi,
+       CAST(s.c AS BIGINT) AS support
+FROM {prev} e JOIN supF s ON s.lo = e.lo AND s.hi = e.hi"""
+    return head + "," + ",".join(stages) + tail
 
 
 def _edges_keys_sql() -> str:
@@ -2310,6 +2387,9 @@ SELECT CAST(d.user_id AS BIGINT) AS user_id, CAST(d.deg AS BIGINT) AS deg,
                   THEN 2.0 * COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1))
                   ELSE 0.0 END, 6) AS cc
 FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id""",
+        # k-truss: round-unrolled peeling (see _ktruss_sql); 6 rounds is
+        # a verified upper bound on the sf0.01 user graph's peel depth
+        "ktruss_user": _ktruss_sql(4, 6),
         # link prediction: wedges e(w,u)+e(w,v) with u<v over the
         # symmetrized user graph; cn = wedge count, aa = sum 1/ln(deg(w)),
         # jaccard = cn/(deg_u+deg_v-cn); non-edge pairs only

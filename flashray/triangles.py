@@ -66,17 +66,8 @@ def _canonical_undirected(graph: Graph) -> ray.data.Dataset:
     return bucket_group_agg(out, ["lo", "hi"], None)
 
 
-def _degree_table(graph: Graph, und: ray.data.Dataset) -> ray.data.Dataset:
-    """(vertex_id, deg) with deg = undirected degree."""
-    if graph.meta.symmetrized:
-        ds = graph.vertices_dataset(columns=["vertex_id", "out_degree"])
-        return ds.map_batches(
-            lambda b: b.rename_columns(
-                ["deg" if c == "out_degree" else c for c in b.column_names]
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+def _deg_from_und(und: ray.data.Dataset) -> ray.data.Dataset:
+    """(vertex_id, deg) counted directly from a canonical edge Dataset."""
 
     def expand(b: pa.Table) -> pa.Table:
         lo = b["lo"].to_numpy(zero_copy_only=False)
@@ -97,24 +88,48 @@ def _degree_table(graph: Graph, und: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _degree_table(graph: Graph, und: ray.data.Dataset) -> ray.data.Dataset:
+    """(vertex_id, deg) with deg = undirected degree."""
+    if graph.meta.symmetrized:
+        ds = graph.vertices_dataset(columns=["vertex_id", "out_degree"])
+        return ds.map_batches(
+            lambda b: b.rename_columns(
+                ["deg" if c == "out_degree" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return _deg_from_und(und)
+
+
 BROADCAST_VERTEX_LIMIT = 20_000_000  # ~240 MB of (id, deg) arrays
 
 
 def _oriented_edges(graph: Graph, num_buckets: int) -> ray.data.Dataset:
-    """Degree-orient canonical edges: a -> b iff (deg(a), a) < (deg(b), b).
-
-    Small-side optimization: when the vertex table fits comfortably in the
-    object store, broadcast (sorted ids, degrees) once and orient with a
-    vectorized searchsorted per batch — no join shuffles. The partitioned
-    hash-join path remains for vertex tables beyond the broadcast limit."""
+    """Degree-orient canonical edges: a -> b iff (deg(a), a) < (deg(b), b)."""
     und = _canonical_undirected(graph)
     if not graph.meta.symmetrized:
         # the directed branch consumes und twice (degree count + orient):
         # pin the dedup-shuffle output so it executes once
         und = und.materialize()
     deg = _degree_table(graph, und)
+    return _orient_und(und, deg, graph.meta.num_vertices, num_buckets)
 
-    if graph.meta.num_vertices <= BROADCAST_VERTEX_LIMIT:
+
+def _orient_und(
+    und: ray.data.Dataset,
+    deg: ray.data.Dataset,
+    num_vertices: int,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Orientation core, graph-independent (k-truss re-runs it per peel
+    round on a shrinking edge set).
+
+    Small-side optimization: when the vertex table fits comfortably in the
+    object store, broadcast (sorted ids, degrees) once and orient with a
+    vectorized searchsorted per batch — no join shuffles. The partitioned
+    hash-join path remains for vertex tables beyond the broadcast limit."""
+    if num_vertices <= BROADCAST_VERTEX_LIMIT:
         import ray as _ray
 
         dpd = deg.to_pandas()
@@ -183,7 +198,12 @@ def _closed_wedges(graph: Graph, num_buckets: int) -> ray.data.Dataset:
     # E × 16 B of (a, b) int64 pairs in the object store (spillable) —
     # far cheaper than re-running a full shuffle at 100× scale.
     oriented = _oriented_edges(graph, num_buckets).materialize()
+    return _closed_from_oriented(oriented, num_buckets)
 
+
+def _closed_from_oriented(
+    oriented: ray.data.Dataset, num_buckets: int
+) -> ray.data.Dataset:
     def bucket_by_center(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)
         return b.append_column(
@@ -258,7 +278,15 @@ def edge_support(
     triangle-free edges appear with support 0."""
     B = num_buckets or max(16, graph.num_partitions)
     closed = _closed_wedges(graph, B)
+    sup = _support_from_closed(closed, B)
+    if not include_zero:
+        return sup
+    return _support_with_zeros(_canonical_undirected(graph), sup, B)
 
+
+def _support_from_closed(
+    closed: ray.data.Dataset, num_buckets: int
+) -> ray.data.Dataset:
     def to_edges(b: pa.Table) -> pa.Table:
         w1 = b["w1"].to_numpy(zero_copy_only=False)
         w2 = b["w2"].to_numpy(zero_copy_only=False)
@@ -275,18 +303,20 @@ def edge_support(
 
     from flashray.joins import bucket_group_agg
 
-    sup = bucket_group_agg(
+    return bucket_group_agg(
         closed.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True),
         ["lo", "hi"],
         {"support": ("support", "sum")},
-        num_buckets=B,
+        num_buckets=num_buckets,
     )
-    if not include_zero:
-        return sup
+
+
+def _support_with_zeros(
+    und: ray.data.Dataset, sup: ray.data.Dataset, num_buckets: int
+) -> ray.data.Dataset:
     I64 = pa.int64()
-    und = _canonical_undirected(graph)
     j = bucket_hash_join(
-        und, sup, ["lo", "hi"], how="left", num_buckets=B,
+        und, sup, ["lo", "hi"], how="left", num_buckets=num_buckets,
         left_schema=pa.schema([("lo", I64), ("hi", I64)]),
         right_schema=pa.schema([("lo", I64), ("hi", I64), ("support", I64)]),
     )
@@ -304,6 +334,57 @@ def edge_support(
         )
 
     return j.map_batches(fill, batch_format="pandas")
+
+
+def k_truss(
+    graph: Graph,
+    k: int,
+    *,
+    num_buckets: int | None = None,
+    max_rounds: int | None = None,
+) -> ray.data.Dataset:
+    """The k-truss: the maximal subgraph in which every edge participates
+    in at least k−2 triangles (support counted WITHIN the subgraph).
+    Returns the surviving canonical edges as (lo, hi, support) with the
+    final in-truss support; k >= 3.
+
+    Iterative peeling: each round recomputes per-edge support on the
+    current edge set (degrees, orientation and wedges all re-derived from
+    the shrunken set — one wedge-join dataflow per round) and drops every
+    edge below k−2, until a fixed point. Rounds are bounded by the peel
+    depth of the graph, not |E|: each round removes all violating edges
+    at once. ``max_rounds`` caps it for latency-sensitive callers (the
+    result is then a truss SUPERSET, support values still exact for the
+    returned edge set's last round)."""
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    B = num_buckets or max(16, graph.num_partitions)
+    nv = graph.meta.num_vertices
+    thr = k - 2
+    und = _canonical_undirected(graph).materialize()
+    n = und.count()
+    rounds = 0
+    while True:
+        deg = _deg_from_und(und)
+        oriented = _orient_und(und, deg, nv, B).materialize()
+        supz = _support_with_zeros(
+            und, _support_from_closed(_closed_from_oriented(oriented, B), B), B
+        )
+
+        def keep(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pa.array(b["support"].to_numpy(zero_copy_only=False) >= thr)
+            )
+
+        kept = supz.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        m = kept.count()
+        rounds += 1
+        if m == n or m == 0 or (max_rounds is not None and rounds >= max_rounds):
+            return kept
+        und = kept.select_columns(["lo", "hi"])
+        n = m
 
 
 def triangle_count(graph: Graph, *, num_buckets: int | None = None) -> int:

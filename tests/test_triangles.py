@@ -244,3 +244,44 @@ def test_link_prediction_center_cap(graphs):
     assert len(full) == len(want) > 0
     capped = triangles.link_prediction(graph, max_center_degree=2).to_pandas()
     assert len(capped) == 0
+
+
+def _brute_ktruss(src, dst, k):
+    from collections import defaultdict
+
+    edges = {
+        (min(int(a), int(b)), max(int(a), int(b)))
+        for a, b in zip(src, dst)
+        if a != b
+    }
+    while True:
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        bad = {e for e in edges if sup[e] < k - 2}
+        if not bad:
+            return sup
+        edges -= bad
+        if not edges:
+            return {}
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_ktruss_er(graphs, k):
+    graph, (src, dst) = graphs("er100", fixtures.er_edges)
+    got = triangles.k_truss(graph, k).to_pandas()
+    want = _brute_ktruss(src, dst, k)
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        assert want[(int(row.lo), int(row.hi))] == int(row.support)
+
+
+def test_ktruss_k3_and_star(graphs):
+    graph, _ = graphs("k3", fixtures.k3_edges)
+    df = triangles.k_truss(graph, 3).to_pandas()
+    assert len(df) == 3 and (df["support"] == 1).all()
+    assert len(triangles.k_truss(graph, 4).to_pandas()) == 0
+    star, _ = graphs("star8", fixtures.star_edges)
+    assert len(triangles.k_truss(star, 3).to_pandas()) == 0

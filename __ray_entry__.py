@@ -479,6 +479,45 @@ def _q_clustering_user_graph(sf_dir: str):
     return df[["user_id", "deg", "triangles", "cc"]]
 
 
+def _q_katz_user(sf_dir: str):
+    """Katz centrality on the DIRECTED user-succession graph, exactly 6
+    supersteps (alpha=0.05, beta=1): x_6(v) = sum_l alpha^l * |paths of
+    length l<=6 ending at v| — replayed in SQL as a level-unrolled
+    path-count recurrence."""
+    import shutil
+
+    from flashray import algorithms
+    from flashray.build import build_graph
+    from flashray.fixtures import EPOCH_US
+
+    def to_edge_schema(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(np.ones(n)),
+                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
+            }
+        )
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        to_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", f"userkatz_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(edges, path, num_partitions=4)
+    df = algorithms.katz(g, alpha=0.05, eps=0.0, max_iters=6)
+    out = pd.DataFrame(
+        {
+            "user_id": df["vertex_id"].astype(np.int64),
+            "katz": df["value"].round(6),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_ktruss_user(sf_dir: str):
     """4-truss of the symmetrized user-succession graph (every surviving
     edge in >= 2 triangles within the truss); exact vs a round-unrolled
@@ -1729,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_user_graph": _q_clustering_user_graph,
         "link_prediction_user": _q_link_prediction_user,
         "ktruss_user": _q_ktruss_user,
+        "katz_user": _q_katz_user,
         "spmv_user": _q_spmv_user,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
@@ -1793,6 +1833,35 @@ def _tsql() -> str:
     from flashray import fixtures
 
     return fixtures.transcripts_sql("sf0.01")
+
+
+def _katz_sql(alpha: float, iters: int) -> str:
+    """Level-unrolled Katz recurrence: after T supersteps from x=1,
+    x_T(v) = sum_{l<=T} alpha^l * P_l(v) with P_l = length-l path counts
+    (P_0 = 1). Each level is one join+sum stage; 6-dp rounding absorbs the
+    Horner-vs-power-sum float ordering difference."""
+    head = """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM eu UNION SELECT dst FROM eu)),
+p0 AS (SELECT u AS v, CAST(1 AS DOUBLE) AS cnt FROM verts)"""
+    stages = []
+    for i in range(1, iters + 1):
+        stages.append(f"""
+p{i} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.cnt) AS cnt
+        FROM p{i - 1} p JOIN eu e ON e.src = p.v GROUP BY 1)""")
+    levels = " UNION ALL ".join(
+        f"SELECT v, {i} AS l, cnt FROM p{i}" for i in range(iters + 1)
+    )
+    tail = f"""
+SELECT CAST(v AS BIGINT) AS user_id,
+       ROUND(SUM(cnt * POWER({alpha}, l)), 6) AS katz
+FROM ({levels}) GROUP BY 1"""
+    return head + "," + ",".join(stages) + tail
 
 
 def _ktruss_sql(k: int, rounds: int) -> str:
@@ -2390,6 +2459,7 @@ FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id""",
         # k-truss: round-unrolled peeling (see _ktruss_sql); 6 rounds is
         # a verified upper bound on the sf0.01 user graph's peel depth
         "ktruss_user": _ktruss_sql(4, 6),
+        "katz_user": _katz_sql(0.05, 6),
         # link prediction: wedges e(w,u)+e(w,v) with u<v over the
         # symmetrized user graph; cn = wedge count, aa = sum 1/ln(deg(w)),
         # jaccard = cn/(deg_u+deg_v-cn); non-edge pairs only

@@ -21,6 +21,7 @@ from flashray.engine import Engine
 from flashray.programs import (
     BFS,
     DeltaPageRank,
+    Katz,
     KCorePeel,
     MinLabel,
     PageRank,
@@ -130,6 +131,29 @@ def personalized_pagerank(
     return _with_lineage(
         result, lineage, engine_init_sec=t_init, superstep_wall_sec=t_steps
     )
+
+
+def katz(
+    graph: Graph,
+    *,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    weighted: bool = False,
+    eps: float = 1e-9,
+    max_iters: int = 100,
+    out_dir: str | None = None,
+    actor_cpus: float | None = None,
+):
+    """Katz centrality (prestige) by power iteration on the superstep
+    engine: ``x = beta + alpha * A^T x``. Fixed-iteration runs (``eps=0.0``,
+    ``max_iters=T``) equal the level-T path-count recurrence exactly —
+    the driver oracle replays it in SQL."""
+    with Engine(graph, Katz(alpha, beta, weighted=weighted),
+                actor_cpus=actor_cpus) as eng:
+        eng.run(lambda m: m["delta"] < eps, max_iters=max_iters)
+        result = _finish(eng, out_dir)
+        lineage = list(eng.lineage)
+    return _with_lineage(result, lineage)
 
 
 def _frontier_loop(

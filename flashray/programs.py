@@ -117,6 +117,42 @@ class PageRank(VertexProgram):
         return {"delta": delta, "changed": shard.nv, "active": shard.nv}
 
 
+class Katz(VertexProgram):
+    """Katz centrality: ``x = β·1 + α·Aᵀx`` by power iteration from
+    ``x = β`` (converges for α < 1/λ_max). After T supersteps
+    ``x_T(v) = Σ_{l<=T} α^l · |paths of length l ending at v|``, which a
+    SQL level-unrolled path-count recurrence replays exactly — so
+    fixed-iteration runs are oracle-checkable like PersonalizedPageRank.
+    Unlike PageRank the scatter is NOT degree-normalized (prestige flows
+    whole along every edge); ``weighted=True`` scales per-edge by the
+    weight column."""
+
+    combine = "sum"
+    identity = 0.0
+    stale_mirror_safe = True  # fixpoint iteration
+
+    def __init__(self, alpha: float = 0.1, beta: float = 1.0,
+                 weighted: bool = False):
+        self.alpha = alpha
+        self.beta = beta
+        self.use_weights = weighted
+
+    def init_state(self, shard, N):
+        return {
+            "values": np.full(shard.nv, self.beta),
+            "active": np.ones(shard.nv, dtype=bool),
+        }
+
+    def signal(self, shard, state):
+        return state["values"]
+
+    def apply(self, shard, state, agg, N):
+        new = self.beta + self.alpha * agg
+        delta = float(np.abs(new - state["values"]).sum())
+        state["values"] = new
+        return {"delta": delta, "changed": shard.nv, "active": shard.nv}
+
+
 class PersonalizedPageRank(PageRank):
     """A1 variant (libgraph-algs/page_rank.cpp parameterized by a restart
     vector): teleport mass returns only to a seed set S —

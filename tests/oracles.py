@@ -306,3 +306,19 @@ def sssp_dijkstra(src, dst, w, seeds):
                 dist[u] = nd
                 heapq.heappush(heap, (nd, u))
     return {v: (-1.0 if dist[v] == float("inf") else dist[v]) for v in dist}
+
+
+def katz_dense(src, dst, alpha=0.1, beta=1.0, iters=6):
+    """x_{t+1} = beta + alpha * A^T x_t from x = beta (deduped edges)."""
+    verts = _vertices(src, dst)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    pairs = sorted({(idx[a], idx[b]) for a, b in zip(src, dst)})
+    s = np.array([p[0] for p in pairs], dtype=np.int64)
+    t = np.array([p[1] for p in pairs], dtype=np.int64)
+    x = np.full(n, beta)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, t, x[s])
+        x = beta + alpha * contrib
+    return dict(zip(verts.tolist(), x.tolist()))

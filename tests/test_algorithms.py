@@ -280,3 +280,21 @@ def test_landmark_distances_weighted_matches_dijkstra(tmp_path):
         assert set(got) == set(want)
         for v in want:
             assert abs(got[v] - want[v]) < 1e-9, (s, v, got[v], want[v])
+
+
+@pytest.mark.parametrize("name", ["k3", "star8", "path5", "er100"])
+def test_katz_matches_dense_oracle(tmp_graphs, name):
+    graph, (src, dst) = tmp_graphs(name, FIXES[name])
+    df = algorithms.katz(graph, alpha=0.05, eps=0.0, max_iters=6)
+    want = oracles.katz_dense(src, dst, alpha=0.05, iters=6)
+    got = dict(zip(df["vertex_id"].astype(int), df["value"]))
+    assert got.keys() == want.keys()
+    for v, x in want.items():
+        assert abs(got[v] - x) < 1e-9, v
+
+
+def test_katz_converges_below_spectral_bound(tmp_graphs):
+    # cycle3: lambda_max = 1, alpha = 0.5 converges to x = beta/(1-alpha)
+    graph, _ = tmp_graphs("cycle3", FIXES["cycle3"])
+    df = algorithms.katz(graph, alpha=0.5, eps=1e-12, max_iters=200)
+    assert np.allclose(df["value"].to_numpy(), 2.0, atol=1e-9)

@@ -479,6 +479,41 @@ def _q_clustering_user_graph(sf_dir: str):
     return df[["user_id", "deg", "triangles", "cc"]]
 
 
+def _q_mis_user(sf_dir: str):
+    """Deterministic Luby maximal independent set of the symmetrized
+    user-succession graph (sha priorities); output = MIS member ids,
+    replayed exactly by a round-unrolled SQL oracle."""
+    import shutil
+
+    from flashray import algorithms
+    from flashray.build import build_graph
+    from flashray.fixtures import EPOCH_US
+
+    def to_edge_schema(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(np.ones(n)),
+                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
+            }
+        )
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        to_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", f"usermis_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    df = algorithms.mis(g, hash_fn="sha")
+    members = df[df["value"] == 1]
+    return pd.DataFrame(
+        {"user_id": np.sort(members["vertex_id"].to_numpy().astype(np.int64))}
+    )
+
+
 def _q_katz_user(sf_dir: str):
     """Katz centrality on the DIRECTED user-succession graph, exactly 6
     supersteps (alpha=0.05, beta=1): x_6(v) = sum_l alpha^l * |paths of
@@ -1361,6 +1396,57 @@ def _q_docs_quality_filter(sf_dir: str):
     return out
 
 
+def _q_docs_top3_per_lang(sf_dir: str):
+    """Generic top-k-per-group operator: 3 longest documents per language
+    (ties broken by doc_id). Map-side prune bounds the shuffle to
+    k rows per key per batch."""
+    import ray.data as rd
+
+    from flashray.joins import topk_per_group
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = topk_per_group(
+        docs, ["lang"], ["n_chars", "doc_id"], 3,
+        descending=[True, False], num_buckets=16,
+    ).to_pandas()
+    for c in ("doc_id", "n_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out[["lang", "doc_id", "n_chars"]].sort_values(
+        ["lang", "doc_id"]
+    ).reset_index(drop=True)
+
+
+def _q_events_clicks_anti_purchasers(sf_dir: str):
+    """Anti semi-join (blocklist filter shape): click events of users who
+    never made a purchase above 150; the right side dedups map-side
+    before the shuffle."""
+    import ray.data as rd
+
+    from flashray.joins import bucket_semi_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    purchasers = ev.filter(
+        expr="event_type == 'purchase' and value > 150"
+    ).select_columns(["user_id"])
+    out = bucket_semi_join(
+        clicks, purchasers, ["user_id"], anti=True, num_buckets=16
+    ).to_pandas()
+    for c in ("event_id", "user_id"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_id", "user_id", "ts"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
 def _q_events_asof_purchase(sf_dir: str):
     """As-of join: each click matched to the same user's most recent
     purchase at or before it (DuckDB ASOF JOIN semantics). The purchase
@@ -1769,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction_user": _q_link_prediction_user,
         "ktruss_user": _q_ktruss_user,
         "katz_user": _q_katz_user,
+        "mis_user": _q_mis_user,
         "spmv_user": _q_spmv_user,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
@@ -1809,6 +1896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks_user": _q_node2vec_walks_user,
         "docs_line_dedup": _q_docs_line_dedup,
         "events_quantiles": _q_events_quantiles,
+        "docs_top3_per_lang": _q_docs_top3_per_lang,
+        "events_clicks_anti_purchasers": _q_events_clicks_anti_purchasers,
         "events_asof_purchase": _q_events_asof_purchase,
         "events_range_purchases": _q_events_range_purchases,
         "docs_quality_filter": _q_docs_quality_filter,
@@ -1833,6 +1922,48 @@ def _tsql() -> str:
     from flashray import fixtures
 
     return fixtures.transcripts_sql("sf0.01")
+
+
+def _mis_sql(rounds: int) -> str:
+    """Round-unrolled deterministic Luby MIS over the symmetrized user
+    graph. Priority = sha256('mis:' || id) first 8 hex bytes >> 1 (the
+    repo-wide oracle hash convention, exact BIGINT compare on both
+    sides). Each round: undecided vertices strictly below every undecided
+    neighbor join; their undecided neighbors drop. Extra rounds past the
+    fixed point select nothing."""
+    head = """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+sym AS MATERIALIZED (SELECT src AS a, dst AS bb FROM eu
+                     UNION ALL SELECT dst, src FROM eu),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+prio AS MATERIALIZED (SELECT v,
+       CAST(CAST(concat('0x', substr(sha256('mis:' || CAST(v AS VARCHAR)),
+                                     1, 16)) AS UBIGINT) >> 1 AS BIGINT) AS p
+       FROM verts),
+u0 AS (SELECT v FROM verts)"""
+    stages = []
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+mis{i} AS MATERIALIZED (
+  SELECT u.v FROM u{i - 1} u JOIN prio p ON p.v = u.v
+  LEFT JOIN (SELECT s.a AS v, MIN(pp.p) AS mn
+             FROM sym s JOIN u{i - 1} x ON x.v = s.bb
+                  JOIN u{i - 1} y ON y.v = s.a
+                  JOIN prio pp ON pp.v = s.bb
+             GROUP BY 1) nb ON nb.v = u.v
+  WHERE nb.mn IS NULL OR p.p < nb.mn),
+out{i} AS (SELECT DISTINCT s.bb AS v FROM sym s JOIN mis{i} m ON m.v = s.a
+           JOIN u{i - 1} x ON x.v = s.bb),
+u{i} AS MATERIALIZED (SELECT v FROM u{i - 1} EXCEPT SELECT v FROM mis{i}
+       EXCEPT SELECT v FROM out{i})""")
+    union = " UNION ALL ".join(f"SELECT v FROM mis{i}" for i in range(1, rounds + 1))
+    tail = f"""
+SELECT CAST(v AS BIGINT) AS user_id FROM ({union}) ORDER BY 1"""
+    return head + "," + ",".join(stages) + tail
 
 
 def _katz_sql(alpha: float, iters: int) -> str:
@@ -2460,6 +2591,7 @@ FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id""",
         # a verified upper bound on the sf0.01 user graph's peel depth
         "ktruss_user": _ktruss_sql(4, 6),
         "katz_user": _katz_sql(0.05, 6),
+        "mis_user": _mis_sql(12),
         # link prediction: wedges e(w,u)+e(w,v) with u<v over the
         # symmetrized user graph; cn = wedge count, aa = sum 1/ln(deg(w)),
         # jaccard = cn/(deg_u+deg_v-cn); non-edge pairs only
@@ -2673,6 +2805,17 @@ WITH s AS (SELECT quantile_disc(value, [0.01, 0.25, 0.5, 0.75, 0.99]) AS v
 SELECT t.q, ROUND(s.v[t.i] , 6) AS value
 FROM s, (VALUES (0.01, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.99, 5))
        t(q, i)""",
+        # generic top-k per group (QUALIFY window oracle)
+        "docs_top3_per_lang": """
+SELECT lang, doc_id, n_chars FROM documents
+QUALIFY ROW_NUMBER() OVER
+  (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3""",
+        # anti semi-join (blocklist filter shape)
+        "events_clicks_anti_purchasers": """
+SELECT event_id, user_id, ts FROM events
+WHERE event_type = 'click' AND user_id NOT IN
+  (SELECT user_id FROM events
+   WHERE event_type = 'purchase' AND value > 150)""",
         # as-of join: DuckDB ASOF JOIN, right side pre-aggregated to one
         # row per (user, ts) so the matched value is deterministic
         "events_asof_purchase": """

@@ -291,6 +291,63 @@ def _datapipe_bench(queries: dict, extra: dict) -> None:
     extra["ivf_bytes_total"] = total
     extra["ivf_read_fraction"] = round(probed / max(total, 1), 3)
 
+    # relational/temporal operators over the events table
+    ev_path = os.path.join(SF_DIR, "events.parquet")
+    if not os.path.exists(ev_path):
+        return
+    import pandas as pd
+
+    from flashray.datapipe.temporal import asof_join, range_join
+    from flashray.joins import bucket_semi_join, topk_per_group
+
+    def _clicks():
+        return rd.read_parquet(
+            ev_path, columns=["event_id", "ts", "user_id", "event_type"]
+        ).filter(expr="event_type == 'click'")
+
+    def _purchases():
+        return rd.read_parquet(
+            ev_path, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        ).filter(expr="event_type == 'purchase'")
+
+    t0 = time.perf_counter()
+    n = asof_join(
+        _clicks(), _purchases(), on=["user_id"], left_ts="ts",
+        how="inner", num_buckets=P,
+    ).count()
+    queries["asof_join"] = time.perf_counter() - t0
+    extra["asof_rows"] = int(n)
+
+    t0 = time.perf_counter()
+    intervals = _clicks().add_column(
+        "end_ts", lambda df: df["ts"] + pd.Timedelta(minutes=30),
+        batch_format="pandas",
+    )
+    n = range_join(
+        intervals, _purchases(), on=["user_id"], left_start="ts",
+        left_end="end_ts", right_ts="ts", num_buckets=P,
+    ).count()
+    queries["range_join"] = time.perf_counter() - t0
+    extra["range_rows"] = int(n)
+
+    t0 = time.perf_counter()
+    n = topk_per_group(
+        rd.read_parquet(ev_path, columns=["event_id", "user_id", "value"]),
+        ["user_id"], ["value", "event_id"], 5,
+        descending=[True, False], num_buckets=P,
+    ).count()
+    queries["topk_per_group"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n = bucket_semi_join(
+        _clicks(),
+        _purchases().select_columns(["user_id"]),
+        ["user_id"],
+        anti=True,
+        num_buckets=P,
+    ).count()
+    queries["anti_join"] = time.perf_counter() - t0
+
 
 def run_scaling() -> dict:
     """Same pre-built input, fresh processes at num_cpus N and 4N.

@@ -23,6 +23,7 @@ from flashray.programs import (
     DeltaPageRank,
     Katz,
     KCorePeel,
+    MaxIndependentSet,
     MinLabel,
     PageRank,
     PersonalizedPageRank,
@@ -151,6 +152,29 @@ def katz(
     with Engine(graph, Katz(alpha, beta, weighted=weighted),
                 actor_cpus=actor_cpus) as eng:
         eng.run(lambda m: m["delta"] < eps, max_iters=max_iters)
+        result = _finish(eng, out_dir)
+        lineage = list(eng.lineage)
+    return _with_lineage(result, lineage)
+
+
+def mis(
+    graph: Graph,
+    *,
+    salt: int = 0,
+    hash_fn: str = "splitmix",
+    max_iters: int = 400,
+    out_dir: str | None = None,
+    actor_cpus: float | None = None,
+):
+    """Deterministic Luby maximal independent set (see
+    programs.MaxIndependentSet). Requires a symmetrized graph (scatter
+    must reach every neighbor). Result value: 1 = in MIS, 2 = out."""
+    if not graph.meta.symmetrized:
+        raise ValueError("mis() needs a symmetrized graph (build with "
+                         "symmetrize=True)")
+    prog = MaxIndependentSet(salt, hash_fn)
+    with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
+        eng.run(lambda m: m["undecided"] == 0, max_iters=max_iters)
         result = _finish(eng, out_dir)
         lineage = list(eng.lineage)
     return _with_lineage(result, lineage)

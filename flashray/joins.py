@@ -269,6 +269,138 @@ def bucket_group_agg(
     )
 
 
+def topk_per_group(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_by: list[str],
+    k: int,
+    *,
+    descending: bool | list[bool] = True,
+    hash_keys: list[str] | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Top-k rows per group, ordered by ``order_by`` with the ORDER
+    COLUMNS THEMSELVES as the only tie-break — append a unique id column
+    to ``order_by`` for a total order (the SQL-parity queries do).
+
+    Two-stage: a map-side per-batch prune keeps at most k rows per key
+    per batch (bounds the shuffle to k·batches per key — a hot key never
+    ships its full history), then ONE bucket shuffle and a vectorized
+    per-bucket groupby head."""
+    desc = (
+        [descending] * len(order_by) if isinstance(descending, bool)
+        else list(descending)
+    )
+    ascending = [not d for d in desc]
+    hk = hash_keys if hash_keys is not None else keys
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(order_by, ascending=ascending, kind="mergesort")
+            .groupby(keys, sort=False)
+            .head(k)
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        b = b.replace_schema_metadata(None)
+        h = _key_hash(b, hk)
+        return b.append_column(
+            "__tbucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return prune(g.drop(columns=["__tbucket"]))
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__tbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def bucket_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    *,
+    anti: bool = False,
+    right_on: list[str] | None = None,
+    num_buckets: int = 64,
+    left_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Semi join (left rows whose key EXISTS on the right) or anti join
+    (``anti=True``: key absent) — the blocklist/allowlist filter shape of
+    C4-style corpus cleaning. Output columns = left columns, each row at
+    most once.
+
+    The right side is projected to its key columns and deduped map-side
+    per batch BEFORE the one bucket shuffle, so a right side with massive
+    key duplication ships at most (distinct keys x batches) rows."""
+    on = list(on)
+    right_on = list(right_on) if right_on is not None else on
+    lsch = left_schema if left_schema is not None else _arrow_schema(left)
+    lcols = [f.name for f in lsch]
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        b = b.replace_schema_metadata(None)
+        bucket = (_key_hash(b, on) % np.uint64(num_buckets)).astype(np.int64)
+        return b.append_column("__sbucket", pa.array(bucket)).append_column(
+            "__sside", pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        )
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        b = b.replace_schema_metadata(None)
+        b = b.select(right_on).rename_columns(on)
+        # map-side distinct: a blocklist key repeated millions of times
+        # ships once per batch
+        df = b.to_pandas().drop_duplicates(on)
+        b = pa.Table.from_pandas(df, preserve_index=False)
+        b = b.replace_schema_metadata(None)
+        bucket = (_key_hash(b, on) % np.uint64(num_buckets)).astype(np.int64)
+        # pad the non-key left columns so the union has one schema
+        for f in lsch:
+            if f.name not in on:
+                if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+                    filler = pa.array([""] * b.num_rows, type=f.type)
+                elif pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type):
+                    filler = pa.array([b""] * b.num_rows, type=f.type)
+                elif pa.types.is_timestamp(f.type):
+                    filler = pa.array(
+                        np.zeros(b.num_rows, dtype="int64"), type=pa.int64()
+                    ).cast(f.type)
+                else:
+                    filler = pa.array(
+                        np.zeros(b.num_rows, dtype=f.type.to_pandas_dtype())
+                    ).cast(f.type)
+                b = b.append_column(f.name, filler)
+        return b.select(lcols).append_column(
+            "__sbucket", pa.array(bucket)
+        ).append_column(
+            "__sside", pa.array(np.ones(b.num_rows, dtype=np.int8))
+        )
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def filt(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__sside"] == 0]
+        rkeys = g.loc[g["__sside"] == 1, on]
+        if len(on) == 1:
+            m = lg[on[0]].isin(set(rkeys[on[0]]))
+        else:
+            m = pd.MultiIndex.from_frame(lg[on]).isin(
+                pd.MultiIndex.from_frame(rkeys.drop_duplicates())
+            )
+        out = lg[~m] if anti else lg[m]
+        return out[lcols]
+
+    return (
+        lt.union(rt).groupby("__sbucket").map_groups(filt, batch_format="pandas")
+    )
+
+
 def pairs_within_groups(
     group_codes: np.ndarray, values: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

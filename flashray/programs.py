@@ -153,6 +153,89 @@ class Katz(VertexProgram):
         return {"delta": delta, "changed": shard.nv, "active": shard.nv}
 
 
+class MaxIndependentSet(VertexProgram):
+    """Deterministic Luby maximal independent set on a SYMMETRIZED graph.
+
+    Each peel round is two supersteps: a PRIORITY wave (undecided vertices
+    scatter their 63-bit hash priority, min-combine; an undecided vertex
+    strictly below every undecided neighbor — or with none left — joins
+    the MIS) and a NOTIFY wave (new MIS members scatter 0; undecided
+    receivers drop out). Priorities are hashes, not ids: id-priorities
+    degenerate to O(n) rounds on id-sorted chains, hash priorities give
+    the Luby O(log n) expected rounds. ``hash_fn="sha"`` makes the
+    priority SQL-replayable (``sha256('mis:' || id)`` first 8 bytes >> 1,
+    exactly the repo-wide oracle hash convention); ``"splitmix"`` is the
+    vectorized scale path. A 63-bit priority TIE between neighbors would
+    stall both (statuses stay decidable only via other neighbors) —
+    negligible below ~10^9 vertices, and ``max_iters`` bounds the loop.
+
+    Status encoding in ``values``: 0 undecided, 1 in MIS, 2 out."""
+
+    combine = "min"
+    identity = INT_IDENTITY
+    dtype = np.int64
+    stale_mirror_safe = False  # arrival ROUND matters (two-wave rounds)
+
+    def __init__(self, salt: int = 0, hash_fn: str = "splitmix"):
+        if hash_fn not in ("splitmix", "sha"):
+            raise ValueError(f"hash_fn must be splitmix|sha, got {hash_fn!r}")
+        self.salt = salt
+        self.hash_fn = hash_fn
+
+    def _priorities(self, ids: np.ndarray) -> np.ndarray:
+        if self.hash_fn == "sha":
+            from flashray.datapipe.sketches import _sha_u64
+
+            pref = f"mis{self.salt}:" if self.salt else "mis:"
+            h = _sha_u64([pref + str(int(v)) for v in ids])
+        else:
+            from flashray.ids import _splitmix64
+
+            h = _splitmix64(
+                ids.astype(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15 + self.salt)
+            )
+        return (h >> np.uint64(1)).astype(np.int64)
+
+    def init_state(self, shard, N):
+        return {
+            "values": np.zeros(shard.nv, dtype=np.int64),
+            "prio": self._priorities(shard.vertex_ids),
+            "active": np.ones(shard.nv, dtype=bool),
+            "phase": 0,
+        }
+
+    def signal(self, shard, state):
+        v = state["values"]
+        if state["phase"] % 2 == 0:  # priority wave
+            return np.where(v == 0, state["prio"], INT_IDENTITY)
+        # notify wave: MIS members broadcast 0
+        return np.where(v == 1, np.int64(0), INT_IDENTITY)
+
+    def apply(self, shard, state, agg, N):
+        v = state["values"]
+        if state["phase"] % 2 == 0:
+            hit = (v == 0) & (state["prio"] < agg)
+            v[hit] = 1
+        else:
+            hit = (v == 0) & (agg == 0)
+            v[hit] = 2
+        state["phase"] += 1
+        n = int(hit.sum())
+        undecided = int((v == 0).sum())
+        return {
+            "delta": float(n),
+            "changed": n,
+            "active": undecided,
+            "undecided": undecided,
+        }
+
+    def state_columns(self):
+        return ["values", "prio", "active"]
+
+    def scalar_state_keys(self):
+        return ["phase"]
+
+
 class PersonalizedPageRank(PageRank):
     """A1 variant (libgraph-algs/page_rank.cpp parameterized by a restart
     vector): teleport mass returns only to a seed set S —

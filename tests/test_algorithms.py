@@ -298,3 +298,72 @@ def test_katz_converges_below_spectral_bound(tmp_graphs):
     graph, _ = tmp_graphs("cycle3", FIXES["cycle3"])
     df = algorithms.katz(graph, alpha=0.5, eps=1e-12, max_iters=200)
     assert np.allclose(df["value"].to_numpy(), 2.0, atol=1e-9)
+
+
+def _mis_replay(src, dst, prios):
+    """Exact python replay of the two-wave deterministic Luby rounds."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    verts = set()
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        verts |= {a, b}
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    status = {v: 0 for v in verts}
+    while any(s == 0 for s in status.values()):
+        newly = [
+            v
+            for v, s in status.items()
+            if s == 0
+            and all(
+                prios[v] < prios[u] for u in adj[v] if status[u] == 0
+            )
+        ]
+        for v in newly:
+            status[v] = 1
+        for v in newly:
+            for u in adj[v]:
+                if status[u] == 0:
+                    status[u] = 2
+    return status
+
+
+@pytest.mark.parametrize("name", ["star8", "path5", "er100", "two_components"])
+@pytest.mark.parametrize("hash_fn", ["splitmix", "sha"])
+def test_mis_exact_replay_and_properties(tmp_path, name, hash_fn):
+    from flashray.build import build_graph_from_arrays
+    from flashray.programs import MaxIndependentSet
+
+    src, dst = FIXES[name]()
+    graph = build_graph_from_arrays(
+        src, dst, str(tmp_path / f"mis_{name}_{hash_fn}"),
+        num_partitions=4, symmetrize=True,
+    )
+    df = algorithms.mis(graph, hash_fn=hash_fn)
+    got = dict(zip(df["vertex_id"].astype(int), df["value"].astype(int)))
+    assert set(got.values()) <= {1, 2}  # everyone decided
+
+    ids = np.array(sorted(got), dtype=np.int64)
+    prios = dict(
+        zip(ids.tolist(), MaxIndependentSet(hash_fn=hash_fn)._priorities(ids))
+    )
+    want = _mis_replay(src, dst, prios)
+    assert got == want
+
+    # independence + maximality against the raw adjacency
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+    members = {v for v, s in got.items() if s == 1}
+    for v in members:
+        assert not (adj[v] & members), "MIS not independent"
+    for v, s in got.items():
+        if s == 2:
+            assert adj[v] & members, "OUT vertex with no MIS neighbor"

@@ -516,9 +516,13 @@ def _q_mis_user(sf_dir: str):
 
 def _q_katz_user(sf_dir: str):
     """Katz centrality on the DIRECTED user-succession graph, exactly 6
-    supersteps (alpha=0.05, beta=1): x_6(v) = sum_l alpha^l * |paths of
+    supersteps (alpha=0.0625, beta=1): x_6(v) = sum_l alpha^l * |paths of
     length l<=6 ending at v| — replayed in SQL as a level-unrolled
-    path-count recurrence."""
+    path-count recurrence. alpha = 1/16 EXACTLY (binary fraction): every
+    term and partial sum is an exact float64 on both systems, so the
+    result is identical regardless of summation order — a non-binary
+    alpha (0.05) made DuckDB's parallel SUM flip 6-dp rounding
+    boundaries between runs."""
     import shutil
 
     from flashray import algorithms
@@ -543,7 +547,7 @@ def _q_katz_user(sf_dir: str):
     path = os.path.join(_CACHE_ROOT, "graphs", f"userkatz_{_tier(sf_dir)}")
     shutil.rmtree(path, ignore_errors=True)
     g = build_graph(edges, path, num_partitions=4)
-    df = algorithms.katz(g, alpha=0.05, eps=0.0, max_iters=6)
+    df = algorithms.katz(g, alpha=0.0625, eps=0.0, max_iters=6)
     out = pd.DataFrame(
         {
             "user_id": df["vertex_id"].astype(np.int64),
@@ -1969,8 +1973,9 @@ SELECT CAST(v AS BIGINT) AS user_id FROM ({union}) ORDER BY 1"""
 def _katz_sql(alpha: float, iters: int) -> str:
     """Level-unrolled Katz recurrence: after T supersteps from x=1,
     x_T(v) = sum_{l<=T} alpha^l * P_l(v) with P_l = length-l path counts
-    (P_0 = 1). Each level is one join+sum stage; 6-dp rounding absorbs the
-    Horner-vs-power-sum float ordering difference."""
+    (P_0 = 1). Each level is one join+sum stage. Call with alpha an exact
+    binary fraction (1/16): terms are then exact float64 multiples of
+    alpha^T and the sum is order-independent on both systems."""
     head = """
 WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
@@ -2590,7 +2595,7 @@ FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id""",
         # k-truss: round-unrolled peeling (see _ktruss_sql); 6 rounds is
         # a verified upper bound on the sf0.01 user graph's peel depth
         "ktruss_user": _ktruss_sql(4, 6),
-        "katz_user": _katz_sql(0.05, 6),
+        "katz_user": _katz_sql(0.0625, 6),
         "mis_user": _mis_sql(12),
         # link prediction: wedges e(w,u)+e(w,v) with u<v over the
         # symmetrized user graph; cn = wedge count, aa = sum 1/ln(deg(w)),

@@ -1400,6 +1400,60 @@ def _q_docs_quality_filter(sf_dir: str):
     return out
 
 
+def _q_docs_chunks(sf_dir: str):
+    """Token-window chunking (context-window prep): 32-token chunks with
+    8-token overlap; chunk text = tokens joined by spaces, so the list-
+    slicing SQL oracle reproduces it byte-for-byte."""
+    import ray.data as rd
+
+    from flashray.datapipe.textstats import chunk_documents
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = chunk_documents(
+        docs, chunk_tokens=32, overlap=8, concurrency=4
+    ).to_pandas()
+    for c in ("doc_id", "chunk_idx", "n_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out[["doc_id", "chunk_idx", "n_tokens", "text"]].sort_values(
+        ["doc_id", "chunk_idx"]
+    ).reset_index(drop=True)
+
+
+def _q_docs_redact(sf_dir: str):
+    """PII-style redaction. The corpus is synthetic and PII-free, so the
+    query plants one email + one phone per document deterministically
+    from doc_id (identically in SQL) and redacts — the oracle checks both
+    the rewritten text and the per-doc redaction count."""
+    import ray.data as rd
+
+    from flashray.datapipe.textstats import redact
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype(str)
+        df = df.copy()
+        df["text"] = (
+            df["text"]
+            + " contact u" + ids + "@example.com call 555 0100 "
+            + (df["doc_id"] % 10).astype(str)
+        )
+        return df
+
+    out = redact(
+        docs.map_batches(plant, batch_format="pandas"), concurrency=4
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_redactions"] = out["n_redactions"].astype(np.int64)
+    return out[["doc_id", "text", "n_redactions"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def _q_docs_top3_per_lang(sf_dir: str):
     """Generic top-k-per-group operator: 3 longest documents per language
     (ties broken by doc_id). Map-side prune bounds the shuffle to
@@ -1900,6 +1954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks_user": _q_node2vec_walks_user,
         "docs_line_dedup": _q_docs_line_dedup,
         "events_quantiles": _q_events_quantiles,
+        "docs_chunks": _q_docs_chunks,
+        "docs_redact": _q_docs_redact,
         "docs_top3_per_lang": _q_docs_top3_per_lang,
         "events_clicks_anti_purchasers": _q_events_clicks_anti_purchasers,
         "events_asof_purchase": _q_events_asof_purchase,
@@ -2810,6 +2866,38 @@ WITH s AS (SELECT quantile_disc(value, [0.01, 0.25, 0.5, 0.75, 0.99]) AS v
 SELECT t.q, ROUND(s.v[t.i] , 6) AS value
 FROM s, (VALUES (0.01, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.99, 5))
        t(q, i)""",
+        # token-window chunking: list slicing over regexp tokens
+        "docs_chunks": """
+WITH base AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM documents),
+nz AS (SELECT * FROM base WHERE len(toks) > 0),
+st AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS s FROM nz)
+SELECT doc_id, CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+       CAST(least(32, len(toks) - s + 1) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s : least(s + 31, len(toks))], ' ') AS text
+FROM st""",
+        # planted-PII redaction: same plant expression, same RE2 regexes
+        "docs_redact": """
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com call 555 0100 '
+              || CAST(doc_id % 10 AS VARCHAR) AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9][0-9 ()+.-]{7,}[0-9]', '<PHONE>', 'g') AS text,
+       CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                '[0-9][0-9 ()+.-]{7,}[0-9]'))
+            AS BIGINT) AS n_redactions
+FROM planted""",
         # generic top-k per group (QUALIFY window oracle)
         "docs_top3_per_lang": """
 SELECT lang, doc_id, n_chars FROM documents

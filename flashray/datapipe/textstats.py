@@ -399,3 +399,137 @@ def quality_filter(
         )
 
     return stats.map_batches(decide, batch_format="pandas")
+
+
+class Chunker:
+    """Token-window document chunking — the context-window prep step of an
+    LLM training pipeline. Splits each document's \\S+ token stream into
+    windows of ``chunk_tokens`` advancing by ``chunk_tokens - overlap``;
+    chunk text = tokens joined by single spaces (token-chunk semantics:
+    original whitespace is NOT preserved, which is what makes the output
+    SQL-reproducible). The final window may be shorter; empty documents
+    emit no chunks. 1→N rows: (doc_id, chunk_idx, n_tokens, text).
+
+    Per batch the token streams are flattened once and chunk assembly is
+    one pandas groupby-join over (doc, chunk) codes — work is O(total
+    tokens), never a Python loop over raw rows."""
+
+    def __init__(self, chunk_tokens: int = 64, overlap: int = 0,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        if not 0 <= overlap < chunk_tokens:
+            raise ValueError("need 0 <= overlap < chunk_tokens")
+        self.chunk = chunk_tokens
+        self.stride = chunk_tokens - overlap
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(r"\S+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = [self.tok.findall(t) for t in df[self.text_col]]
+        counts = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                             count=len(toks))
+        if counts.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.array([], dtype=np.int64),
+                    "chunk_idx": np.array([], dtype=np.int64),
+                    "n_tokens": np.array([], dtype=np.int64),
+                    "text": np.array([], dtype=object),
+                }
+            )
+        ids = df[self.id_col].to_numpy()
+        # flat token table with per-token (doc, position)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_of = np.repeat(np.arange(len(toks)), counts)
+        pos = np.arange(len(flat)) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        # overlap duplicates a token into ceil((pos+1 - chunk)/stride)+1
+        # windows; expand token -> (window, token) pairs vectorized
+        first_w = np.maximum(
+            0, (pos - self.chunk + self.stride) // self.stride
+        )
+        last_w = pos // self.stride
+        reps = last_w - first_w + 1
+        tok_rep = np.repeat(flat, reps)
+        doc_rep = np.repeat(doc_of, reps)
+        off = np.arange(len(tok_rep)) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        win = np.repeat(first_w, reps) + off
+        # windows starting past the last token of a doc are phantoms
+        # (overlap tails); keep only windows whose start < doc length
+        valid = win * self.stride < np.repeat(counts[doc_of], reps)
+        tok_rep, doc_rep, win = tok_rep[valid], doc_rep[valid], win[valid]
+        t = pd.DataFrame({"d": doc_rep, "w": win, "tok": tok_rep})
+        g = t.groupby(["d", "w"], sort=True)
+        joined = g["tok"].agg(" ".join)
+        ntok = g.size()
+        d_idx = joined.index.get_level_values(0).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids[d_idx].astype(np.int64),
+                "chunk_idx": joined.index.get_level_values(1).to_numpy(
+                    dtype=np.int64
+                ),
+                "n_tokens": ntok.to_numpy(dtype=np.int64),
+                "text": joined.to_numpy(dtype=object),
+            }
+        )
+
+
+def chunk_documents(ds, *, chunk_tokens: int = 64, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    concurrency: int = 4, batch_size: int = 1024):
+    """Actor-pool token-window chunking (see Chunker)."""
+    return ds.map_batches(
+        Chunker,
+        fn_constructor_kwargs={
+            "chunk_tokens": chunk_tokens,
+            "overlap": overlap,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=_util.pool_size(concurrency),
+    )
+
+
+class Redactor:
+    """Regex PII-style redaction (emails, long digit runs) — patterns
+    compiled once per actor, applied with vectorized pandas str.replace;
+    each pattern is plain-regex (no lookarounds) so a DuckDB
+    regexp_replace(..., 'g') oracle replays it exactly."""
+
+    PATTERNS = [
+        (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        (r"[0-9][0-9 ()+.-]{7,}[0-9]", "<PHONE>"),
+    ]
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.compiled = [(re.compile(p), r) for p, r in self.PATTERNS]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        s = out[self.text_col]
+        n_hits = np.zeros(len(df), dtype=np.int64)
+        for pat, rep in self.compiled:
+            n_hits += s.str.count(pat).to_numpy(dtype=np.int64)
+            s = s.str.replace(pat, rep, regex=True)
+        out[self.text_col] = s
+        out["n_redactions"] = n_hits
+        return out
+
+
+def redact(ds, *, text_col: str = "text", concurrency: int = 4,
+           batch_size: int = 4096):
+    """Actor-pool PII-style redaction (see Redactor)."""
+    return ds.map_batches(
+        Redactor,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=_util.pool_size(concurrency),
+    )

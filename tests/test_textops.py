@@ -1,0 +1,107 @@
+"""Document chunking and redaction vs python / DuckDB oracles."""
+
+import re
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from flashray.datapipe.textstats import Redactor, chunk_documents, redact
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _chunk_oracle(texts, ids, chunk, overlap):
+    stride = chunk - overlap
+    rows = []
+    for doc_id, t in zip(ids, texts):
+        toks = re.findall(r"\S+", t)
+        w = 0
+        for s in range(0, len(toks), stride):
+            piece = toks[s : s + chunk]
+            rows.append((doc_id, w, len(piece), " ".join(piece)))
+            w += 1
+    return pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "n_tokens", "text"])
+
+
+@pytest.mark.parametrize("chunk,overlap", [(8, 0), (8, 3), (5, 4)])
+def test_chunker_matches_python(chunk, overlap):
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(f"w{rng.integers(0, 50)}" for _ in range(int(n)))
+        for n in rng.integers(0, 30, 40)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype="int64"), "text": texts})
+    got = chunk_documents(
+        rd.from_pandas(df).repartition(5), chunk_tokens=chunk, overlap=overlap,
+        concurrency=2,
+    ).to_pandas()
+    want = _chunk_oracle(texts, df["doc_id"], chunk, overlap)
+    cols = ["doc_id", "chunk_idx", "n_tokens", "text"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True),
+        want[cols].sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True),
+    )
+
+
+def test_chunker_vs_duckdb():
+    got = chunk_documents(
+        rd.read_parquet(DOCS, columns=["doc_id", "text"]),
+        chunk_tokens=16, overlap=0, concurrency=2,
+    ).to_pandas()
+    want = duckdb.sql(
+        f"""
+        WITH base AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                      FROM read_parquet('{DOCS}')),
+        nz AS (SELECT * FROM base WHERE len(toks) > 0),
+        st AS (SELECT doc_id, toks,
+                      unnest(range(1, len(toks) + 1, 16)) AS s FROM nz)
+        SELECT doc_id, CAST((s - 1) / 16 AS BIGINT) AS chunk_idx,
+               CAST(least(16, len(toks) - s + 1) AS BIGINT) AS n_tokens,
+               array_to_string(toks[s : least(s + 15, len(toks))], ' ') AS text
+        FROM st
+        """
+    ).df()
+    cols = ["doc_id", "chunk_idx", "n_tokens", "text"]
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True),
+        want[cols].sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True),
+    )
+
+
+def test_redactor_matches_duckdb():
+    texts = [
+        "mail me at a.b-c%d@sub.example.org today",
+        "call +1 (555) 010-0042 or 555 0100 99 now",
+        "two: x@y.io and z@w.co end",
+        "no pii here",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype="int64"), "text": texts})
+    got = redact(rd.from_pandas(df), concurrency=2).to_pandas()
+    p1, r1 = Redactor.PATTERNS[0]
+    p2, r2 = Redactor.PATTERNS[1]
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{p1}', '{r1}', 'g'),
+                              '{p2}', '{r2}', 'g') AS text,
+               CAST(len(regexp_extract_all(text, '{p1}'))
+                    + len(regexp_extract_all(
+                          regexp_replace(text, '{p1}', '{r1}', 'g'), '{p2}'))
+                    AS BIGINT) AS n_redactions
+        FROM t
+        """
+    ).df()
+    cols = ["doc_id", "text", "n_redactions"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("doc_id").reset_index(drop=True),
+        want[cols].sort_values("doc_id").reset_index(drop=True),
+    )
+    assert got["n_redactions"].sum() >= 5
+    assert not got["text"].str.contains("@").any()

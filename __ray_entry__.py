@@ -1400,6 +1400,45 @@ def _q_docs_quality_filter(sf_dir: str):
     return out
 
 
+def _q_events_value_rank(sf_dir: str):
+    """Exact global ROW_NUMBER + quartile bucket over events by
+    (value, event_id): one range-partitioned sort, per-block offsets, no
+    row data on the driver."""
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import global_rank
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    out = global_rank(ev, ["value", "event_id"], ntile=4).to_pandas()
+    for c in ("event_id", "rank", "ntile"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_id", "value", "rank", "ntile"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+def _q_docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 5 docs per language with the
+    smallest sha256(doc_id) — reproducible under any partitioning and
+    replayed exactly in SQL."""
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import stratified_sample
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    out = stratified_sample(
+        docs, ["lang"], 5, "doc_id", num_buckets=16
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["lang", "doc_id"]].sort_values(["lang", "doc_id"]).reset_index(
+        drop=True
+    )
+
+
 def _q_docs_chunks(sf_dir: str):
     """Token-window chunking (context-window prep): 32-token chunks with
     8-token overlap; chunk text = tokens joined by spaces, so the list-
@@ -1954,6 +1993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks_user": _q_node2vec_walks_user,
         "docs_line_dedup": _q_docs_line_dedup,
         "events_quantiles": _q_events_quantiles,
+        "events_value_rank": _q_events_value_rank,
+        "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_chunks": _q_docs_chunks,
         "docs_redact": _q_docs_redact,
         "docs_top3_per_lang": _q_docs_top3_per_lang,
@@ -2866,6 +2907,21 @@ WITH s AS (SELECT quantile_disc(value, [0.01, 0.25, 0.5, 0.75, 0.99]) AS v
 SELECT t.q, ROUND(s.v[t.i] , 6) AS value
 FROM s, (VALUES (0.01, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.99, 5))
        t(q, i)""",
+        # exact global row_number + even-width rank quartile (the engine's
+        # ntile = 1+(rank-1)*n DIV count — replayed verbatim, NOT NTILE(),
+        # whose bucket sizing differs)
+        "events_value_rank": """
+WITH r AS (SELECT event_id, value,
+           ROW_NUMBER() OVER (ORDER BY value, event_id) AS rank,
+           COUNT(*) OVER () AS n FROM events)
+SELECT event_id, value, CAST(rank AS BIGINT) AS rank,
+       CAST(1 + (rank - 1) * 4 // n AS BIGINT) AS ntile FROM r""",
+        # deterministic stratified bottom-k sample per language
+        "docs_stratified_sample": """
+SELECT lang, doc_id FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+  CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))
+       AS UBIGINT), doc_id) <= 5""",
         # token-window chunking: list slicing over regexp tokens
         "docs_chunks": """
 WITH base AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks

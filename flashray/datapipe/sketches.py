@@ -330,3 +330,127 @@ def exact_quantiles(
         row = splits[j + 1].take(1)
         val_at[k] = float(row[0][col])
     return {q: val_at[i] for q, i in idx_of.items()}
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    order_by: list[str],
+    *,
+    descending: bool | list[bool] = False,
+    rank_col: str = "rank",
+    ntile: int | None = None,
+) -> ray.data.Dataset:
+    """Exact global ROW_NUMBER over a total order (``order_by`` MUST be a
+    total order — include a unique id column; ranks of tied rows would
+    otherwise depend on shuffle arrival). Optionally adds an ``ntile``
+    column = 1 + (rank-1)·n // count (SQL NTILE semantics for a total
+    order). Distributed shape: one range-partitioned sort, then a
+    per-block summary pass ((first key, rows) per block — O(blocks)
+    driver data, never row data), then a second pass over the SAME
+    materialized blocks that assigns rank = block offset + local index.
+    Block identity across the two passes is guaranteed by materializing
+    the sorted Dataset once and keying offsets by each block's first
+    (unique) key tuple."""
+    s = ds.sort(order_by, descending=descending).materialize()
+    n = s.count()
+    if n == 0:
+        return s
+
+    def summary(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "__first": [tuple(b.iloc[0][c] for c in order_by)],
+                "__rows": [len(b)],
+            }
+        )
+
+    parts = s.map_batches(
+        summary, batch_size=None, batch_format="pandas"
+    ).to_pandas()
+    desc = (
+        [descending] * len(order_by) if isinstance(descending, bool)
+        else list(descending)
+    )
+    # driver-side: order the per-block summaries the way the sort ordered
+    # the blocks (first keys are unique under a total order)
+    keys = list(parts["__first"])
+    order = sorted(range(len(keys)), key=_DescKey(keys, desc))
+    rows = parts["__rows"].to_numpy()
+    offsets = {}
+    acc = 0
+    for i in order:
+        offsets[keys[i]] = acc
+        acc += int(rows[i])
+
+    import ray as _ray
+
+    off_ref = _ray.put(offsets)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        off = _ray.get(off_ref)[tuple(b.iloc[0][c] for c in order_by)]
+        b = b.copy()
+        r = off + np.arange(1, len(b) + 1, dtype=np.int64)
+        b[rank_col] = r
+        if ntile is not None:
+            b["ntile"] = 1 + (r - 1) * np.int64(ntile) // np.int64(n)
+        return b
+
+    return s.map_batches(assign, batch_size=None, batch_format="pandas")
+
+
+class _DescKey:
+    """functools.cmp_to_key-style total order for mixed asc/desc tuples
+    (strings can't be negated; compare fieldwise)."""
+
+    def __init__(self, keys, desc):
+        self.keys = keys
+        self.desc = desc
+
+    def __call__(self, i):
+        import functools
+
+        return functools.cmp_to_key(self._cmp)(i)
+
+    def _cmp(self, i, j):
+        a, b = self.keys[i], self.keys[j]
+        for v, w, d in zip(a, b, self.desc):
+            if v == w:
+                continue
+            lt = v < w
+            return (1 if lt else -1) if d else (-1 if lt else 1)
+        return 0
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    n_per_key: int,
+    id_col: str,
+    *,
+    salt: str = "",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic stratified sample: the ``n_per_key`` rows of each key
+    group with the smallest ``sha256(salt || id)`` (bottom-k per stratum —
+    uniform within the group, reproducible, SQL-replayable with the
+    repo-wide hash convention). One pass adds the hash rank; selection is
+    ``joins.topk_per_group`` (map-side pruned, one shuffle)."""
+    from flashray.joins import topk_per_group
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # keep uint64: an int64 reinterpretation would wrap hashes >= 2^63
+        # negative and disagree with the SQL side's UBIGINT ordering
+        df["__hrank"] = _sha_u64([salt + str(v) for v in df[id_col].tolist()])
+        return df
+
+    ranked = ds.map_batches(add_rank, batch_format="pandas")
+    out = topk_per_group(
+        ranked, keys, ["__hrank", id_col], n_per_key,
+        descending=False, num_buckets=num_buckets,
+    )
+
+    def drop(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["__hrank"])
+
+    return out.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)

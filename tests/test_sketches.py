@@ -130,3 +130,81 @@ def test_exact_quantiles_match_duckdb_rule(ray_session):
     for q in qs:
         want = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
         assert got[q] == float(want), (q, got[q], want)
+
+
+def test_global_rank_matches_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import global_rank
+
+    ev = "/root/testdata/sf0.001/events.parquet"
+    got = global_rank(
+        rd.read_parquet(ev, columns=["event_id", "value"]),
+        ["value", "event_id"],
+        ntile=4,
+    ).to_pandas()
+    want = duckdb.sql(
+        f"""
+        WITH r AS (SELECT event_id, value,
+                   ROW_NUMBER() OVER (ORDER BY value, event_id) AS rank,
+                   COUNT(*) OVER () AS n
+                   FROM read_parquet('{ev}'))
+        SELECT event_id, value, rank, 1 + (rank - 1) * 4 // n AS ntile FROM r
+        """
+    ).df()
+    cols = ["event_id", "value", "rank", "ntile"]
+    a = got[cols].sort_values("event_id").reset_index(drop=True)
+    b = want[cols].sort_values("event_id").reset_index(drop=True)
+    assert (a["rank"].to_numpy() == b["rank"].to_numpy()).all()
+    assert (a["ntile"].to_numpy() == b["ntile"].to_numpy()).all()
+    # ranks are a permutation of 1..n
+    assert sorted(got["rank"]) == list(range(1, len(got) + 1))
+
+
+def test_global_rank_descending_and_empty():
+    import pandas as pd
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import global_rank
+
+    df = pd.DataFrame(
+        {"k": np.array([5, 1, 3, 2, 4], dtype="int64"),
+         "i": np.arange(5, dtype="int64")}
+    )
+    got = global_rank(
+        rd.from_pandas(df).repartition(3), ["k", "i"], descending=[True, False]
+    ).to_pandas().sort_values("rank")
+    assert got["k"].tolist() == [5, 4, 3, 2, 1]
+
+
+def test_stratified_sample_deterministic_and_uniformish():
+    import duckdb
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import stratified_sample
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    got = stratified_sample(
+        rd.read_parquet(docs, columns=["doc_id", "lang"]),
+        ["lang"], 4, "doc_id", num_buckets=4,
+    ).to_pandas()
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id, lang FROM read_parquet('{docs}')
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+          CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))
+               AS UBIGINT), doc_id) <= 4
+        """
+    ).df()
+    cols = ["lang", "doc_id"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    # repartitioning must not change the sample
+    got2 = stratified_sample(
+        rd.read_parquet(docs, columns=["doc_id", "lang"]).repartition(7),
+        ["lang"], 4, "doc_id", num_buckets=16,
+    ).to_pandas()
+    a2 = got2[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(a2)

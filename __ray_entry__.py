@@ -479,6 +479,57 @@ def _q_clustering_user_graph(sf_dir: str):
     return df[["user_id", "deg", "triangles", "cc"]]
 
 
+def _q_incremental_degrees_user(sf_dir: str):
+    """Incremental ingest: build the user graph from ~2/3 of its edges,
+    add_edges() the rest (merging only affected partitions), output the
+    degree table — oracle = degrees over the FULL edge set in SQL."""
+    import shutil
+
+    from flashray.build import add_edges, build_graph
+    from flashray.fixtures import EPOCH_US
+
+    def to_edge_schema(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(np.ones(n)),
+                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
+            }
+        )
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        to_edge_schema, batch_format="pyarrow"
+    ).materialize()
+
+    def split(keep_first: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            m = ((s + d) % 3 != 0) == keep_first
+            return b.filter(pa.array(m))
+
+        return fn
+
+    path = os.path.join(_CACHE_ROOT, "graphs", f"userinc_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(
+        edges.map_batches(split(True), batch_format="pyarrow"),
+        path,
+        num_partitions=4,
+    )
+    g = add_edges(g, edges.map_batches(split(False), batch_format="pyarrow"))
+    out = g.vertices_dataset(
+        columns=["vertex_id", "out_degree", "in_degree"]
+    ).to_pandas()
+    out = out.rename(columns={"vertex_id": "user_id"})
+    for c in ("user_id", "out_degree", "in_degree"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_mis_user(sf_dir: str):
     """Deterministic Luby maximal independent set of the symmetrized
     user-succession graph (sha priorities); output = MIS member ids,
@@ -1953,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_user": _q_ktruss_user,
         "katz_user": _q_katz_user,
         "mis_user": _q_mis_user,
+        "incremental_degrees_user": _q_incremental_degrees_user,
         "spmv_user": _q_spmv_user,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
@@ -2694,6 +2746,22 @@ FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id""",
         "ktruss_user": _ktruss_sql(4, 6),
         "katz_user": _katz_sql(0.0625, 6),
         "mis_user": _mis_sql(12),
+        # incremental ingest equivalence: degrees over the FULL union
+        "incremental_degrees_user": """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u AS v FROM
+          (SELECT src AS u FROM eu UNION SELECT dst FROM eu)),
+od AS (SELECT src AS v, COUNT(*) AS o FROM eu GROUP BY 1),
+idg AS (SELECT dst AS v, COUNT(*) AS i FROM eu GROUP BY 1)
+SELECT CAST(verts.v AS BIGINT) AS user_id,
+       CAST(COALESCE(od.o, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(idg.i, 0) AS BIGINT) AS in_degree
+FROM verts LEFT JOIN od ON od.v = verts.v
+LEFT JOIN idg ON idg.v = verts.v""",
         # link prediction: wedges e(w,u)+e(w,v) with u<v over the
         # symmetrized user graph; cn = wedge count, aa = sum 1/ln(deg(w)),
         # jaccard = cn/(deg_u+deg_v-cn); non-edge pairs only

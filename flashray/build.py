@@ -303,6 +303,265 @@ def build_graph(
     return Graph(meta)
 
 
+def _part_expr(P: int, split_vertices: np.ndarray):
+    """Partition-assignment batch fn shared by build and incremental
+    ingest: part = src % P, split (super-hub) sources spread as
+    (src + dst) % P."""
+    import ray as _ray
+
+    split_ref = _ray.put(split_vertices)
+
+    def add_epart(batch: pa.Table) -> pa.Table:
+        splits = _ray.get(split_ref)
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        part = (src % P).astype(np.int32)
+        if len(splits):
+            is_split = np.isin(src, splits)
+            part = np.where(is_split, ((src + dst) % P).astype(np.int32), part)
+        return batch.append_column("part", pa.array(part))
+
+    return add_epart
+
+
+def add_edges(
+    graph: Graph, new_edges: ray.data.Dataset, *, scratch_dir: str | None = None
+) -> Graph:
+    """Incremental ingest: merge a new edge Dataset into an existing graph
+    layout IN PLACE, touching only the edge/vertex partitions the new rows
+    land in — the continuous-pipeline path (result ≡ a full rebuild over
+    the union, same P / skew threshold / symmetrize setting).
+
+    Dataflow: symmetrize+dedup the new batch; read ONLY the affected
+    ``edges/part=p`` dirs tagged ``existing=1``; one bucketed merge on
+    (src, dst, etype) accumulates weight-sum / ts-min AND the accounting
+    columns (did the key exist? how much weight is new?) in the same
+    shuffle; degree DELTAS (one row per touched vertex) outer-merge into
+    only the affected ``vertices/part=q`` dirs. O(new + affected
+    partitions) I/O, never a full-graph pass.
+
+    Skew escape hatch: if the update pushes a previously-normal vertex
+    over the split threshold, its existing adjacency would have to move
+    partitions — that case falls back to a full rebuild over the union
+    (logged via the returned meta; ``scratch_dir`` holds the union spill,
+    default ``<path>/_ingest_scratch``)."""
+    import shutil
+
+    from flashray.joins import bucket_group_agg
+
+    meta = graph.meta
+    P = meta.num_partitions
+    path = meta.path
+    splits = np.asarray(meta.split_vertices, dtype=np.int64)
+
+    if meta.symmetrized:
+        new_edges = new_edges.map_batches(
+            _symmetrize_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    new = dedup_edges(new_edges)
+    add_epart = _part_expr(P, splits)
+    newp = new.map_batches(
+        add_epart, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if newp.count() == 0:
+        return graph
+
+    def parts_of(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"part": np.unique(b["part"].to_numpy(zero_copy_only=False))}
+        )
+
+    affected = sorted(
+        set(
+            newp.map_batches(parts_of, batch_format="pyarrow")
+            .to_pandas()["part"]
+            .astype(int)
+        )
+    )
+    def _files_in(dirs: list[str]) -> list[str]:
+        # ray.data.read_parquet accepts one directory fine but chokes on a
+        # LIST of directories; hand it the files
+        return [
+            os.path.join(d, f)
+            for d in dirs
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+
+    old_dirs = _files_in(
+        [
+            os.path.join(path, "edges", f"part={p}")
+            for p in affected
+            if os.path.isdir(os.path.join(path, "edges", f"part={p}"))
+        ]
+    )
+
+    def tag(existing: int):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.select(["src", "dst", "etype", "weight", "ts"])
+            n = b.num_rows
+            w = b["weight"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "existing", pa.array(np.full(n, existing, dtype=np.int64))
+            ).append_column(
+                "new_w",
+                pa.array(np.zeros(n) if existing else w.astype(np.float64)),
+            )
+
+        return fn
+
+    old_rows = (
+        ray.data.read_parquet(old_dirs).map_batches(
+            tag(1), batch_format="pyarrow", zero_copy_batch=True
+        )
+        if old_dirs
+        else None
+    )
+    new_rows = newp.map_batches(tag(0), batch_format="pyarrow")
+    both = old_rows.union(new_rows) if old_rows is not None else new_rows
+    merged = bucket_group_agg(
+        both,
+        ["src", "dst", "etype"],
+        {
+            "weight": ("weight", "sum"),
+            "ts": ("ts", "min"),
+            "existed": ("existing", "max"),
+            "new_w": ("new_w", "sum"),
+        },
+        hash_keys=["src", "dst"],
+        num_buckets=max(64, P),
+    ).materialize()
+
+    # degree deltas: +1 out/in per NEW key, w_out += all newly-added weight
+    def delta_rows(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        is_new = b["existed"].to_numpy(zero_copy_only=False) == 0
+        nw = b["new_w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        one = is_new.astype(np.int64)
+        z = np.zeros(len(src), dtype=np.int64)
+        keep = (nw != 0) | is_new  # weight-only bumps still carry w deltas
+        return pa.table(
+            {
+                "vertex_id": np.concatenate([src[keep], dst[is_new]]),
+                "out_degree": np.concatenate([one[keep], z[: int(is_new.sum())]]),
+                "in_degree": np.concatenate([z[: int(keep.sum())], one[is_new]]),
+                "w_out_degree": np.concatenate(
+                    [nw[keep], np.zeros(int(is_new.sum()))]
+                ),
+            }
+        )
+
+    deltas = bucket_group_agg(
+        merged.map_batches(delta_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["vertex_id"],
+        {
+            "out_degree": ("out_degree", "sum"),
+            "in_degree": ("in_degree", "sum"),
+            "w_out_degree": ("w_out_degree", "sum"),
+        },
+        num_buckets=max(64, P),
+    ).materialize()
+
+    # skew check BEFORE any rewrite: a vertex crossing the threshold must
+    # repartition its whole adjacency -> full rebuild over the union
+    dpd = deltas.to_pandas()  # O(touched vertices)
+    touched_q = sorted(set((dpd["vertex_id"].to_numpy() % P).astype(int)))
+    old_v_dirs = _files_in(
+        [
+            os.path.join(path, "vertices", f"part={q}")
+            for q in touched_q
+            if os.path.isdir(os.path.join(path, "vertices", f"part={q}"))
+        ]
+    )
+    oldv = (
+        ray.data.read_parquet(old_v_dirs).to_pandas()
+        if old_v_dirs
+        else None
+    )
+    import pandas as pd
+
+    cols = ["vertex_id", "out_degree", "in_degree", "w_out_degree"]
+    mergedv = (
+        pd.concat([oldv[cols], dpd[cols]], ignore_index=True)
+        if oldv is not None
+        else dpd[cols]
+    ).groupby("vertex_id", as_index=False).sum()
+    new_splits = mergedv[
+        (mergedv["out_degree"] > meta.skew_threshold)
+        & ~mergedv["vertex_id"].isin(splits)
+    ]
+    if len(new_splits):
+        scratch = scratch_dir or os.path.join(path, "_ingest_scratch")
+        shutil.rmtree(scratch, ignore_errors=True)
+        union = graph.edges_dataset().union(
+            newp.select_columns(["src", "dst", "etype", "weight", "ts"])
+        )
+        _strip_meta(dedup_edges(union)).write_parquet(scratch, mode="overwrite")
+        g = build_graph(
+            ray.data.read_parquet(scratch),
+            path,
+            num_partitions=P,
+            symmetrize=False,  # rows already symmetrized; keep the flag:
+            dedup=False,
+            skew_threshold=meta.skew_threshold,
+        )
+        g.meta.symmetrized = meta.symmetrized
+        g.meta.save()
+        shutil.rmtree(scratch, ignore_errors=True)
+        return g
+
+    # rewrite affected edge partitions (helper cols dropped; part stays
+    # identical for every merged key -> untouched dirs stay valid)
+    to_write = _strip_meta(
+        merged.map_batches(add_epart, batch_format="pyarrow").select_columns(
+            ["src", "dst", "etype", "weight", "ts", "part"]
+        )
+    ).materialize()
+    for p in affected:
+        sub = to_write.filter(expr=f"part == {p}").drop_columns(["part"])
+        sub.write_parquet(
+            os.path.join(path, "edges", f"part={p}"), mode="overwrite"
+        )
+
+    # rewrite affected vertex partitions from the driver-merged frame
+    # (touched vertices only — small by construction of an increment)
+    n_vertices_added = 0
+    for q in touched_q:
+        vd = os.path.join(path, "vertices", f"part={q}")
+        old_n = 0
+        if os.path.isdir(vd):
+            old_part = ray.data.read_parquet(vd).to_pandas()
+            old_n = len(old_part)
+            untouched = old_part[
+                ~old_part["vertex_id"].isin(mergedv["vertex_id"])
+            ]
+        else:
+            untouched = None
+        mine = mergedv[(mergedv["vertex_id"] % P) == q]
+        out = (
+            pd.concat([untouched[cols], mine[cols]], ignore_index=True)
+            if untouched is not None
+            else mine[cols]
+        ).sort_values("vertex_id")
+        n_vertices_added += len(out) - old_n
+        tbl = pa.table(
+            {
+                "vertex_id": out["vertex_id"].to_numpy(dtype=np.int64),
+                "out_degree": out["out_degree"].to_numpy(dtype=np.int64),
+                "in_degree": out["in_degree"].to_numpy(dtype=np.int64),
+                "w_out_degree": out["w_out_degree"].to_numpy(dtype=np.float64),
+            }
+        )
+        ray.data.from_arrow(tbl).write_parquet(vd, mode="overwrite")
+
+    new_keys = merged.filter(expr="existed == 0").count()
+    meta.num_edges += int(new_keys)
+    meta.num_vertices += int(n_vertices_added)
+    meta.save()
+    return Graph(meta)
+
+
 def build_graph_from_arrays(
     src: np.ndarray, dst: np.ndarray, path: str, weight=None, **kwargs
 ) -> Graph:

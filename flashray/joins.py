@@ -384,7 +384,7 @@ def bucket_semi_join(
     lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(tag_right, batch_format="pyarrow")
 
-    def filt(g: pd.DataFrame) -> pd.DataFrame:
+    def filt(g: pd.DataFrame):
         lg = g[g["__sside"] == 0]
         rkeys = g.loc[g["__sside"] == 1, on]
         if len(on) == 1:
@@ -394,6 +394,10 @@ def bucket_semi_join(
                 pd.MultiIndex.from_frame(rkeys.drop_duplicates())
             )
         out = lg[~m] if anti else lg[m]
+        if not len(out):
+            # typed empty (an empty object-dtype pandas block trips Ray's
+            # size estimator and schema unify)
+            return pa.table({f.name: pa.array([], type=f.type) for f in lsch})
         return out[lcols]
 
     return (

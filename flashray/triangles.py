@@ -619,8 +619,12 @@ def link_prediction(
             right_schema=pa.schema([("lo", I64), ("hi", I64), ("is_edge", pa.int8())]),
         )
 
-        def drop_edges(df: pd.DataFrame) -> pd.DataFrame:
+        def drop_edges(df: pd.DataFrame):
             out = df[df["is_edge"].isna()].drop(columns=["lo", "hi", "is_edge"])
+            if not len(out):
+                return pa.table(
+                    {c: pa.array([], type=t) for c, t in psch}
+                )
             for col in ("u", "v", "cn"):
                 out[col] = out[col].astype(np.int64)
             return out

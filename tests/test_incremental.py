@@ -1,0 +1,110 @@
+"""Incremental ingest (build.add_edges) ≡ full rebuild over the union."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from flashray import algorithms
+from flashray.build import Graph, add_edges, build_graph
+from flashray.fixtures import edges_table
+
+
+def _edges_ds(src, dst, weight=None):
+    return rd.from_arrow(edges_table(np.asarray(src), np.asarray(dst), weight))
+
+
+def _snapshot(g: Graph):
+    e = (
+        g.edges_dataset()
+        .to_pandas()
+        .sort_values(["src", "dst", "etype"])
+        .reset_index(drop=True)
+    )
+    v = (
+        g.vertices_dataset()
+        .to_pandas()
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+    return e, v
+
+
+@pytest.mark.parametrize("symmetrize", [False, True])
+def test_add_edges_matches_full_rebuild(tmp_path, symmetrize):
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 60, 400)
+    dst = rng.integers(0, 60, 400)
+    half = 250  # overlapping keys across the two batches exercise the
+    # weight-sum merge, not just inserts
+
+    inc = build_graph(
+        _edges_ds(src[:half], dst[:half]),
+        str(tmp_path / "inc"),
+        num_partitions=4,
+        symmetrize=symmetrize,
+    )
+    inc = add_edges(inc, _edges_ds(src[half:], dst[half:]))
+
+    full = build_graph(
+        _edges_ds(src, dst),
+        str(tmp_path / "full"),
+        num_partitions=4,
+        symmetrize=symmetrize,
+    )
+
+    ei, vi = _snapshot(inc)
+    ef, vf = _snapshot(full)
+    pd.testing.assert_frame_equal(ei, ef)
+    pd.testing.assert_frame_equal(vi, vf)
+    assert inc.meta.num_edges == full.meta.num_edges
+    assert inc.meta.num_vertices == full.meta.num_vertices
+    assert inc.meta.symmetrized == full.meta.symmetrized
+
+    # and the engine agrees end-to-end
+    a = algorithms.pagerank(inc, eps=1e-10)
+    b = algorithms.pagerank(full, eps=1e-10)
+    assert np.allclose(
+        a.sort_values("vertex_id")["value"].to_numpy(),
+        b.sort_values("vertex_id")["value"].to_numpy(),
+        atol=1e-12,
+    )
+
+
+def test_add_edges_new_vertices_and_empty(tmp_path):
+    g = build_graph(
+        _edges_ds([1, 2], [2, 3]), str(tmp_path / "g"), num_partitions=4
+    )
+    n0 = g.meta.num_vertices
+    g = add_edges(g, _edges_ds([], []))
+    assert g.meta.num_vertices == n0
+    g = add_edges(g, _edges_ds([100, 101], [102, 1]))
+    assert g.meta.num_vertices == n0 + 3  # 100, 101, 102 new; 1 existing
+    assert g.meta.num_edges == 4
+    deg = g.vertices_dataset().to_pandas().set_index("vertex_id")
+    assert int(deg.loc[1, "out_degree"]) == 1
+    assert int(deg.loc[1, "in_degree"]) == 1
+
+
+def test_add_edges_skew_fallback_rebuilds(tmp_path):
+    # low threshold: the increment turns vertex 0 into a split hub
+    g = build_graph(
+        _edges_ds([0, 0, 1], [1, 2, 2]),
+        str(tmp_path / "s"),
+        num_partitions=4,
+        skew_threshold=4,
+    )
+    assert g.meta.split_vertices == []
+    hub_dst = np.arange(10, 18)
+    g = add_edges(g, _edges_ds(np.zeros(8, dtype=np.int64), hub_dst))
+    assert 0 in g.meta.split_vertices  # full rebuild re-detected the hub
+    full = build_graph(
+        _edges_ds([0, 0, 1] + [0] * 8, [1, 2, 2] + hub_dst.tolist()),
+        str(tmp_path / "sf"),
+        num_partitions=4,
+        skew_threshold=4,
+    )
+    ei, vi = _snapshot(g)
+    ef, vf = _snapshot(full)
+    pd.testing.assert_frame_equal(ei, ef)
+    pd.testing.assert_frame_equal(vi, vf)

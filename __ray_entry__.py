@@ -530,6 +530,36 @@ def _q_incremental_degrees_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_butterflies_user(sf_dir: str):
+    """Global butterfly (4-cycle) count of the symmetrized user graph —
+    sum over pairs of C(common_neighbors, 2), wedge-join SQL oracle."""
+    import shutil
+
+    from flashray import triangles as tri
+    from flashray.build import build_graph
+    from flashray.fixtures import EPOCH_US
+
+    def to_edge_schema(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(np.ones(n)),
+                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
+            }
+        )
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        to_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", f"userbf_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    return pd.DataFrame({"butterflies": [tri.butterfly_count(g)]})
+
+
 def _q_mis_user(sf_dir: str):
     """Deterministic Luby maximal independent set of the symmetrized
     user-succession graph (sha priorities); output = MIS member ids,
@@ -2003,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction_user": _q_link_prediction_user,
         "ktruss_user": _q_ktruss_user,
         "katz_user": _q_katz_user,
+        "butterflies_user": _q_butterflies_user,
         "mis_user": _q_mis_user,
         "incremental_degrees_user": _q_incremental_degrees_user,
         "spmv_user": _q_spmv_user,
@@ -2745,6 +2776,19 @@ FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id""",
         # a verified upper bound on the sf0.01 user graph's peel depth
         "ktruss_user": _ktruss_sql(4, 6),
         "katz_user": _katz_sql(0.0625, 6),
+        # butterflies: sum over pairs of C(cn, 2) via the wedge join
+        "butterflies_user": """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+e AS (SELECT src AS a, dst AS bb FROM eu UNION ALL SELECT dst, src FROM eu),
+w AS (SELECT e1.bb AS u, e2.bb AS v
+      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.bb < e2.bb),
+cn AS (SELECT u, v, COUNT(*) AS c FROM w GROUP BY 1, 2)
+SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS butterflies
+FROM cn""",
         "mis_user": _mis_sql(12),
         # incremental ingest equivalence: degrees over the FULL union
         "incremental_degrees_user": """

@@ -532,32 +532,13 @@ def clustering_coefficient(
     return j.map_batches(finish, batch_format="pandas")
 
 
-def link_prediction(
-    graph: Graph,
-    *,
-    include_edges: bool = False,
-    max_center_degree: int | None = None,
-    num_buckets: int | None = None,
+def _pair_common_neighbors(
+    und: ray.data.Dataset, B: int, max_center_degree: int | None
 ) -> ray.data.Dataset:
-    """Topological link-prediction scores for every vertex pair at
-    distance 2: common neighbors, Jaccard, Adamic-Adar. Returns
-    (u, v, cn, jaccard, adamic_adar) with u < v; by default pairs that are
-    ALREADY edges are anti-joined away (set ``include_edges=True`` to
-    score them too).
-
-    Dataflow: full (unoriented) adjacency rows bucketed by center — a
-    center's degree is its group run-length, so cn and aa =
-    Σ 1/ln(deg(center)) need NO degree join; one bucketed sum per pair;
-    Jaccard = cn/(deg_u+deg_v−cn) attaches the two endpoint degrees via
-    the same broadcast-or-join split as the triangle orientation.
-
-    A degree-d hub center emits d(d−1)/2 candidate pairs — quadratic and
-    inherent to the definition. ``max_center_degree`` skips super-hub
-    centers (their 1/ln(deg) contribution is near-noise for ranking);
-    leave it None for exact semantics (the oracle queries do)."""
-    B = num_buckets or max(16, graph.num_partitions)
-    und = _canonical_undirected(graph).materialize()
-    deg = _degree_table(graph, und)
+    """(u, v, cn, adamic_adar) for every distance-2 pair: full-adjacency
+    wedges bucketed by center — deg(center) is the group run-length, so
+    no degree join is needed. Shared by link prediction and butterfly
+    counting."""
 
     def adjacency(b: pa.Table) -> pa.Table:
         lo = b["lo"].to_numpy(zero_copy_only=False)
@@ -594,7 +575,7 @@ def link_prediction(
 
     from flashray.joins import bucket_group_agg
 
-    pairs = bucket_group_agg(
+    return bucket_group_agg(
         und.map_batches(adjacency, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cbucket")
         .map_groups(wedge_scores, batch_format="pandas"),
@@ -602,6 +583,60 @@ def link_prediction(
         {"cn": ("cn1", "sum"), "adamic_adar": ("aa", "sum")},
         num_buckets=B,
     )
+
+
+def butterfly_count(
+    graph: Graph,
+    *,
+    max_center_degree: int | None = None,
+    num_buckets: int | None = None,
+) -> int:
+    """Global butterfly (4-cycle) count: Σ over vertex pairs of
+    C(common_neighbors, 2) — the standard bipartite-network cohesion
+    metric (works on any graph; on a bipartite one every 4-cycle is a
+    butterfly). Same wedge dataflow as link prediction; the final
+    reduction streams one partial per block to the driver."""
+    B = num_buckets or max(16, graph.num_partitions)
+    und = _canonical_undirected(graph).materialize()
+    pairs = _pair_common_neighbors(und, B, max_center_degree)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cn = b["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bf": pa.array([int((cn * (cn - 1) // 2).sum())])})
+
+    out = pairs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum("bf")
+    return int(out or 0)
+
+
+def link_prediction(
+    graph: Graph,
+    *,
+    include_edges: bool = False,
+    max_center_degree: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Topological link-prediction scores for every vertex pair at
+    distance 2: common neighbors, Jaccard, Adamic-Adar. Returns
+    (u, v, cn, jaccard, adamic_adar) with u < v; by default pairs that are
+    ALREADY edges are anti-joined away (set ``include_edges=True`` to
+    score them too).
+
+    Dataflow: full (unoriented) adjacency rows bucketed by center — a
+    center's degree is its group run-length, so cn and aa =
+    Σ 1/ln(deg(center)) need NO degree join; one bucketed sum per pair;
+    Jaccard = cn/(deg_u+deg_v−cn) attaches the two endpoint degrees via
+    the same broadcast-or-join split as the triangle orientation.
+
+    A degree-d hub center emits d(d−1)/2 candidate pairs — quadratic and
+    inherent to the definition. ``max_center_degree`` skips super-hub
+    centers (their 1/ln(deg) contribution is near-noise for ranking);
+    leave it None for exact semantics (the oracle queries do)."""
+    B = num_buckets or max(16, graph.num_partitions)
+    und = _canonical_undirected(graph).materialize()
+    deg = _degree_table(graph, und)
+    pairs = _pair_common_neighbors(und, B, max_center_degree)
 
     I64, F64 = pa.int64(), pa.float64()
     psch = [("u", I64), ("v", I64), ("cn", I64), ("adamic_adar", F64)]

@@ -285,3 +285,28 @@ def test_ktruss_k3_and_star(graphs):
     assert len(triangles.k_truss(graph, 4).to_pandas()) == 0
     star, _ = graphs("star8", fixtures.star_edges)
     assert len(triangles.k_truss(star, 3).to_pandas()) == 0
+
+
+def _brute_butterflies(src, dst):
+    from collections import defaultdict
+    from itertools import combinations
+
+    adj = defaultdict(set)
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+    total = 0
+    for u, v in combinations(sorted(adj), 2):
+        cn = len(adj[u] & adj[v])
+        total += cn * (cn - 1) // 2
+    return total
+
+
+def test_butterfly_count(graphs):
+    graph, (src, dst) = graphs("er100", fixtures.er_edges)
+    assert triangles.butterfly_count(graph) == _brute_butterflies(src, dst)
+    k3, _ = graphs("k3", fixtures.k3_edges)
+    assert triangles.butterfly_count(k3) == 0  # a triangle has no 4-cycle
+    star, (s2, d2) = graphs("star8", fixtures.star_edges)
+    assert triangles.butterfly_count(star) == 0  # star: all cn pairs share 1

@@ -560,6 +560,43 @@ def _q_butterflies_user(sf_dir: str):
     return pd.DataFrame({"butterflies": [tri.butterfly_count(g)]})
 
 
+def _q_coloring_user(sf_dir: str):
+    """Deterministic greedy coloring (color = hash-priority peel depth) of
+    the symmetrized user graph; round-unrolled SQL oracle replays every
+    superstep."""
+    import shutil
+
+    from flashray import algorithms
+    from flashray.build import build_graph
+    from flashray.fixtures import EPOCH_US
+
+    def to_edge_schema(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(np.ones(n)),
+                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
+            }
+        )
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        to_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", f"usercol_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    df = algorithms.greedy_color(g, hash_fn="sha")
+    return pd.DataFrame(
+        {
+            "user_id": df["vertex_id"].astype(np.int64),
+            "color": df["value"].astype(np.int64),
+        }
+    ).sort_values("user_id").reset_index(drop=True)
+
+
 def _q_mis_user(sf_dir: str):
     """Deterministic Luby maximal independent set of the symmetrized
     user-succession graph (sha priorities); output = MIS member ids,
@@ -2034,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_user": _q_ktruss_user,
         "katz_user": _q_katz_user,
         "butterflies_user": _q_butterflies_user,
+        "coloring_user": _q_coloring_user,
         "mis_user": _q_mis_user,
         "incremental_degrees_user": _q_incremental_degrees_user,
         "spmv_user": _q_spmv_user,
@@ -2106,6 +2144,45 @@ def _tsql() -> str:
     from flashray import fixtures
 
     return fixtures.transcripts_sql("sf0.01")
+
+
+def _color_sql(rounds: int) -> str:
+    """Round-unrolled greedy coloring: round r colors the sha-priority
+    minima among still-uncolored vertices (same hash convention and head
+    CTEs as _mis_sql; extra rounds past completion select nothing)."""
+    head = """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+sym AS MATERIALIZED (SELECT src AS a, dst AS bb FROM eu
+                     UNION ALL SELECT dst, src FROM eu),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+prio AS MATERIALIZED (SELECT v,
+       CAST(CAST(concat('0x', substr(sha256('mis:' || CAST(v AS VARCHAR)),
+                                     1, 16)) AS UBIGINT) >> 1 AS BIGINT) AS p
+       FROM verts),
+u0 AS (SELECT v FROM verts)"""
+    stages = []
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT u.v FROM u{i - 1} u JOIN prio p ON p.v = u.v
+  LEFT JOIN (SELECT s.a AS v, MIN(pp.p) AS mn
+             FROM sym s JOIN u{i - 1} x ON x.v = s.bb
+                  JOIN u{i - 1} y ON y.v = s.a
+                  JOIN prio pp ON pp.v = s.bb
+             GROUP BY 1) nb ON nb.v = u.v
+  WHERE nb.mn IS NULL OR p.p < nb.mn),
+u{i} AS MATERIALIZED (SELECT v FROM u{i - 1} EXCEPT SELECT v FROM c{i})""")
+    union = " UNION ALL ".join(
+        f"SELECT v, {i - 1} AS color FROM c{i}" for i in range(1, rounds + 1)
+    )
+    tail = f"""
+SELECT CAST(v AS BIGINT) AS user_id, CAST(color AS BIGINT) AS color
+FROM ({union}) ORDER BY 1"""
+    return head + "," + ",".join(stages) + tail
 
 
 def _mis_sql(rounds: int) -> str:
@@ -2789,6 +2866,7 @@ w AS (SELECT e1.bb AS u, e2.bb AS v
 cn AS (SELECT u, v, COUNT(*) AS c FROM w GROUP BY 1, 2)
 SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS butterflies
 FROM cn""",
+        "coloring_user": _color_sql(20),
         "mis_user": _mis_sql(12),
         # incremental ingest equivalence: degrees over the FULL union
         "incremental_degrees_user": """

@@ -21,6 +21,7 @@ from flashray.engine import Engine
 from flashray.programs import (
     BFS,
     DeltaPageRank,
+    GreedyColor,
     Katz,
     KCorePeel,
     MaxIndependentSet,
@@ -175,6 +176,29 @@ def mis(
     prog = MaxIndependentSet(salt, hash_fn)
     with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
         eng.run(lambda m: m["undecided"] == 0, max_iters=max_iters)
+        result = _finish(eng, out_dir)
+        lineage = list(eng.lineage)
+    return _with_lineage(result, lineage)
+
+
+def greedy_color(
+    graph: Graph,
+    *,
+    salt: int = 0,
+    hash_fn: str = "splitmix",
+    max_iters: int = 2000,
+    out_dir: str | None = None,
+    actor_cpus: float | None = None,
+):
+    """Deterministic greedy coloring (see programs.GreedyColor): color =
+    peel depth under hash-priority order; adjacent vertices always differ
+    (two adjacent minima over the same uncolored set are impossible).
+    Requires a symmetrized graph. Result value = color >= 0."""
+    if not graph.meta.symmetrized:
+        raise ValueError("greedy_color() needs a symmetrized graph")
+    prog = GreedyColor(salt, hash_fn)
+    with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
+        eng.run(lambda m: m["uncolored"] == 0, max_iters=max_iters)
         result = _finish(eng, out_dir)
         lineage = list(eng.lineage)
     return _with_lineage(result, lineage)

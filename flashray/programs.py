@@ -236,6 +236,50 @@ class MaxIndependentSet(VertexProgram):
         return ["phase"]
 
 
+class GreedyColor(MaxIndependentSet):
+    """Deterministic greedy (Jones-Plassmann-style) coloring on a
+    SYMMETRIZED graph: superstep r colors every uncolored vertex whose
+    hash priority is strictly below all uncolored neighbors' — that set
+    is independent (distinct priorities), so each superstep is one color
+    class and the color equals the vertex's peel depth in priority
+    order. One wave per color (no notify wave: the next superstep's
+    minima recompute over the shrunken uncolored set). Hash priorities
+    (splitmix / sha — inherited) keep the expected round count
+    logarithmic where id-order chains would peel one vertex per round.
+
+    ``values`` = color (>= 0) or -1 while uncolored."""
+
+    def init_state(self, shard, N):
+        return {
+            "values": np.full(shard.nv, -1, dtype=np.int64),
+            "prio": self._priorities(shard.vertex_ids),
+            "active": np.ones(shard.nv, dtype=bool),
+            "round": 0,
+        }
+
+    def signal(self, shard, state):
+        return np.where(
+            state["values"] < 0, state["prio"], INT_IDENTITY
+        )
+
+    def apply(self, shard, state, agg, N):
+        v = state["values"]
+        hit = (v < 0) & (state["prio"] < agg)
+        v[hit] = state["round"]
+        state["round"] += 1
+        n = int(hit.sum())
+        uncolored = int((v < 0).sum())
+        return {
+            "delta": float(n),
+            "changed": n,
+            "active": uncolored,
+            "uncolored": uncolored,
+        }
+
+    def scalar_state_keys(self):
+        return ["round"]
+
+
 class PersonalizedPageRank(PageRank):
     """A1 variant (libgraph-algs/page_rank.cpp parameterized by a restart
     vector): teleport mass returns only to a seed set S —

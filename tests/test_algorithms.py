@@ -367,3 +367,54 @@ def test_mis_exact_replay_and_properties(tmp_path, name, hash_fn):
     for v, s in got.items():
         if s == 2:
             assert adj[v] & members, "OUT vertex with no MIS neighbor"
+
+
+def _color_replay(src, dst, prios):
+    """Exact replay: round r colors the priority-minima among uncolored."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    verts = set()
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        verts |= {a, b}
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    color = {v: -1 for v in verts}
+    r = 0
+    while any(c < 0 for c in color.values()):
+        hit = [
+            v
+            for v, c in color.items()
+            if c < 0
+            and all(prios[v] < prios[u] for u in adj[v] if color[u] < 0)
+        ]
+        for v in hit:
+            color[v] = r
+        r += 1
+    return color
+
+
+@pytest.mark.parametrize("name", ["star8", "path5", "er100", "two_components"])
+def test_greedy_color_replay_and_proper(tmp_path, name):
+    from flashray.build import build_graph_from_arrays
+    from flashray.programs import GreedyColor
+
+    src, dst = FIXES[name]()
+    graph = build_graph_from_arrays(
+        src, dst, str(tmp_path / f"col_{name}"), num_partitions=4,
+        symmetrize=True,
+    )
+    df = algorithms.greedy_color(graph)
+    got = dict(zip(df["vertex_id"].astype(int), df["value"].astype(int)))
+    assert min(got.values()) >= 0
+
+    ids = np.array(sorted(got), dtype=np.int64)
+    prios = dict(zip(ids.tolist(), GreedyColor()._priorities(ids)))
+    assert got == _color_replay(src, dst, prios)
+
+    # proper coloring: endpoints always differ
+    for a, b in zip(src, dst):
+        if a != b:
+            assert got[int(a)] != got[int(b)]

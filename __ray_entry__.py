@@ -1611,6 +1611,32 @@ def _q_docs_redact(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_docs_pack_sequences(sf_dir: str):
+    """Sequence packing for training: chunk every document into 32-token
+    windows (no overlap), lay the chunks out in (doc_id, chunk_idx) order
+    and cut the token stream into 48-token packs — one exact distributed
+    prefix sum, replayed in SQL as a window SUM over the chunk CTE."""
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import pack_sequences
+    from flashray.datapipe.textstats import chunk_documents
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    chunks = chunk_documents(
+        docs, chunk_tokens=32, overlap=0, concurrency=4
+    ).drop_columns(["text"])
+    out = pack_sequences(
+        chunks, ["doc_id", "chunk_idx"], "n_tokens", 48
+    ).to_pandas()
+    for c in ("doc_id", "chunk_idx", "n_tokens", "pack_id", "pack_offset"):
+        out[c] = out[c].astype(np.int64)
+    return out[
+        ["doc_id", "chunk_idx", "n_tokens", "pack_id", "pack_offset"]
+    ].sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def _q_docs_top3_per_lang(sf_dir: str):
     """Generic top-k-per-group operator: 3 longest documents per language
     (ties broken by doc_id). Map-side prune bounds the shuffle to
@@ -2118,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_chunks": _q_docs_chunks,
         "docs_redact": _q_docs_redact,
+        "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_top3_per_lang": _q_docs_top3_per_lang,
         "events_clicks_anti_purchasers": _q_events_clicks_anti_purchasers,
         "events_asof_purchase": _q_events_asof_purchase,
@@ -3144,6 +3171,22 @@ SELECT doc_id,
                 '[0-9][0-9 ()+.-]{7,}[0-9]'))
             AS BIGINT) AS n_redactions
 FROM planted""",
+        # sequence packing: window SUM over the 32-token chunk stream
+        "docs_pack_sequences": """
+WITH base AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM documents),
+nz AS (SELECT * FROM base WHERE len(toks) > 0),
+st AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 32)) AS s FROM nz),
+chunks AS (SELECT doc_id, CAST((s - 1) / 32 AS BIGINT) AS chunk_idx,
+                  CAST(least(32, len(toks) - s + 1) AS BIGINT) AS n_tokens
+           FROM st),
+w AS (SELECT doc_id, chunk_idx, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx) - n_tokens
+               AS before FROM chunks)
+SELECT doc_id, chunk_idx, n_tokens,
+       CAST(before // 48 AS BIGINT) AS pack_id,
+       CAST(before % 48 AS BIGINT) AS pack_offset
+FROM w""",
         # generic top-k per group (QUALIFY window oracle)
         "docs_top3_per_lang": """
 SELECT lang, doc_id, n_chars FROM documents

@@ -454,3 +454,81 @@ def stratified_sample(
         return b.drop_columns(["__hrank"])
 
     return out.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def global_cumsum(
+    ds: ray.data.Dataset,
+    order_by: list[str],
+    val_col: str,
+    *,
+    out_col: str = "cumsum_before",
+) -> ray.data.Dataset:
+    """Exact distributed EXCLUSIVE prefix sum of ``val_col`` under a total
+    order (``order_by`` must be unique per row): the same
+    sort + per-block-summary + offset-assign shape as :func:`global_rank`
+    with per-block SUMS carried instead of row counts."""
+    s = ds.sort(order_by).materialize()
+    if s.count() == 0:
+        return s
+
+    def summary(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "__first": [tuple(b.iloc[0][c] for c in order_by)],
+                "__sum": [int(b[val_col].sum())],
+            }
+        )
+
+    parts = s.map_batches(
+        summary, batch_size=None, batch_format="pandas"
+    ).to_pandas()
+    keys = list(parts["__first"])
+    order = sorted(range(len(keys)), key=_DescKey(keys, [False] * len(order_by)))
+    sums = parts["__sum"].to_numpy()
+    offsets = {}
+    acc = 0
+    for i in order:
+        offsets[keys[i]] = acc
+        acc += int(sums[i])
+
+    import ray as _ray
+
+    off_ref = _ray.put(offsets)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        off = _ray.get(off_ref)[tuple(b.iloc[0][c] for c in order_by)]
+        b = b.copy()
+        v = b[val_col].to_numpy(dtype=np.int64)
+        b[out_col] = off + np.concatenate(([0], np.cumsum(v)[:-1]))
+        return b
+
+    return s.map_batches(assign, batch_size=None, batch_format="pandas")
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    order_by: list[str],
+    token_col: str,
+    seq_len: int,
+    *,
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> ray.data.Dataset:
+    """Token-contiguous sequence packing (LLM training prep): lay the
+    rows out in ``order_by`` order as one token stream and cut it into
+    fixed ``seq_len`` packs — ``pack_id = tokens_before // seq_len``,
+    ``pack_offset = tokens_before % seq_len`` (a row whose tokens cross a
+    boundary starts in its pack and overflows, the usual
+    pack-then-truncate layout; use chunking upstream to bound row
+    length). Exact and deterministic: one global prefix sum, replayed in
+    SQL as a window SUM."""
+    out = global_cumsum(ds, order_by, token_col, out_col="__before")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        before = b["__before"].to_numpy(dtype=np.int64)
+        b[pack_col] = before // np.int64(seq_len)
+        b[offset_col] = before % np.int64(seq_len)
+        return b.drop(columns="__before")
+
+    return out.map_batches(finish, batch_format="pandas")

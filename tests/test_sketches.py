@@ -208,3 +208,42 @@ def test_stratified_sample_deterministic_and_uniformish():
     ).to_pandas()
     a2 = got2[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(a2)
+
+
+def test_pack_sequences_matches_duckdb():
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import pack_sequences
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(300, dtype="int64"),
+            "n_tokens": rng.integers(1, 40, 300).astype("int64"),
+        }
+    )
+    got = pack_sequences(
+        rd.from_pandas(df).repartition(7), ["rid"], "n_tokens", 128
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """
+        SELECT rid, n_tokens,
+               (SUM(n_tokens) OVER (ORDER BY rid) - n_tokens) // 128 AS pack_id,
+               (SUM(n_tokens) OVER (ORDER BY rid) - n_tokens) % 128
+                 AS pack_offset
+        FROM t
+        """
+    ).df()
+    cols = ["rid", "n_tokens", "pack_id", "pack_offset"]
+    a = got[cols].sort_values("rid").reset_index(drop=True)
+    b = want[cols].sort_values("rid").reset_index(drop=True)
+    for c in cols:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    # pack ids are contiguous from 0
+    assert a["pack_id"].min() == 0
+    total = int(df["n_tokens"].sum())
+    assert a["pack_id"].max() == (total - int(df["n_tokens"].iloc[-1])) // 128

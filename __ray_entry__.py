@@ -997,6 +997,32 @@ def _q_docs_exact_dedup(sf_dir: str):
     return out[["keep_id", "n_copies"]]
 
 
+def _q_embeddings_covariance(sf_dir: str):
+    """Streaming sufficient statistics for whitening/PCA: the upper
+    triangle of the population covariance of the 64-d embedding column,
+    computed as one partial row per batch + a tiny driver reduce (the SQL
+    oracle recomputes every entry from AVG products). The PCA
+    eigendecomposition built on these moments is pytest-verified vs
+    numpy (tests/test_datapipe.py)."""
+    import ray.data as rd
+
+    from flashray.datapipe.similarity import embedding_moments
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    n, mean, cov = embedding_moments(ds)
+    d = len(mean)
+    iu = np.triu_indices(d)
+    return pd.DataFrame(
+        {
+            "i": iu[0].astype(np.int64),
+            "j": iu[1].astype(np.int64),
+            "cov": np.round(cov[iu], 6),
+        }
+    ).sort_values(["i", "j"]).reset_index(drop=True)
+
+
 def _q_embeddings_knn(sf_dir: str):
     """Exact cosine top-10 neighbours of vec_id 0 (float64, rank output)."""
     import ray.data as rd
@@ -2114,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_topk": _q_scan_topk,
         "docs_token_stats": _q_docs_token_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
+        "embeddings_covariance": _q_embeddings_covariance,
         "embeddings_knn": _q_embeddings_knn,
         "minhash_dup_groups": _q_minhash_dup_groups,
         "simhash_pairs": _q_simhash_pairs,
@@ -3127,6 +3154,16 @@ FROM s, (VALUES (0.01, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.99, 5))
         # exact global row_number + even-width rank quartile (the engine's
         # ntile = 1+(rank-1)*n DIV count — replayed verbatim, NOT NTILE(),
         # whose bucket sizing differs)
+        # population covariance of the embedding column (d=64 at every
+        # driver tier), upper triangle; list indices are 1-based in DuckDB
+        "embeddings_covariance": """
+WITH idx AS (SELECT CAST(a.range AS BIGINT) AS i, CAST(b.range AS BIGINT) AS j
+             FROM range(0, 64) a, range(0, 64) b WHERE a.range <= b.range)
+SELECT idx.i, idx.j,
+       ROUND(AVG(e.embedding[idx.i + 1] * e.embedding[idx.j + 1])
+             - AVG(e.embedding[idx.i + 1]) * AVG(e.embedding[idx.j + 1]),
+             6) AS cov
+FROM idx, embeddings e GROUP BY 1, 2""",
         "events_value_rank": """
 WITH r AS (SELECT event_id, value,
            ROW_NUMBER() OVER (ORDER BY value, event_id) AS rank,

@@ -372,3 +372,76 @@ def embedding_near_dups(
         .map_groups(verify, batch_format="pandas")
     )
     return bucket_group_agg(pairs, ["a", "b"], {"cosine": ("cosine", "max")})
+
+
+def embedding_moments(
+    ds: ray.data.Dataset, col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Exact streaming first/second moments of an embedding column:
+    per batch ONE partial row (count, Σx, ΣxxT flattened — O(d²) bytes),
+    tiny driver reduce. Returns (n, mean, population covariance) — the
+    sufficient statistics for whitening/PCA, computed in one pass with no
+    shuffle."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in b[col]])
+        return pd.DataFrame(
+            {
+                "n": [len(X)],
+                "s": [X.sum(axis=0)],
+                "ss": [(X.T @ X).ravel()],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    if n == 0:
+        raise ValueError("embedding_moments: empty dataset")
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0)
+    d = len(s)
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_components(
+    ds: ray.data.Dataset, k: int, col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-k principal components from the streamed covariance (the d×d
+    eigendecomposition runs on the driver — d is the embedding width, not
+    the corpus). Sign-fixed deterministically (largest-|coord| entry
+    positive). Returns (eigenvalues desc, components (k, d), mean)."""
+    _, mean, cov = embedding_moments(ds, col)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    vals, comps = w[order], v[:, order].T
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return vals, comps, mean
+
+def pca_project(
+    ds: ray.data.Dataset,
+    components: np.ndarray,
+    mean: np.ndarray,
+    *,
+    col: str = "embedding",
+    out_col: str = "pca",
+) -> ray.data.Dataset:
+    """Project embeddings onto broadcast components: one ray.put of the
+    (k, d) matrix, a per-batch matmul — no shuffle."""
+    comp_ref = ray.put(np.asarray(components, dtype=np.float64))
+    mean_ref = ray.put(np.asarray(mean, dtype=np.float64))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(comp_ref)
+        m = ray.get(mean_ref)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in b[col]])
+        P = (X - m) @ C.T
+        out = b.copy()
+        out[out_col] = list(P)
+        return out
+
+    return ds.map_batches(project, batch_format="pandas")

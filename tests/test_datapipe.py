@@ -469,3 +469,42 @@ def test_quality_filter_rules_fire_in_order(ray_session):
         "too_few_tokens", "dup_words", "", "", "top_2gram",
     ]
     assert list(got["keep"]) == [0, 0, 1, 1, 0]
+
+
+def test_embedding_moments_and_pca_match_numpy():
+    import ray.data as rd
+
+    from flashray.datapipe.similarity import (
+        embedding_moments,
+        pca_components,
+        pca_project,
+    )
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = rd.read_parquet(emb)
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in ds.to_pandas()["embedding"]]
+    )
+    n, mean, cov = embedding_moments(rd.read_parquet(emb).repartition(5))
+    assert n == len(X)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-12)
+    assert np.allclose(cov, np.cov(X.T, bias=True), atol=1e-10)
+
+    vals, comps, m2 = pca_components(rd.read_parquet(emb), k=4)
+    w, v = np.linalg.eigh(np.cov(X.T, bias=True))
+    assert np.allclose(vals, np.sort(w)[::-1][:4], atol=1e-10)
+    # components match up to the deterministic sign fix
+    for i, row in enumerate(comps):
+        ref = v[:, np.argsort(w)[::-1][i]]
+        assert np.allclose(np.abs(row), np.abs(ref), atol=1e-8)
+        j = int(np.argmax(np.abs(row)))
+        assert row[j] > 0
+
+    proj = pca_project(rd.read_parquet(emb), comps, m2).to_pandas()
+    P = np.stack([np.asarray(p) for p in proj.sort_values("vec_id")["pca"]])
+    ids = proj.sort_values("vec_id")["vec_id"].to_numpy()
+    order = np.argsort(ds.to_pandas()["vec_id"].to_numpy())
+    want = (X[order] - X.mean(axis=0)) @ comps.T
+    assert np.allclose(P, want, atol=1e-10)
+    # projected variances equal the eigenvalues
+    assert np.allclose(P.var(axis=0), vals, atol=1e-8)

@@ -597,6 +597,46 @@ def _q_coloring_user(sf_dir: str):
     ).sort_values("user_id").reset_index(drop=True)
 
 
+def _q_modularity_user(sf_dir: str):
+    """Newman modularity Q of the {user_id %% 5} partition over the
+    symmetrized user graph — the partition-quality metric, distributed as
+    two label joins + bucketed sums, replayed exactly in SQL (integer
+    sufficient statistics, one final float expression)."""
+    import shutil
+
+    from flashray import algorithms
+    from flashray.build import build_graph
+    from flashray.fixtures import EPOCH_US
+
+    def to_edge_schema(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(np.ones(n)),
+                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
+            }
+        )
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        to_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", f"usermod_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    verts = g.vertices_dataset(columns=["vertex_id"]).to_pandas()
+    labels = pd.DataFrame(
+        {
+            "vertex_id": verts["vertex_id"].astype(np.int64),
+            "label": (verts["vertex_id"] % 5).astype(np.int64),
+        }
+    )
+    q = algorithms.modularity(g, labels)
+    return pd.DataFrame({"q": [round(q, 6)]})
+
+
 def _q_mis_user(sf_dir: str):
     """Deterministic Luby maximal independent set of the symmetrized
     user-succession graph (sha priorities); output = MIS member ids,
@@ -2124,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_user": _q_katz_user,
         "butterflies_user": _q_butterflies_user,
         "coloring_user": _q_coloring_user,
+        "modularity_user_mod5": _q_modularity_user,
         "mis_user": _q_mis_user,
         "incremental_degrees_user": _q_incremental_degrees_user,
         "spmv_user": _q_spmv_user,
@@ -2921,6 +2962,22 @@ cn AS (SELECT u, v, COUNT(*) AS c FROM w GROUP BY 1, 2)
 SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS butterflies
 FROM cn""",
         "coloring_user": _color_sql(20),
+        # modularity of the user_id%5 partition: integer sufficient
+        # statistics (within-edges, community degrees), one float expr
+        "modularity_user_mod5": """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+sym AS (SELECT src AS a, dst AS bb FROM eu UNION ALL SELECT dst, src FROM eu),
+deg AS (SELECT a AS v, COUNT(*) AS d FROM sym GROUP BY 1),
+m AS (SELECT COUNT(*) AS m FROM eu),
+ein AS (SELECT COUNT(*) AS c FROM eu WHERE src % 5 = dst % 5),
+degc AS (SELECT v % 5 AS lab, SUM(d) AS dc FROM deg GROUP BY 1),
+sq AS (SELECT SUM(dc * dc) AS s FROM degc)
+SELECT ROUND(ein.c * 1.0 / m.m - sq.s / (4.0 * m.m * m.m), 6) AS q
+FROM ein, m, sq""",
         "mis_user": _mis_sql(12),
         # incremental ingest equivalence: degrees over the FULL union
         "incremental_degrees_user": """

@@ -392,6 +392,75 @@ def degrees(graph: Graph):
     return graph.vertices_dataset()
 
 
+def modularity(graph: Graph, labels) -> float:
+    """Newman modularity Q of ANY vertex labeling over the undirected
+    (canonical, cross-etype-deduped) edge set:
+    ``Q = Σ_c e_c/m − Σ_c (deg_c / 2m)²`` with e_c = within-community
+    edges, deg_c = total degree of community c, m = undirected edges.
+
+    ``labels`` is a Dataset or pandas DataFrame (vertex_id, label).
+    Distributed shape: two bucket joins attach both endpoint labels to
+    each edge; e_c and deg_c reduce through bucketed sums; the final fold
+    over communities streams one partial row per block. The quality
+    metric for any community detection / partitioning output."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+    from flashray.triangles import _canonical_undirected, _deg_from_und
+
+    if isinstance(labels, pd.DataFrame):
+        import ray.data as rd
+
+        labels = rd.from_pandas(labels[["vertex_id", "label"]])
+    und = _canonical_undirected(graph).materialize()
+    m = und.count()
+    if m == 0:
+        return 0.0
+    I64 = pa.int64()
+    lsch = pa.schema([("vertex_id", I64), ("label", I64)])
+
+    j = bucket_hash_join(
+        und, labels, ["lo"], right_on=["vertex_id"],
+        left_schema=pa.schema([("lo", I64), ("hi", I64)]),
+        right_schema=lsch,
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["label_lo" if c == "label" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucket_hash_join(
+        j, labels, ["hi"], right_on=["vertex_id"],
+        left_schema=pa.schema([("lo", I64), ("hi", I64), ("label_lo", I64)]),
+        right_schema=lsch,
+    )
+
+    def within(b: pa.Table) -> pa.Table:
+        same = (
+            b["label_lo"].to_numpy(zero_copy_only=False)
+            == b["label"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"e_in": pa.array([int(same.sum())])})
+
+    e_in = j.map_batches(within, batch_format="pyarrow").sum("e_in") or 0
+
+    deg = _deg_from_und(und)
+    dl = bucket_hash_join(
+        deg, labels, ["vertex_id"],
+        left_schema=pa.schema([("vertex_id", I64), ("deg", I64)]),
+        right_schema=lsch,
+    )
+    deg_c = bucket_group_agg(dl, ["label"], {"deg_c": ("deg", "sum")})
+
+    def fold(b: pa.Table) -> pa.Table:
+        d = b["deg_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"sq": pa.array([float((d * d).sum())])})
+
+    sq = deg_c.map_batches(fold, batch_format="pyarrow").sum("sq") or 0.0
+    return float(e_in) / m - sq / (4.0 * m * m)
+
+
 def degree_assortativity(
     edges,
     *,

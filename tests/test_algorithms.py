@@ -418,3 +418,58 @@ def test_greedy_color_replay_and_proper(tmp_path, name):
     for a, b in zip(src, dst):
         if a != b:
             assert got[int(a)] != got[int(b)]
+
+
+def _brute_modularity(src, dst, labels):
+    edges = {
+        (min(int(a), int(b)), max(int(a), int(b)))
+        for a, b in zip(src, dst)
+        if a != b
+    }
+    m = len(edges)
+    from collections import Counter
+
+    deg = Counter()
+    e_in = 0
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+        if labels[a] == labels[b]:
+            e_in += 1
+    deg_c = Counter()
+    for v, d in deg.items():
+        deg_c[labels[v]] += d
+    return e_in / m - sum(d * d for d in deg_c.values()) / (4.0 * m * m)
+
+
+def test_modularity_matches_bruteforce(tmp_graphs):
+    import pandas as pd
+
+    graph, (src, dst) = tmp_graphs("er100", FIXES["er100"])
+    verts = sorted({int(v) for v in np.concatenate([src, dst])})
+    labels = {v: v % 7 for v in verts}
+    ldf = pd.DataFrame(
+        {
+            "vertex_id": np.array(verts, dtype=np.int64),
+            "label": np.array([labels[v] for v in verts], dtype=np.int64),
+        }
+    )
+    got = algorithms.modularity(graph, ldf)
+    want = _brute_modularity(src, dst, labels)
+    assert abs(got - want) < 1e-12
+    # perfect partition on two components: Q = 1/2 - sum((deg_c/2m)^2)
+    g2, (s2, d2) = tmp_graphs("two_components", FIXES["two_components"])
+    import oracles
+
+    comp = oracles.wcc_minlabel(s2, d2)
+    verts2 = sorted(comp)
+    ldf2 = pd.DataFrame(
+        {
+            "vertex_id": np.array(verts2, dtype=np.int64),
+            "label": np.array([comp[v] for v in verts2], dtype=np.int64),
+        }
+    )
+    got2 = algorithms.modularity(g2, ldf2)
+    want2 = _brute_modularity(s2, d2, comp)
+    assert abs(got2 - want2) < 1e-12
+    assert got2 > 0.3  # components are a genuinely modular partition

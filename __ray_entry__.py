@@ -2366,10 +2366,14 @@ WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
 eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
        FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
        WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
-e0 AS (SELECT src AS lo, dst AS hi FROM eu)"""
+e0 AS MATERIALIZED (SELECT src AS lo, dst AS hi FROM eu)"""
     stages = []
     prev = "e0"
     for i in list(range(1, rounds + 1)) + ["F"]:
+        # every CTE is MATERIALIZED: each stage is an optimization fence,
+        # so the planner never join-reorders across the whole unrolled
+        # statement (a ~25-relation global search was pathological on some
+        # DuckDB builds — 17 min for a 534-edge graph; fenced it is ~0.1 s)
         stages.append(f"""
 sym{i} AS MATERIALIZED (SELECT lo AS a, hi AS bb FROM {prev}
            UNION ALL SELECT hi, lo FROM {prev}),
@@ -2377,7 +2381,7 @@ tri{i} AS MATERIALIZED (SELECT e1.a AS v1, e1.bb AS v2, e2.bb AS v3
            FROM sym{i} e1 JOIN sym{i} e2 ON e1.bb = e2.a
            JOIN sym{i} e3 ON e2.bb = e3.a AND e3.bb = e1.a
            WHERE e1.a < e1.bb AND e1.bb < e2.bb),
-mem{i} AS (SELECT v1 AS lo, v2 AS hi FROM tri{i} UNION ALL
+mem{i} AS MATERIALIZED (SELECT v1 AS lo, v2 AS hi FROM tri{i} UNION ALL
            SELECT v1, v3 FROM tri{i} UNION ALL SELECT v2, v3 FROM tri{i}),
 sup{i} AS MATERIALIZED (SELECT lo, hi, COUNT(*) AS c FROM mem{i} GROUP BY 1, 2)""")
         if i != "F":
@@ -2729,13 +2733,13 @@ FROM documents d LEFT JOIN agg a USING (doc_id)""",
         # the uniform argmin-hash rule
         "node2vec_walks_user": """
 WITH RECURSIVE
-b AS (SELECT DISTINCT user_id, event_type,
+b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
              CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
-e0 AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+e0 AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
        FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
        WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
-e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-verts AS (SELECT DISTINCT u FROM
+e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+verts AS MATERIALIZED (SELECT DISTINCT u FROM
           (SELECT src AS u FROM e UNION SELECT dst FROM e)),
 r(walk_id, step, prev, v) AS (
   SELECT u, 0, CAST(-1 AS BIGINT), CAST(u AS BIGINT) FROM verts
@@ -2775,12 +2779,12 @@ FROM r""",
         # 2-step window, counted per ordered (center, context)
         "skipgram_pairs_user": """
 WITH RECURSIVE
-b AS (SELECT DISTINCT user_id, event_type,
+b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
              CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
-e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+e AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
-verts AS (SELECT DISTINCT u FROM
+verts AS MATERIALIZED (SELECT DISTINCT u FROM
           (SELECT src AS u FROM e UNION SELECT dst FROM e)),
 r(walk_id, step, v) AS (
   SELECT u, 0, u FROM verts
@@ -2944,9 +2948,11 @@ SELECT CAST(d.user_id AS BIGINT) AS user_id, CAST(d.deg AS BIGINT) AS deg,
                   THEN 2.0 * COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1))
                   ELSE 0.0 END, 6) AS cc
 FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id""",
-        # k-truss: round-unrolled peeling (see _ktruss_sql); 6 rounds is
-        # a verified upper bound on the sf0.01 user graph's peel depth
-        "ktruss_user": _ktruss_sql(4, 6),
+        # k-truss: round-unrolled peeling (see _ktruss_sql); the sf0.01
+        # user graph's measured peel depth is 3 (sf0.001: 2), so 4 rounds
+        # = depth + 1 idempotent margin — fewer rounds keeps the unrolled
+        # statement small enough that no DuckDB build chokes on it
+        "ktruss_user": _ktruss_sql(4, 4),
         "katz_user": _katz_sql(0.0625, 6),
         # butterflies: sum over pairs of C(cn, 2) via the wedge join
         "butterflies_user": """
@@ -2959,7 +2965,8 @@ e AS (SELECT src AS a, dst AS bb FROM eu UNION ALL SELECT dst, src FROM eu),
 w AS (SELECT e1.bb AS u, e2.bb AS v
       FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.bb < e2.bb),
 cn AS (SELECT u, v, COUNT(*) AS c FROM w GROUP BY 1, 2)
-SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS butterflies
+-- each 4-cycle has two diagonal pairs: halve the pair sum
+SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) // 2 AS BIGINT) AS butterflies
 FROM cn""",
         "coloring_user": _color_sql(20),
         # modularity of the user_id%5 partition: integer sufficient

@@ -201,7 +201,30 @@ def run_bench() -> dict:
 
     _datapipe_bench(queries, extra)
 
+    # two-parallelism-level scaling evidence IN the machine-readable bench
+    # output (the north rule's N -> 4N cluster criterion, sandbox proxy):
+    # fixed 12-superstep PageRank on the 61M-edge xxl graph in fresh
+    # 2-CPU and 8-CPU processes — identical work at both levels, and big
+    # enough that supersteps dominate fixed per-round costs (the bench-tier
+    # graph is NOT representative: fixed costs contaminate it; see
+    # BASELINE.md round-2 re-measure). FLASHRAY_BENCH_SCALING=0 skips.
+    do_scaling = os.environ.get("FLASHRAY_BENCH_SCALING", "1") == "1"
+    gpath_xxl = _xxl_graph_path(sym=True) if do_scaling else None
+
     ray.shutdown()
+
+    if do_scaling:
+        # subprocess ray.init AFTER the parent session is down — fresh
+        # single-tenant sessions at both levels
+        extra["scaling"] = _measure_scaling(
+            gpath_xxl, 2, 8, trials=2, fixed_iters=12
+        )
+        extra["scaling"]["protocol"] = (
+            "PageRank 12 fixed supersteps, 61M-edge symmetrized xxl graph, "
+            "fresh ray.init processes at num_cpus=2 and 8 (the regime where "
+            "the sandbox's shared-DRAM bottleneck still scales; see "
+            "bench.py --scaling for the full protocol)"
+        )
     return {
         "metric": "pagerank_to_1e-6_wall_sec (headline); edges/sec/superstep in extras",
         "value": round(queries["pagerank_pull"], 3),
@@ -349,6 +372,97 @@ def _datapipe_bench(queries: dict, extra: dict) -> None:
     queries["anti_join"] = time.perf_counter() - t0
 
 
+def _measure_scaling(
+    gpath: str, lo_cpus: int, hi_cpus: int, *, trials: int = 3,
+    fixed_iters: int | None = None,
+) -> dict:
+    """PageRank throughput in FRESH processes at two parallelism levels on
+    the SAME pre-built graph; returns both throughputs + efficiency.
+    ``fixed_iters`` pins the superstep count (identical work at both
+    levels, cheaper than convergence) — None runs to 1e-6 convergence."""
+    stop = (
+        f"lambda m: False), max_iters={int(fixed_iters)}"
+        if fixed_iters is not None
+        else 'lambda m: m["delta"] < 1e-6)'
+    )
+    runner = f"""
+import sys, time, ray, json
+ray.init(address="local", num_cpus=int(sys.argv[1]),
+         include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from flashray.build import Graph
+from flashray.engine import Engine
+from flashray.programs import PageRank
+g = Graph.load({gpath!r})
+eng = Engine(g, PageRank())
+eng.run(lambda m: False, max_iters=4)   # warmup: fault in CSR + state pages
+msgs = 0; wall = 0.0; steps = 0
+for _ in range(3):                       # 3 full runs, averaged
+    eng.reset()
+    t0 = time.perf_counter()
+    eng.run({stop}
+    wall += time.perf_counter() - t0
+    msgs += sum(r["messages"] for r in eng.lineage)
+    steps += len(eng.lineage)
+print(json.dumps({{"tput": msgs / wall, "supersteps": steps // 3,
+                  "superstep_wall_sec": wall, "edges_processed": msgs}}))
+eng.close()
+ray.shutdown()
+"""
+
+    def run(ncpu: int) -> dict:
+        best = None
+        for _ in range(trials):
+            out = subprocess.run(
+                [sys.executable, "-c", runner, str(ncpu)],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["tput"] > best["tput"]:
+                best = r
+        return best
+
+    lo, hi = run(lo_cpus), run(hi_cpus)
+    return {
+        "num_cpus": [lo_cpus, hi_cpus],
+        f"throughput_cpus{lo_cpus}": round(lo["tput"], 1),
+        f"throughput_cpus{hi_cpus}": round(hi["tput"], 1),
+        "scaling_efficiency": round(
+            (hi["tput"] / lo["tput"]) / (hi_cpus / lo_cpus), 3
+        ),
+    }
+
+
+def _xxl_graph_path(sym: bool = True) -> str:
+    """Build (or reuse) the 61M-edge xxl graph the scaling measurements
+    run on — big enough that supersteps dominate fixed per-round costs."""
+    import ray
+    import ray.data as rd
+
+    from flashray import extract, fixtures
+    from flashray.build import build_graph
+
+    tier = os.environ.get("FLASHRAY_SCALE_TIER", "xxl")
+    gpath = os.path.join(
+        CACHE, "graphs", f"{tier}_P{P}_{'sym' if sym else 'dir'}"
+    )
+    if not os.path.exists(os.path.join(gpath, "meta.json")):
+        tpath = os.path.join(CACHE, f"transcripts_{tier}.parquet")
+        fixtures.write_transcripts(tpath, tier)
+        build_graph(
+            extract.extract_edges(rd.read_parquet(tpath)),
+            gpath,
+            num_partitions=P,
+            symmetrize=sym,
+        )
+    return gpath
+
+
 def run_scaling() -> dict:
     """Same pre-built input, fresh processes at num_cpus N and 4N.
 
@@ -380,80 +494,13 @@ def run_scaling() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import ray.data as rd
-
-    from flashray import extract, fixtures
-    from flashray.build import build_graph
-
-    tpath = os.path.join(CACHE, f"transcripts_{tier}.parquet")
-    fixtures.write_transcripts(tpath, tier)
-    gpath = os.path.join(
-        CACHE, "graphs", f"{tier}_P{P}_{'sym' if sym else 'dir'}"
-    )
-    if not os.path.exists(os.path.join(gpath, "meta.json")):
-        build_graph(
-            extract.extract_edges(rd.read_parquet(tpath)),
-            gpath,
-            num_partitions=P,
-            symmetrize=sym,
-        )
+    gpath = _xxl_graph_path(sym)
     ray.shutdown()
 
-    runner = f"""
-import sys, time, ray, json
-ray.init(address="local", num_cpus=int(sys.argv[1]),
-         include_dashboard=False, logging_level="ERROR")
-from ray.data import DataContext
-DataContext.get_current().enable_progress_bars = False
-sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
-from flashray.build import Graph
-from flashray.engine import Engine
-from flashray.programs import PageRank
-g = Graph.load({gpath!r})
-eng = Engine(g, PageRank())
-eng.run(lambda m: False, max_iters=4)   # warmup: fault in CSR + state pages
-msgs = 0; wall = 0.0; steps = 0
-for _ in range(3):                       # 3 full convergence runs, averaged
-    eng.reset()
-    t0 = time.perf_counter()
-    eng.run(lambda m: m["delta"] < 1e-6)
-    wall += time.perf_counter() - t0
-    msgs += sum(r["messages"] for r in eng.lineage)
-    steps += len(eng.lineage)
-print(json.dumps({{"tput": msgs / wall, "supersteps": steps // 3,
-                  "superstep_wall_sec": wall, "edges_processed": msgs}}))
-eng.close()
-ray.shutdown()
-"""
-
-    def run(ncpu: int, trials: int = 3) -> dict:
-        best = None
-        for _ in range(trials):
-            out = subprocess.run(
-                [sys.executable, "-c", runner, str(ncpu)],
-                capture_output=True,
-                text=True,
-                check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["tput"] > best["tput"]:
-                best = r
-        return best
-
-    pairs = []
-    for plo, phi in [(lo_cpus, hi_cpus), (2 * lo_cpus, 2 * hi_cpus)]:
-        lo, hi = run(plo), run(phi)
-        pairs.append(
-            {
-                "num_cpus": [plo, phi],
-                f"throughput_cpus{plo}": round(lo["tput"], 1),
-                f"throughput_cpus{phi}": round(hi["tput"], 1),
-                "scaling_efficiency": round(
-                    (hi["tput"] / lo["tput"]) / (phi / plo), 3
-                ),
-            }
-        )
+    pairs = [
+        _measure_scaling(gpath, plo, phi, trials=3)
+        for plo, phi in [(lo_cpus, hi_cpus), (2 * lo_cpus, 2 * hi_cpus)]
+    ]
     return {
         "metric": (
             f"scaling efficiency (PageRank edges/sec/superstep, N -> 4N "

@@ -149,8 +149,12 @@ def katz(
     """Katz centrality (prestige) by power iteration on the superstep
     engine: ``x = beta + alpha * A^T x``. Fixed-iteration runs (``eps=0.0``,
     ``max_iters=T``) equal the level-T path-count recurrence exactly —
-    the driver oracle replays it in SQL."""
-    with Engine(graph, Katz(alpha, beta, weighted=weighted),
+    the driver oracle replays it in SQL. Exactness at fixed T requires the
+    two-phase mirror path on split graphs, so eps=0.0 turns it on (the
+    convergence path keeps the cheaper stale-mirror fused rounds — at the
+    fixpoint the one-superstep mirror lag is harmless)."""
+    with Engine(graph, Katz(alpha, beta, weighted=weighted,
+                            exact_iterations=(eps == 0.0)),
                 actor_cpus=actor_cpus) as eng:
         eng.run(lambda m: m["delta"] < eps, max_iters=max_iters)
         result = _finish(eng, out_dir)
@@ -392,13 +396,21 @@ def degrees(graph: Graph):
     return graph.vertices_dataset()
 
 
-def modularity(graph: Graph, labels) -> float:
+def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
     """Newman modularity Q of ANY vertex labeling over the undirected
     (canonical, cross-etype-deduped) edge set:
     ``Q = Σ_c e_c/m − Σ_c (deg_c / 2m)²`` with e_c = within-community
     edges, deg_c = total degree of community c, m = undirected edges.
 
-    ``labels`` is a Dataset or pandas DataFrame (vertex_id, label).
+    ``labels`` is a Dataset or pandas DataFrame (vertex_id, label); the
+    label column may be any int type or string (the label only enters
+    through equality and grouping). Labels must cover every NON-ISOLATED
+    graph vertex — a vertex missing from ``labels`` drops out of both
+    e_c and Σdeg_c² while m still counts its edges, silently skewing Q;
+    by default a coverage mismatch raises. ``allow_partial=True`` skips
+    the check and scores edges at unlabeled vertices as cut (documented
+    partial-labeling semantics).
+
     Distributed shape: two bucket joins attach both endpoint labels to
     each edge; e_c and deg_c reduce through bucketed sums; the final fold
     over communities streams one partial row per block. The quality
@@ -412,13 +424,46 @@ def modularity(graph: Graph, labels) -> float:
     if isinstance(labels, pd.DataFrame):
         import ray.data as rd
 
-        labels = rd.from_pandas(labels[["vertex_id", "label"]])
+        lpd = labels[["vertex_id", "label"]].copy()
+        if lpd["label"].dtype != object:
+            lpd["label"] = lpd["label"].astype(np.int64)
+        lpd["vertex_id"] = lpd["vertex_id"].astype(np.int64)
+        labels = rd.from_pandas(lpd)
     und = _canonical_undirected(graph).materialize()
     m = und.count()
     if m == 0:
         return 0.0
     I64 = pa.int64()
-    lsch = pa.schema([("vertex_id", I64), ("label", I64)])
+    from flashray.joins import _arrow_schema
+
+    lab_f = _arrow_schema(labels).field("label")
+    lab_t = pa.string() if pa.types.is_string(lab_f.type) else I64
+    if not (pa.types.is_string(lab_f.type) or pa.types.is_integer(lab_f.type)):
+        raise ValueError(
+            f"label column must be integer or string, got {lab_f.type}"
+        )
+    if lab_t == I64 and lab_f.type != I64:
+        labels = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "vertex_id": b["vertex_id"].cast(I64),
+                    "label": b["label"].cast(I64),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    labels = labels.materialize()
+    lsch = pa.schema([("vertex_id", I64), ("label", lab_t)])
+    if not allow_partial:
+        deg_full = _deg_from_und(und)
+        n_vertices = deg_full.count()
+        n_labeled = labels.count()
+        if n_labeled < n_vertices:
+            raise ValueError(
+                f"labels cover {n_labeled} of {n_vertices} non-isolated "
+                "vertices — pass allow_partial=True to score anyway "
+                "(edges at unlabeled vertices count as cut)"
+            )
 
     j = bucket_hash_join(
         und, labels, ["lo"], right_on=["vertex_id"],
@@ -432,11 +477,12 @@ def modularity(graph: Graph, labels) -> float:
     )
     j = bucket_hash_join(
         j, labels, ["hi"], right_on=["vertex_id"],
-        left_schema=pa.schema([("lo", I64), ("hi", I64), ("label_lo", I64)]),
+        left_schema=pa.schema([("lo", I64), ("hi", I64), ("label_lo", lab_t)]),
         right_schema=lsch,
     )
 
     def within(b: pa.Table) -> pa.Table:
+        # elementwise equality holds for int64 and (object) string arrays
         same = (
             b["label_lo"].to_numpy(zero_copy_only=False)
             == b["label"].to_numpy(zero_copy_only=False)

@@ -65,6 +65,13 @@ def egonet_edges(
 
     seeds = [int(s) for s in seeds]
     prog = MultiSourceBFS(seeds)
+    # hop-capped runs need SYNCHRONOUS supersteps: with stale mirrors a
+    # distance crossing a split vertex's mirror edges arrives one superstep
+    # late, so a vertex genuinely within ``hops`` could be missed when the
+    # iteration cap cuts the run. Force the two-phase same-round mirror
+    # path — exactness matters more than the fused-round saving on an
+    # ego-local workload
+    prog.stale_mirror_safe = False
     with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
         # each BFS superstep advances one hop: capping max_iters at
         # ``hops`` bounds BOTH the work (O(ball), not O(graph)) and the

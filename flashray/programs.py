@@ -129,13 +129,20 @@ class Katz(VertexProgram):
 
     combine = "sum"
     identity = 0.0
-    stale_mirror_safe = True  # fixpoint iteration
+    stale_mirror_safe = True  # fixpoint iteration (see exact_iterations)
 
     def __init__(self, alpha: float = 0.1, beta: float = 1.0,
-                 weighted: bool = False):
+                 weighted: bool = False, exact_iterations: bool = False):
         self.alpha = alpha
         self.beta = beta
         self.use_weights = weighted
+        # fixed-iteration runs (eps=0, max_iters=T) promise EXACT equality
+        # with the synchronous level-T path-count recurrence (the SQL
+        # oracle). On graphs with split (skew) vertices the stale-mirror
+        # fused round serves mirror signals one superstep late, which is
+        # fine at the fixpoint but deviates from the recurrence at fixed T
+        # — so exact_iterations forces the two-phase same-round mirror path
+        self.stale_mirror_safe = not exact_iterations
 
     def init_state(self, shard, N):
         return {

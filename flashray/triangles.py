@@ -376,9 +376,18 @@ def k_truss(
                 pa.array(b["support"].to_numpy(zero_copy_only=False) >= thr)
             )
 
-        kept = supz.map_batches(
-            keep, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
+        kept = (
+            supz.map_batches(
+                keep, batch_format="pyarrow", zero_copy_batch=True
+            )
+            # coalesce per round: every shuffle stage emits ~as many blocks
+            # as it receives, so without this the block count compounds
+            # per peel round and reduce-task dispatch dominates (measured:
+            # 1,118 s for a 534-edge graph at 4 rounds; 8 s with the
+            # repartition — the same pathology hyperball() hit)
+            .repartition(B)
+            .materialize()
+        )
         m = kept.count()
         rounds += 1
         if m == n or m == 0 or (max_rounds is not None and rounds >= max_rounds):
@@ -592,10 +601,12 @@ def butterfly_count(
     num_buckets: int | None = None,
 ) -> int:
     """Global butterfly (4-cycle) count: Σ over vertex pairs of
-    C(common_neighbors, 2) — the standard bipartite-network cohesion
-    metric (works on any graph; on a bipartite one every 4-cycle is a
-    butterfly). Same wedge dataflow as link prediction; the final
-    reduction streams one partial per block to the driver."""
+    C(common_neighbors, 2), halved — each 4-cycle has TWO diagonal pairs
+    (u,w) and (x,y), so the pair sum counts every 4-cycle exactly twice.
+    The standard bipartite-network cohesion metric (works on any graph; on
+    a bipartite one every 4-cycle is a butterfly). Same wedge dataflow as
+    link prediction; the final reduction streams one partial per block to
+    the driver."""
     B = num_buckets or max(16, graph.num_partitions)
     und = _canonical_undirected(graph).materialize()
     pairs = _pair_common_neighbors(und, B, max_center_degree)
@@ -607,7 +618,9 @@ def butterfly_count(
     out = pairs.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).sum("bf")
-    return int(out or 0)
+    # the pair sum is always even: divide AFTER the total (per-block
+    # partials can be odd)
+    return int(out or 0) // 2
 
 
 def link_prediction(

@@ -300,12 +300,36 @@ def _brute_butterflies(src, dst):
     for u, v in combinations(sorted(adj), 2):
         cn = len(adj[u] & adj[v])
         total += cn * (cn - 1) // 2
-    return total
+    # the diagonal-pair sum counts each 4-cycle twice (once per diagonal)
+    assert total % 2 == 0
+    return total // 2
+
+
+def _brute_4cycles(src, dst):
+    """Literal 4-cycle enumeration — independent of the C(cn,2) identity,
+    so it catches a doubled (or halved) diagonal-pair formula."""
+    from itertools import combinations
+
+    adj = {}
+    for a, b in zip(src, dst):
+        if a != b:
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+    verts = sorted(adj)
+    count = 0
+    # a 4-cycle u-x-w-y: canonical form = (min vertex u, its two cycle
+    # neighbors x < y, opposite w) — enumerate u < x,y and w > u
+    for u in verts:
+        for x, y in combinations(sorted(n for n in adj[u] if n > u), 2):
+            count += sum(1 for w in adj[x] & adj[y] if w > u and w != u)
+    return count
 
 
 def test_butterfly_count(graphs):
     graph, (src, dst) = graphs("er100", fixtures.er_edges)
-    assert triangles.butterfly_count(graph) == _brute_butterflies(src, dst)
+    got = triangles.butterfly_count(graph)
+    assert got == _brute_butterflies(src, dst)
+    assert got == _brute_4cycles(src, dst)
     k3, _ = graphs("k3", fixtures.k3_edges)
     assert triangles.butterfly_count(k3) == 0  # a triangle has no 4-cycle
     star, (s2, d2) = graphs("star8", fixtures.star_edges)

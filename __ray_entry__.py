@@ -1515,12 +1515,12 @@ def _q_random_walks_user(sf_dir: str):
     from flashray import walks
 
     edges = _user_succession_edges(sf_dir)
-    out = walks.random_walks(
-        edges, walk_len=4, walks_per_vertex=1, hash_fn="sha", num_buckets=16
+    return walks.corpus_pandas(
+        walks.random_walks(
+            edges, walk_len=4, walks_per_vertex=1, hash_fn="sha",
+            num_buckets=16,
+        )
     )
-    for c in out.columns:
-        out[c] = out[c].astype(np.int64)
-    return out
 
 
 def _q_skipgram_pairs_user(sf_dir: str):
@@ -1533,7 +1533,12 @@ def _q_skipgram_pairs_user(sf_dir: str):
     corpus = walks.random_walks(
         edges, walk_len=4, walks_per_vertex=1, hash_fn="sha", num_buckets=16
     )
-    out = walks.skipgram_pairs(corpus, window=2, num_buckets=16)
+    out = (
+        walks.skipgram_pairs(corpus, window=2, num_buckets=16)
+        .to_pandas()
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
@@ -2018,17 +2023,16 @@ def _q_node2vec_walks_user(sf_dir: str):
             }
         )
 
-    out = walks.node2vec_walks(
-        edges.map_batches(sym, batch_format="pyarrow"),
-        walk_len=4,
-        p=4.0,
-        q=0.25,
-        hash_fn="sha",
-        num_buckets=16,
+    return walks.corpus_pandas(
+        walks.node2vec_walks(
+            edges.map_batches(sym, batch_format="pyarrow"),
+            walk_len=4,
+            p=4.0,
+            q=0.25,
+            hash_fn="sha",
+            num_buckets=16,
+        )
     )
-    for c in out.columns:
-        out[c] = out[c].astype(np.int64)
-    return out
 
 
 def _q_convert_transcripts_roundtrip(sf_dir: str):

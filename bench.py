@@ -190,14 +190,18 @@ def run_bench() -> dict:
     # graph: 4 steps, splitmix priorities (the scale path)
     from flashray import walks as _walks
 
+    walk_dir = os.path.join(CACHE, "walk_corpus")
+    shutil.rmtree(walk_dir, ignore_errors=True)
     t0 = time.perf_counter()
     corpus = _walks.random_walks(
         g_dir.edges_dataset(columns=["src", "dst"]),
         walk_len=4,
         num_buckets=P,
+        out_dir=walk_dir,  # corpus streams to parquet, never the driver
     )
+    n_walk_rows = corpus.count()
     queries["random_walks"] = time.perf_counter() - t0
-    extra["walk_rows"] = int(len(corpus))
+    extra["walk_rows"] = int(n_walk_rows)
 
     _datapipe_bench(queries, extra)
 

@@ -21,13 +21,27 @@ walks' next hops in one vectorized pandas pass):
 Walks that reach a vertex with no out-edges simply end (inner join drops
 them) — matching the SQL oracle's EXISTS guard.
 
+NOTHING is materialized on the driver: walk-id seeding is a distributed
+distinct over the edge endpoints (walk_id = vertex × walks_per_vertex + j
+derives from the vertex id, no global enumeration needed), each step's
+rows stay in the object store as a materialized per-step Dataset (or go
+straight to ``out_dir`` parquet, one directory per step — a resumable
+layout), and the result is a Dataset. Collect with
+:func:`corpus_pandas` ONLY on small graphs.
+
 Scale notes: the per-step shuffle ships one row per (frontier walk ×
 out-degree); ``hash_fn="splitmix"`` (default) keeps the priority pure
 vectorized numpy. ``hash_fn="sha"`` pays one sha256 per candidate row and
-exists for SQL-oracle parity — use splitmix at scale.
+exists for SQL-oracle parity — use splitmix at scale. The frontier is
+repartitioned to ``num_buckets`` blocks each step: shuffle stages emit as
+many blocks as they receive, so without the coalesce the block count grows
+every step and task dispatch eventually dominates (the k-truss/hyperball
+lesson).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -35,9 +49,10 @@ import pyarrow as pa
 import ray.data
 
 from flashray.ids import _splitmix64
-from flashray.joins import bucket_hash_join
+from flashray.joins import bucket_group_agg, bucket_hash_join
 
 _C_STEP = np.uint64(0x9E3779B97F4A7C15)
+_I64 = pa.int64()
 
 
 def _priority(walk_id, step: int, dst, salt: str, hash_fn: str) -> np.ndarray:
@@ -58,6 +73,110 @@ def _priority(walk_id, step: int, dst, salt: str, hash_fn: str) -> np.ndarray:
         return _splitmix64(h ^ d)
 
 
+def corpus_pandas(corpus) -> pd.DataFrame:
+    """Collect a walk corpus to the driver, sorted by (walk_id, step) —
+    EXPLICIT small-graph helper: corpus rows = vertices × walks_per_vertex
+    × walk_len, so only call this when that product is driver-sized.
+    Large corpora should stay Datasets (write_parquet / skipgram_pairs
+    consume them distributed)."""
+    df = corpus.to_pandas() if not isinstance(corpus, pd.DataFrame) else corpus
+    df = df[["walk_id", "step", "vertex_id"]].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def _edges_i64(edges, src_col: str, dst_col: str) -> ray.data.Dataset:
+    return edges.map_batches(
+        lambda b: pa.table(
+            {"src": b[src_col].cast(_I64), "dst": b[dst_col].cast(_I64)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+
+def _seed_frontier(
+    e: ray.data.Dataset, wpv: int, num_buckets: int, with_prev: bool
+) -> ray.data.Dataset:
+    """Distributed walk seeding: distinct vertices over both endpoints
+    (one bucket shuffle), then each vertex expands to walks_per_vertex
+    rows with walk_id = v*wpv + j — derived from the vertex id itself, so
+    no driver-side enumeration and no zip-with-index barrier."""
+
+    def to_verts(b: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [
+                b["src"].to_numpy(zero_copy_only=False),
+                b["dst"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table({"v": pa.array(v, type=_I64)})
+
+    verts = bucket_group_agg(
+        e.map_batches(to_verts, batch_format="pyarrow"),
+        ["v"],
+        None,
+        num_buckets=num_buckets,
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        vv = np.repeat(v, wpv)
+        wid = vv * wpv + np.tile(np.arange(wpv, dtype=np.int64), len(v))
+        cols = {
+            "walk_id": pa.array(wid, type=_I64),
+            "v": pa.array(vv, type=_I64),
+        }
+        if with_prev:
+            cols["prev"] = pa.array(np.full(len(vv), -1), type=_I64)
+            cols = {
+                "walk_id": cols["walk_id"],
+                "prev": cols["prev"],
+                "v": cols["v"],
+            }
+        return pa.table(cols)
+
+    return verts.map_batches(expand, batch_format="pyarrow").materialize()
+
+
+def _frontier_rows(frontier: ray.data.Dataset, t: int) -> ray.data.Dataset:
+    def rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "walk_id": b["walk_id"].cast(_I64),
+                "step": pa.array(np.full(n, t, dtype=np.int64)),
+                "vertex_id": b["v"].cast(_I64),
+            }
+        )
+
+    return frontier.map_batches(rows, batch_format="pyarrow")
+
+
+class _StepSink:
+    """Per-step corpus rows: either materialized per-step Datasets unioned
+    at the end (object-store resident, spillable), or — with ``out_dir`` —
+    parquet directories ``step_t/`` (resumable, nothing held anywhere)."""
+
+    def __init__(self, out_dir: str | None):
+        self.out_dir = out_dir
+        self.parts: list[ray.data.Dataset] = []
+
+    def add(self, rows: ray.data.Dataset, t: int) -> None:
+        if self.out_dir is not None:
+            d = os.path.join(self.out_dir, f"step_{t}")
+            os.makedirs(d, exist_ok=True)
+            rows.write_parquet(d)
+        else:
+            self.parts.append(rows.materialize())
+
+    def result(self) -> ray.data.Dataset:
+        if self.out_dir is not None:
+            return ray.data.read_parquet(self.out_dir)
+        first, *rest = self.parts
+        return first.union(*rest) if rest else first
+
+
 def random_walks(
     edges: ray.data.Dataset,
     *,
@@ -68,57 +187,24 @@ def random_walks(
     hash_fn: str = "splitmix",
     src_col: str = "src",
     dst_col: str = "dst",
-) -> pd.DataFrame:
+    out_dir: str | None = None,
+) -> ray.data.Dataset:
     """Generate ``walks_per_vertex`` deterministic walks of up to
-    ``walk_len`` steps from every vertex. Returns rows
-    (walk_id, step, vertex_id) sorted by (walk_id, step); walk_id =
-    start_vertex × walks_per_vertex + j. The result is one row per visited
-    position — write it to parquet for a training corpus instead of
-    collecting when the graph is large."""
-    I64 = pa.int64()
-    e = edges.map_batches(
-        lambda b: pa.table(
-            {"src": b[src_col].cast(I64), "dst": b[dst_col].cast(I64)}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    verts = np.unique(
-        np.concatenate(
-            [np.empty(0, dtype=np.int64)]
-            + [
-                np.concatenate(
-                    [
-                        b["src"].to_numpy(zero_copy_only=False),
-                        b["dst"].to_numpy(zero_copy_only=False),
-                    ]
-                )
-                for b in e.iter_batches(batch_format="pyarrow", batch_size=65536)
-            ]
-        )
-    )
+    ``walk_len`` steps from every vertex. Returns a Dataset of rows
+    (walk_id, step, vertex_id) with walk_id = start_vertex ×
+    walks_per_vertex + j — unsorted (sort/collect via
+    :func:`corpus_pandas` on small graphs; write to parquet for a
+    training corpus otherwise). ``out_dir`` streams each step's rows to
+    ``out_dir/step_t/`` parquet instead of holding them in the object
+    store."""
+    e = _edges_i64(edges, src_col, dst_col)
     wpv = int(walks_per_vertex)
-    walk_id = np.repeat(verts, wpv) * wpv + np.tile(np.arange(wpv), len(verts))
-    frontier = ray.data.from_arrow(
-        pa.table(
-            {
-                "walk_id": pa.array(walk_id, type=I64),
-                "v": pa.array(np.repeat(verts, wpv), type=I64),
-            }
-        )
-    ).materialize()
-    out = [
-        pd.DataFrame(
-            {
-                "walk_id": walk_id,
-                "step": np.zeros(len(walk_id), dtype=np.int64),
-                "vertex_id": np.repeat(verts, wpv),
-            }
-        )
-    ]
+    frontier = _seed_frontier(e, wpv, num_buckets, with_prev=False)
+    sink = _StepSink(out_dir)
+    sink.add(_frontier_rows(frontier, 0), 0)
 
-    fr_schema = pa.schema([("walk_id", I64), ("v", I64)])
-    e_schema = pa.schema([("src", I64), ("dst", I64)])
+    fr_schema = pa.schema([("walk_id", _I64), ("v", _I64)])
+    e_schema = pa.schema([("src", _I64), ("dst", _I64)])
 
     for t in range(1, int(walk_len) + 1):
         cand = bucket_hash_join(
@@ -141,6 +227,13 @@ def random_walks(
         def choose(g: pd.DataFrame, _t=t) -> pd.DataFrame:
             # all candidates of a walk are in this bucket: argmin
             # (priority, dst) per walk, vectorized via one sort
+            if not len(g):
+                return pd.DataFrame(
+                    {
+                        "walk_id": pd.Series(dtype=np.int64),
+                        "v": pd.Series(dtype=np.int64),
+                    }
+                )
             pri = _priority(
                 g["walk_id"].to_numpy(), _t, g["dst"].to_numpy(), salt, hash_fn
             )
@@ -159,26 +252,15 @@ def random_walks(
             cand.map_batches(bucketize, batch_format="pyarrow")
             .groupby("__wbucket")
             .map_groups(choose, batch_format="pandas")
+            # bound the per-step block count (see module docstring)
+            .repartition(num_buckets)
             .materialize()
         )
-        step_df = frontier.to_pandas()
-        if not len(step_df):
+        if frontier.count() == 0:
             break
-        out.append(
-            pd.DataFrame(
-                {
-                    "walk_id": step_df["walk_id"].astype(np.int64),
-                    "step": np.full(len(step_df), t, dtype=np.int64),
-                    "vertex_id": step_df["v"].astype(np.int64),
-                }
-            )
-        )
+        sink.add(_frontier_rows(frontier, t), t)
 
-    return (
-        pd.concat(out, ignore_index=True)
-        .sort_values(["walk_id", "step"])
-        .reset_index(drop=True)
-    )
+    return sink.result()
 
 
 def _alpha_weights(p: float, q: float, scale: int = 1_000_000) -> tuple[int, int, int]:
@@ -217,7 +299,8 @@ def node2vec_walks(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_scale: int = 1_000_000,
-) -> pd.DataFrame:
+    out_dir: str | None = None,
+) -> ray.data.Dataset:
     """node2vec biased second-order walks (Grover & Leskovec, KDD 2016):
     from ``v`` (arrived via ``prev``), candidate ``d`` is weighted
     1/p if d == prev, 1 if (prev, d) is an edge, else 1/q. Deterministic,
@@ -236,73 +319,35 @@ def node2vec_walks(
     (frontier x edges) + one bucket groupby over cand_t ∪ cand_{t-1}.
 
     ``edges`` must be duplicate-free — repeated (src, dst) rows would
-    double that candidate's weight. Returns (walk_id, step, vertex_id)
-    like :func:`random_walks`."""
+    double that candidate's weight. Returns a Dataset of
+    (walk_id, step, vertex_id) rows like :func:`random_walks`."""
     wp, wc, wq = _alpha_weights(p, q, weight_scale)
-    I64 = pa.int64()
-    e = edges.map_batches(
-        lambda b: pa.table(
-            {"src": b[src_col].cast(I64), "dst": b[dst_col].cast(I64)}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    verts = np.unique(
-        np.concatenate(
-            [np.empty(0, dtype=np.int64)]
-            + [
-                np.concatenate(
-                    [
-                        b["src"].to_numpy(zero_copy_only=False),
-                        b["dst"].to_numpy(zero_copy_only=False),
-                    ]
-                )
-                for b in e.iter_batches(batch_format="pyarrow", batch_size=65536)
-            ]
-        )
-    )
+    e = _edges_i64(edges, src_col, dst_col)
     wpv = int(walks_per_vertex)
-    walk_id = np.repeat(verts, wpv) * wpv + np.tile(np.arange(wpv), len(verts))
-    start_v = np.repeat(verts, wpv)
-    frontier = ray.data.from_arrow(
-        pa.table(
-            {
-                "walk_id": pa.array(walk_id, type=I64),
-                "prev": pa.array(np.full(len(walk_id), -1), type=I64),
-                "v": pa.array(start_v, type=I64),
-            }
-        )
-    ).materialize()
-    out = [
-        pd.DataFrame(
-            {
-                "walk_id": walk_id,
-                "step": np.zeros(len(walk_id), dtype=np.int64),
-                "vertex_id": start_v,
-            }
-        )
-    ]
+    frontier = _seed_frontier(e, wpv, num_buckets, with_prev=True)
+    sink = _StepSink(out_dir)
+    sink.add(_frontier_rows(frontier, 0), 0)
 
-    fr_schema = pa.schema([("walk_id", I64), ("prev", I64), ("v", I64)])
-    e_schema = pa.schema([("src", I64), ("dst", I64)])
+    fr_schema = pa.schema([("walk_id", _I64), ("prev", _I64), ("v", _I64)])
+    e_schema = pa.schema([("src", _I64), ("dst", _I64)])
     prev_cand: ray.data.Dataset | None = None
 
     def bucketize(side: int):
         def fn(b: pa.Table) -> pa.Table:
             w = b["walk_id"].to_numpy(zero_copy_only=False)
             cols = {
-                "walk_id": b["walk_id"].cast(I64),
+                "walk_id": b["walk_id"].cast(_I64),
                 "prev": (
-                    b["prev"].cast(I64)
+                    b["prev"].cast(_I64)
                     if "prev" in b.column_names
                     else pa.array(np.zeros(b.num_rows, dtype=np.int64))
                 ),
                 "v": (
-                    b["v"].cast(I64)
+                    b["v"].cast(_I64)
                     if "v" in b.column_names
                     else pa.array(np.zeros(b.num_rows, dtype=np.int64))
                 ),
-                "dst": b["dst"].cast(I64),
+                "dst": b["dst"].cast(_I64),
                 "__wbucket": pa.array((w % num_buckets).astype(np.int64)),
                 "__side": pa.array(
                     np.full(b.num_rows, side, dtype=np.int64)
@@ -355,6 +400,7 @@ def node2vec_walks(
             frontier = (
                 cand.groupby("__wbucket")
                 .map_groups(choose_first, batch_format="pandas")
+                .repartition(num_buckets)
                 .materialize()
             )
         else:
@@ -395,6 +441,7 @@ def node2vec_walks(
                 cand.union(prev_cand)
                 .groupby("__wbucket")
                 .map_groups(choose_biased, batch_format="pandas")
+                .repartition(num_buckets)
                 .materialize()
             )
 
@@ -412,24 +459,11 @@ def node2vec_walks(
             batch_format="pyarrow",
         ).materialize()
 
-        step_df = frontier.to_pandas()
-        if not len(step_df):
+        if frontier.count() == 0:
             break
-        out.append(
-            pd.DataFrame(
-                {
-                    "walk_id": step_df["walk_id"].astype(np.int64),
-                    "step": np.full(len(step_df), t, dtype=np.int64),
-                    "vertex_id": step_df["v"].astype(np.int64),
-                }
-            )
-        )
+        sink.add(_frontier_rows(frontier, t), t)
 
-    return (
-        pd.concat(out, ignore_index=True)
-        .sort_values(["walk_id", "step"])
-        .reset_index(drop=True)
-    )
+    return sink.result()
 
 
 def skipgram_pairs(
@@ -437,16 +471,15 @@ def skipgram_pairs(
     *,
     window: int,
     num_buckets: int = 64,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """(center, context, n) co-occurrence pairs from a walk corpus — the
     skip-gram training set for DeepWalk/node2vec embeddings: every ordered
     pair of positions within ``window`` steps on the same walk, counted.
+    Returns a Dataset (collect with ``.to_pandas()`` only when small).
 
     One bucket pass: walks are hash-bucketed (a walk's rows co-locate),
     pairs are ``window`` vectorized self-merges per bucket (never a Ray
     group per walk), then one bucketed count aggregate."""
-    from flashray.joins import bucket_group_agg
-
     ds = (
         ray.data.from_pandas(corpus)
         if isinstance(corpus, pd.DataFrame)
@@ -513,9 +546,14 @@ def skipgram_pairs(
         {"n": ("__one", "sum")},
         num_buckets=num_buckets,
     )
-    df = agg.to_pandas()
-    df["n"] = df["n"].astype(np.int64)
-    return (
-        df.sort_values(["center", "context"])
-        .reset_index(drop=True)
-    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "center": b["center"].cast(pa.int64()),
+                "context": b["context"].cast(pa.int64()),
+                "n": b["n"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -50,7 +50,9 @@ def test_walks_match_independent_replay():
             seen.add((int(a), int(b)))
             src.append(int(a)); dst.append(int(b))
     edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
-    got = walks.random_walks(edges, walk_len=5, hash_fn="sha", num_buckets=8)
+    got = walks.corpus_pandas(
+        walks.random_walks(edges, walk_len=5, hash_fn="sha", num_buckets=8)
+    )
     want = _replay_sha(src, dst, 5)
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True),
@@ -61,7 +63,7 @@ def test_walks_match_independent_replay():
 def test_walks_dead_end_terminates():
     # path 0->1->2: every walk runs to vertex 2 then stops
     edges = rd.from_pandas(pd.DataFrame({"src": [0, 1], "dst": [1, 2]}))
-    out = walks.random_walks(edges, walk_len=10)
+    out = walks.corpus_pandas(walks.random_walks(edges, walk_len=10))
     got = {
         w: list(g.sort_values("step")["vertex_id"])
         for w, g in out.groupby("walk_id")
@@ -71,12 +73,12 @@ def test_walks_dead_end_terminates():
 
 def test_walks_partition_invariant_and_multiwalk():
     df = pd.DataFrame({"src": [0, 0, 1, 2, 2], "dst": [1, 2, 2, 0, 1]})
-    a = walks.random_walks(
+    a = walks.corpus_pandas(walks.random_walks(
         rd.from_pandas(df).repartition(1), walk_len=6, walks_per_vertex=3
-    )
-    b = walks.random_walks(
+    ))
+    b = walks.corpus_pandas(walks.random_walks(
         rd.from_pandas(df).repartition(5), walk_len=6, walks_per_vertex=3
-    )
+    ))
     pd.testing.assert_frame_equal(a, b)
     assert a["walk_id"].nunique() == 9  # 3 vertices x 3 walks
     # different walk ids from one start may diverge (independent hashes)
@@ -148,9 +150,9 @@ def _sym_test_graph(seed=17, n=24, m=80):
 def test_node2vec_matches_independent_replay():
     src, dst = _sym_test_graph()
     edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
-    got = walks.node2vec_walks(
+    got = walks.corpus_pandas(walks.node2vec_walks(
         edges, walk_len=5, p=4.0, q=0.25, hash_fn="sha", num_buckets=8
-    )
+    ))
     want = _replay_node2vec(src, dst, 5, 4.0, 0.25)
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True),
@@ -164,11 +166,11 @@ def test_node2vec_bias_branches_fire():
     edges = rd.from_pandas(
         pd.DataFrame({"src": [0, 1, 1, 2], "dst": [1, 0, 2, 1]})
     )
-    out = walks.node2vec_walks(edges, walk_len=4, p=1e-6, q=1.0)
+    out = walks.corpus_pandas(walks.node2vec_walks(edges, walk_len=4, p=1e-6, q=1.0))
     w0 = list(out[out["walk_id"] == 0].sort_values("step")["vertex_id"])
     assert w0 == [0, 1, 0, 1, 0]
     # q tiny with p huge => never return, always move outward
-    out2 = walks.node2vec_walks(edges, walk_len=2, p=1e6, q=1e-6)
+    out2 = walks.corpus_pandas(walks.node2vec_walks(edges, walk_len=2, p=1e6, q=1e-6))
     w02 = list(out2[out2["walk_id"] == 0].sort_values("step")["vertex_id"])
     assert w02 == [0, 1, 2]
 
@@ -176,14 +178,14 @@ def test_node2vec_bias_branches_fire():
 def test_node2vec_partition_invariant():
     src, dst = _sym_test_graph(seed=5)
     df = pd.DataFrame({"src": src, "dst": dst})
-    a = walks.node2vec_walks(
+    a = walks.corpus_pandas(walks.node2vec_walks(
         rd.from_pandas(df).repartition(1), walk_len=4, p=2.0, q=0.5,
         num_buckets=4,
-    )
-    b = walks.node2vec_walks(
+    ))
+    b = walks.corpus_pandas(walks.node2vec_walks(
         rd.from_pandas(df).repartition(7), walk_len=4, p=2.0, q=0.5,
         num_buckets=16,
-    )
+    ))
     pd.testing.assert_frame_equal(a, b)
 
 
@@ -210,10 +212,37 @@ def test_skipgram_pairs_match_replay():
             seen.add((int(a), int(b)))
             src.append(int(a)); dst.append(int(b))
     edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
-    corpus = walks.random_walks(edges, walk_len=5, walks_per_vertex=2)
-    got_df = walks.skipgram_pairs(corpus, window=2, num_buckets=8)
+    corpus = walks.corpus_pandas(
+        walks.random_walks(edges, walk_len=5, walks_per_vertex=2)
+    )
+    got_df = (
+        walks.skipgram_pairs(corpus, window=2, num_buckets=8)
+        .to_pandas()
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
     got = {
         (int(r["center"]), int(r["context"])): int(r["n"])
         for _, r in got_df.iterrows()
     }
     assert got == _replay_pairs(corpus, 2)
+
+
+def test_walks_out_dir_parquet_roundtrip(tmp_path):
+    # the streaming sink (per-step parquet) must produce the same corpus
+    # as the object-store path — and nothing of it lives on the driver
+    df = pd.DataFrame({"src": [0, 0, 1, 2, 2], "dst": [1, 2, 2, 0, 1]})
+    edges = rd.from_pandas(df)
+    in_store = walks.corpus_pandas(
+        walks.random_walks(edges, walk_len=5, walks_per_vertex=2)
+    )
+    on_disk = walks.corpus_pandas(
+        walks.random_walks(
+            edges, walk_len=5, walks_per_vertex=2,
+            out_dir=str(tmp_path / "corpus"),
+        )
+    )
+    pd.testing.assert_frame_equal(in_store, on_disk)
+    # one directory per step on disk (resumable layout)
+    steps = sorted(p.name for p in (tmp_path / "corpus").iterdir())
+    assert steps[0] == "step_0" and len(steps) >= 2

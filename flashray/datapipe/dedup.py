@@ -314,11 +314,23 @@ def candidate_pairs_minhash(
     )
 
 
-def duplicate_groups(pairs: ray.data.Dataset, *, scratch_dir: str | None = None) -> pd.DataFrame:
+def duplicate_groups(
+    pairs: ray.data.Dataset,
+    *,
+    scratch_dir: str | None = None,
+    engine_pair_threshold: int = 5_000_000,
+) -> pd.DataFrame:
     """Connected components of the verified pair graph → (doc_id, group)
-    with group = min doc_id of the component. Uses driver union-find for
-    small pair sets; for web-scale pair sets pass ``scratch_dir`` to run the
-    repo's own WCC engine over the pair edges instead."""
+    with group = min doc_id of the component. Driver union-find for small
+    pair sets; above ``engine_pair_threshold`` pairs the repo's own WCC
+    engine runs over the pair edges AUTOMATICALLY (under a temp dir unless
+    ``scratch_dir`` names one) — at 100-TB dedup the pair set can itself be
+    huge, so the driver path must not be the silent default there."""
+    pairs = pairs.materialize()
+    if scratch_dir is None and pairs.count() > engine_pair_threshold:
+        import tempfile
+
+        scratch_dir = tempfile.mkdtemp(prefix="flashray_dupgroups_")
     if scratch_dir is not None:
         import ray.data as rd
 

@@ -33,7 +33,12 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from flashray.datapipe.sketches import _sha_u64, hll_estimate, hll_partial
+from flashray.datapipe.sketches import (
+    _sha_u64,
+    hll_estimate,
+    hll_estimate_rows,
+    hll_partial,
+)
 from flashray.joins import bucket_hash_join
 
 
@@ -52,11 +57,6 @@ def _init_sketches(vertices: np.ndarray, p: int) -> pd.DataFrame:
             "changed": np.ones(len(vertices), dtype=np.int64),
         }
     )
-
-
-def _max_merge(blobs, m: int) -> np.ndarray:
-    stacked = np.frombuffer(b"".join(blobs), dtype=np.uint8)
-    return stacked.reshape(-1, m).max(axis=0)
 
 
 def hyperball(
@@ -116,14 +116,33 @@ def hyperball(
         ]
     )
 
+    def _group_max(vid: np.ndarray, blobs) -> tuple[np.ndarray, np.ndarray]:
+        """Register-wise max per vertex over sorted rows: one reduceat —
+        no Python loop over groups."""
+        order = np.argsort(vid, kind="stable")
+        vid = vid[order]
+        stacked = np.frombuffer(
+            b"".join(blobs.iloc[i] for i in order), dtype=np.uint8
+        ).reshape(len(vid), m)
+        starts = np.flatnonzero(np.r_[True, vid[1:] != vid[:-1]])
+        return vid[starts], np.maximum.reduceat(stacked, starts, axis=0)
+
     def combiner(b: pd.DataFrame) -> pd.DataFrame:
         """Map-side pre-merge of contributions per source within a batch —
         bounds any hub's reduce fan-in to the block count."""
-        out_v, out_r = [], []
-        for v, grp in b.groupby("vertex_id", sort=False):
-            out_v.append(v)
-            out_r.append(_max_merge(list(grp["regs"]), m).tobytes())
-        return pd.DataFrame({"vertex_id": out_v, "regs": out_r})
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "vertex_id": pd.Series(dtype=np.int64),
+                    "regs": pd.Series(dtype=object),
+                }
+            )
+        vids, merged = _group_max(
+            b["vertex_id"].to_numpy(dtype=np.int64), b["regs"]
+        )
+        return pd.DataFrame(
+            {"vertex_id": vids, "regs": [r.tobytes() for r in merged]}
+        )
 
     for t in range(1, max_iters + 1):
         # successors' sketches shipped to each edge's source
@@ -175,36 +194,65 @@ def hyperball(
             batch_format="pandas",
         )
 
-        def merge(g: pd.DataFrame, _t=t) -> pd.DataFrame:
-            old_row = g[g["is_old"] == 1].iloc[0]
-            merged = _max_merge(list(g["regs"]), m)
-            old_regs = np.frombuffer(old_row["regs"], dtype=np.uint8)
-            if (merged == old_regs).all():
+        def add_vbucket(b: pa.Table) -> pa.Table:
+            b = b.replace_schema_metadata(None)
+            v = b["vertex_id"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "__vbucket",
+                pa.array((v % num_buckets).astype(np.int64)),
+            )
+
+        def merge_bucket(g: pd.DataFrame, _t=t) -> pd.DataFrame:
+            """ALL vertices of a bucket merged in one vectorized pass —
+            never a Ray group (or a Python merge) per vertex. Rows are
+            sorted (vertex, old-first); every vertex has exactly one old
+            row (``old`` carries the full sketch table), so group starts
+            index the old rows directly."""
+            if not len(g):
                 return pd.DataFrame(
                     {
-                        "vertex_id": [old_row["vertex_id"]],
-                        "regs": [old_row["regs"]],
-                        "est": [old_row["est"]],
-                        "harmonic": [old_row["harmonic"]],
-                        "changed": [0],
+                        "vertex_id": pd.Series(dtype=np.int64),
+                        "regs": pd.Series(dtype=object),
+                        "est": pd.Series(dtype=np.float64),
+                        "harmonic": pd.Series(dtype=np.float64),
+                        "changed": pd.Series(dtype=np.int64),
                     }
                 )
-            est = hll_estimate(merged)
-            harm = old_row["harmonic"] + max(est - old_row["est"], 0.0) / _t
+            vid = g["vertex_id"].to_numpy(dtype=np.int64)
+            is_old = g["is_old"].to_numpy(dtype=np.int8)
+            order = np.lexsort((-is_old.astype(np.int64), vid))
+            vid = vid[order]
+            stacked = np.frombuffer(
+                b"".join(g["regs"].iloc[i] for i in order), dtype=np.uint8
+            ).reshape(len(vid), m)
+            starts = np.flatnonzero(np.r_[True, vid[1:] != vid[:-1]])
+            merged = np.maximum.reduceat(stacked, starts, axis=0)
+            old_regs = stacked[starts]
+            changed = (merged != old_regs).any(axis=1)
+            est_old = g["est"].to_numpy()[order][starts]
+            harm_old = g["harmonic"].to_numpy()[order][starts]
+            est_new = hll_estimate_rows(merged)
+            est = np.where(changed, est_new, est_old)
+            harm = np.where(
+                changed,
+                harm_old + np.maximum(est_new - est_old, 0.0) / _t,
+                harm_old,
+            )
             return pd.DataFrame(
                 {
-                    "vertex_id": [old_row["vertex_id"]],
-                    "regs": [merged.tobytes()],
-                    "est": [est],
-                    "harmonic": [harm],
-                    "changed": [1],
+                    "vertex_id": vid[starts],
+                    "regs": [r.tobytes() for r in merged],
+                    "est": est,
+                    "harmonic": harm,
+                    "changed": changed.astype(np.int64),
                 }
             )
 
         cur = (
             old.union(new)
-            .groupby("vertex_id")
-            .map_groups(merge, batch_format="pandas")
+            .map_batches(add_vbucket, batch_format="pyarrow")
+            .groupby("__vbucket")
+            .map_groups(merge_bucket, batch_format="pandas")
             # coalesce: each sort emits ~as many blocks as it receives, so
             # without this the block count compounds per iteration and
             # fixed per-block costs grow superlinearly (measured: iters

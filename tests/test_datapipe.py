@@ -70,9 +70,13 @@ def test_duplicate_groups_wcc_engine(tmp_path):
     pairs = dedup.candidate_pairs_minhash(rd.from_pandas(df), threshold=0.5)
     via_uf = dedup.duplicate_groups(pairs)
     via_wcc = dedup.duplicate_groups(pairs, scratch_dir=str(tmp_path / "pairg"))
+    # threshold 0 forces the auto-route onto the engine backend with no
+    # scratch_dir given (the scale default above 5M pairs)
+    via_auto = dedup.duplicate_groups(pairs, engine_pair_threshold=0)
     a = dict(zip(via_uf["doc_id"].astype(int), via_uf["group"].astype(int)))
     b = dict(zip(via_wcc["doc_id"].astype(int), via_wcc["group"].astype(int)))
-    assert a == b
+    c = dict(zip(via_auto["doc_id"].astype(int), via_auto["group"].astype(int)))
+    assert a == b == c
 
 
 def test_simhash_pairs():

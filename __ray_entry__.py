@@ -751,6 +751,44 @@ def _q_ktruss_user(sf_dir: str):
     )
 
 
+def _q_lpa_communities_user(sf_dir: str):
+    """Community detection: 3 synchronous most-frequent-label LPA sweeps
+    over the SYMMETRIZED user-succession graph (label(v) initialised to v;
+    per sweep, v takes the most frequent neighbor label, ties to the
+    smallest; fixed sweep count makes the run deterministic and exactly
+    SQL-replayable — the oracle unrolls the three sweeps)."""
+    from flashray.lpa import lpa_communities
+
+    edges = _user_succession_edges(sf_dir)
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    labels = lpa_communities(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        sweeps=3,
+        num_buckets=16,
+    )
+    df = labels.to_pandas()
+    return (
+        pd.DataFrame(
+            {
+                "user_id": df["vertex_id"].astype(np.int64),
+                "label": df["label"].astype(np.int64),
+            }
+        )
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_link_prediction_user(sf_dir: str):
     """Link-prediction scores (common neighbors / Jaccard / Adamic-Adar)
     for every NON-edge pair at distance 2 in the symmetrized
@@ -2168,6 +2206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_user": _q_katz_user,
         "butterflies_user": _q_butterflies_user,
         "coloring_user": _q_coloring_user,
+        "lpa_communities_user": _q_lpa_communities_user,
         "modularity_user_mod5": _q_modularity_user,
         "mis_user": _q_mis_user,
         "incremental_degrees_user": _q_incremental_degrees_user,
@@ -2397,6 +2436,39 @@ e{i} AS MATERIALIZED (SELECT e.lo, e.hi FROM {prev} e JOIN sup{i} s
 SELECT CAST(e.lo AS BIGINT) AS lo, CAST(e.hi AS BIGINT) AS hi,
        CAST(s.c AS BIGINT) AS support
 FROM {prev} e JOIN supF s ON s.lo = e.lo AND s.hi = e.hi"""
+    return head + "," + ",".join(stages) + tail
+
+
+def _lpa_sql(sweeps: int) -> str:
+    """Round-unrolled synchronous most-frequent-label LPA over the
+    symmetrized user graph: per sweep, neighbor-label counts + ROW_NUMBER
+    argmax (count desc, label asc) + COALESCE keep-previous for isolated
+    vertices. Every stage MATERIALIZED (see _ktruss_sql)."""
+    head = """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+e AS MATERIALIZED (SELECT src AS s, dst AS d FROM eu
+       UNION ALL SELECT dst, src FROM eu),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS lab FROM e)"""
+    stages = []
+    prev = "l0"
+    for i in range(1, int(sweeps) + 1):
+        stages.append(f"""
+c{i} AS MATERIALIZED (SELECT e.d AS v, l.lab, COUNT(*) AS c
+       FROM e JOIN {prev} l ON l.v = e.s GROUP BY 1, 2),
+a{i} AS MATERIALIZED (SELECT v, lab FROM (
+       SELECT v, lab,
+              ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+       FROM c{i}) WHERE rn = 1),
+l{i} AS MATERIALIZED (SELECT l.v, COALESCE(a.lab, l.lab) AS lab
+       FROM {prev} l LEFT JOIN a{i} a ON a.v = l.v)""")
+        prev = f"l{i}"
+    tail = f"""
+SELECT CAST(v AS BIGINT) AS user_id, CAST(lab AS BIGINT) AS label
+FROM {prev}"""
     return head + "," + ",".join(stages) + tail
 
 
@@ -2973,6 +3045,8 @@ cn AS (SELECT u, v, COUNT(*) AS c FROM w GROUP BY 1, 2)
 SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) // 2 AS BIGINT) AS butterflies
 FROM cn""",
         "coloring_user": _color_sql(20),
+        # LPA communities: 3 unrolled synchronous sweeps (count + argmax)
+        "lpa_communities_user": _lpa_sql(3),
         # modularity of the user_id%5 partition: integer sufficient
         # statistics (within-edges, community degrees), one float expr
         "modularity_user_mod5": """

@@ -120,9 +120,11 @@ def lpa_communities(
             "__vbucket", pa.array((v % num_buckets).astype(np.int64))
         )
 
-    def argmax_label(g: pd.DataFrame) -> pd.DataFrame:
-        # all partials of a vertex land in its bucket: finish the count,
-        # then one sort gives argmax (count desc, label asc) per vertex
+    def update(g: pd.DataFrame) -> pd.DataFrame:
+        """One pass per bucket: finish the counts, argmax (count desc,
+        label asc) per vertex, coalesce with the previous labels (rows
+        with c == -1). Fusing argmax + coalesce keeps the sweep at TWO
+        shuffles (join, update) instead of three."""
         if not len(g):
             return pd.DataFrame(
                 {
@@ -130,8 +132,9 @@ def lpa_communities(
                     "label": pd.Series(dtype=np.int64),
                 }
             )
-        t = (
-            g.groupby(["vertex_id", "label"], sort=False)["c"]
+        cnt = g[g["c"] >= 0]
+        winners = (
+            cnt.groupby(["vertex_id", "label"], sort=False)["c"]
             .sum()
             .reset_index()
             .sort_values(
@@ -141,46 +144,27 @@ def lpa_communities(
             )
             .drop_duplicates("vertex_id")
         )
+        prev = g[g["c"] < 0][["vertex_id", "label"]]
+        keep = prev[~prev["vertex_id"].isin(winners["vertex_id"])]
+        out = pd.concat(
+            [winners[["vertex_id", "label"]], keep], ignore_index=True
+        )
         return pd.DataFrame(
             {
-                "vertex_id": t["vertex_id"].to_numpy(dtype=np.int64),
-                "label": t["label"].to_numpy(dtype=np.int64),
+                "vertex_id": out["vertex_id"].to_numpy(dtype=np.int64),
+                "label": out["label"].to_numpy(dtype=np.int64),
             }
         )
 
-    def coalesce(g: pd.DataFrame) -> pd.DataFrame:
-        # new label if the vertex received one this sweep, else previous
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    "vertex_id": pd.Series(dtype=np.int64),
-                    "label": pd.Series(dtype=np.int64),
-                }
-            )
-        t = g.sort_values(
-            ["vertex_id", "__new"], ascending=[True, False], kind="stable"
-        ).drop_duplicates("vertex_id")
-        return pd.DataFrame(
+    def tag_old(b: pa.Table) -> pa.Table:
+        b = b.replace_schema_metadata(None)
+        return pa.table(
             {
-                "vertex_id": t["vertex_id"].to_numpy(dtype=np.int64),
-                "label": t["label"].to_numpy(dtype=np.int64),
+                "vertex_id": b["vertex_id"].cast(_I64),
+                "label": b["label"].cast(_I64),
+                "c": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
             }
         )
-
-    def tag(new: int):
-        def fn(b: pa.Table) -> pa.Table:
-            b = b.replace_schema_metadata(None)
-            return pa.table(
-                {
-                    "vertex_id": b["vertex_id"].cast(_I64),
-                    "label": b["label"].cast(_I64),
-                    "__new": pa.array(
-                        np.full(b.num_rows, new, dtype=np.int64)
-                    ),
-                }
-            )
-
-        return fn
 
     for _ in range(int(sweeps)):
         msgs = bucket_hash_join(
@@ -193,18 +177,16 @@ def lpa_communities(
             right_schema=_label_schema(),
         ).map_batches(partial_counts, batch_format="pandas")
 
-        new_labels = (
-            msgs.map_batches(add_vbucket, batch_format="pyarrow")
-            .groupby("__vbucket")
-            .map_groups(argmax_label, batch_format="pandas")
-        )
-
         labels = (
-            labels.map_batches(tag(0), batch_format="pyarrow")
-            .union(new_labels.map_batches(tag(1), batch_format="pyarrow"))
-            .map_batches(add_vbucket, batch_format="pyarrow")
+            msgs.map_batches(add_vbucket, batch_format="pyarrow")
+            .union(
+                labels.map_batches(tag_old, batch_format="pyarrow")
+                .map_batches(add_vbucket, batch_format="pyarrow")
+            )
             .groupby("__vbucket")
-            .map_groups(coalesce, batch_format="pandas")
+            .map_groups(update, batch_format="pandas")
+            # bound block growth across sweeps (the k-truss lesson)
+            .repartition(num_buckets)
             .materialize()
         )
 

@@ -357,6 +357,10 @@ def global_rank(
         return s
 
     def summary(b: pd.DataFrame) -> pd.DataFrame:
+        # a range-partitioned sort can emit EMPTY blocks (tiny datasets,
+        # partitions > rows): skip them — they carry no rank offset
+        if not len(b):
+            return pd.DataFrame({"__first": [], "__rows": []})
         return pd.DataFrame(
             {
                 "__first": [tuple(b.iloc[0][c] for c in order_by)],
@@ -387,8 +391,14 @@ def global_rank(
     off_ref = _ray.put(offsets)
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
-        off = _ray.get(off_ref)[tuple(b.iloc[0][c] for c in order_by)]
         b = b.copy()
+        if not len(b):
+            # keep the output schema stable on empty blocks
+            b[rank_col] = pd.Series(dtype=np.int64)
+            if ntile is not None:
+                b["ntile"] = pd.Series(dtype=np.int64)
+            return b
+        off = _ray.get(off_ref)[tuple(b.iloc[0][c] for c in order_by)]
         r = off + np.arange(1, len(b) + 1, dtype=np.int64)
         b[rank_col] = r
         if ntile is not None:
@@ -477,7 +487,7 @@ def global_cumsum(
                 "__first": [tuple(b.iloc[0][c] for c in order_by)],
                 "__sum": [int(b[val_col].sum())],
             }
-        )
+        ) if len(b) else pd.DataFrame({"__first": [], "__sum": []})
 
     parts = s.map_batches(
         summary, batch_size=None, batch_format="pandas"
@@ -496,8 +506,11 @@ def global_cumsum(
     off_ref = _ray.put(offsets)
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
-        off = _ray.get(off_ref)[tuple(b.iloc[0][c] for c in order_by)]
         b = b.copy()
+        if not len(b):
+            b[out_col] = pd.Series(dtype=np.int64)
+            return b
+        off = _ray.get(off_ref)[tuple(b.iloc[0][c] for c in order_by)]
         v = b[val_col].to_numpy(dtype=np.int64)
         b[out_col] = off + np.concatenate(([0], np.cumsum(v)[:-1]))
         return b

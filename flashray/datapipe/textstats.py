@@ -68,26 +68,41 @@ class TextStats:
 
 class LangId:
     """Stopword-profile language ID (n-gram-free heuristic): argmax language
-    by stopword hit-rate; 'und' (undetermined) when nothing matches."""
+    by stopword count; ties break to profile order (np.argmax = first max,
+    exactly the old per-row rule and the SQL oracle's CASE order); 'und'
+    (undetermined) when no stopword matches.
+
+    Vectorized across the batch: all words flatten into one array with a
+    doc index, each language scores via one C-level ``isin`` + bincount —
+    never a per-document Python loop."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.word = re.compile(r"[a-zA-ZÀ-ÿ]+")
         self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
-
-    def _detect(self, text: str) -> str:
-        words = [w.lower() for w in self.word.findall(text or "")]
-        if not words:
-            return "und"
-        best, best_score = "und", 0
-        for lang, stops in self.profiles.items():
-            score = sum(1 for w in words if w in stops)
-            if score > best_score:
-                best, best_score = lang, score
-        return best
+        self.langs = np.array(list(self.profiles), dtype=object)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["lang_pred"] = batch[self.text_col].map(self._detect)
+        s = batch[self.text_col].fillna("")
+        toks = s.str.findall(self.word)
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        nrows = len(s)
+        if int(n.sum()) == 0:
+            batch["lang_pred"] = np.full(nrows, "und", dtype=object)
+            return batch
+        flat = pd.Series(
+            np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        ).str.lower()
+        doc = np.repeat(np.arange(nrows, dtype=np.int64), n)
+        scores = np.zeros((nrows, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            hit = flat.isin(self.profiles[lang]).to_numpy()
+            scores[:, j] = np.bincount(doc[hit], minlength=nrows)
+        best_j = np.argmax(scores, axis=1)
+        best_score = scores[np.arange(nrows), best_j]
+        batch["lang_pred"] = np.where(
+            best_score > 0, self.langs[best_j], "und"
+        )
         return batch
 
 
@@ -103,19 +118,35 @@ class Fingerprint:
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
-    def _fp(self, text: str) -> np.int64:
-        data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
-        if len(data) == 0:
-            return np.int64(0)
-        with np.errstate(over="ignore"):
-            pows = np.full(len(data), self.BASE, dtype=np.uint64)
-            pows[0] = np.uint64(1)
-            pows = np.cumprod(pows)  # B^0 .. B^(n-1), wrapping mod 2^64
-            h = np.uint64(np.sum(data.astype(np.uint64) * pows[::-1]))
-        return np.int64(h & self.MASK)
-
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["fingerprint"] = batch[self.text_col].map(self._fp).astype("int64")
+        """All documents' bytes flatten into ONE array; per-byte powers
+        come from a shared B^k table indexed by distance-from-doc-end, and
+        each document's sum is one reduceat segment — the hash math never
+        loops per document (encode/join remain C-level per row)."""
+        texts = batch[self.text_col].fillna("")
+        bts = [t.encode("utf-8") for t in texts]
+        lens = np.array([len(b) for b in bts], dtype=np.int64)
+        nrows = len(lens)
+        out = np.zeros(nrows, dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.frombuffer(b"".join(bts), dtype=np.uint8)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            with np.errstate(over="ignore"):
+                pows = np.full(int(lens.max()), self.BASE, dtype=np.uint64)
+                pows[0] = np.uint64(1)
+                pows = np.cumprod(pows)  # B^0..B^(max-1), wrapping mod 2^64
+                rev = (
+                    np.repeat(ends, lens)
+                    - 1
+                    - np.arange(len(flat), dtype=np.int64)
+                )
+                terms = flat.astype(np.uint64) * pows[rev]
+                # reduceat misbehaves on zero-length segments: reduce only
+                # the non-empty documents' start offsets
+                out[nz] = np.add.reduceat(terms, starts[nz])
+        batch["fingerprint"] = (out & self.MASK).astype(np.int64)
         return batch
 
 

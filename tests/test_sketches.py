@@ -247,3 +247,16 @@ def test_pack_sequences_matches_duckdb():
     assert a["pack_id"].min() == 0
     total = int(df["n_tokens"].sum())
     assert a["pack_id"].max() == (total - int(df["n_tokens"].iloc[-1])) // 128
+
+
+def test_global_rank_and_cumsum_tiny_many_partitions():
+    # partitions > rows: the range-partitioned sort emits EMPTY blocks;
+    # summary/assign must skip them instead of raising on b.iloc[0]
+    df = pd.DataFrame({"id": [3, 1, 2], "v": [10, 20, 30]})
+    ds = rd.from_pandas(df).repartition(8)
+    ranked = sketches.global_rank(ds, ["id"]).to_pandas()
+    ranked = ranked.sort_values("id").reset_index(drop=True)
+    assert list(ranked["rank"]) == [1, 2, 3]
+    cum = sketches.global_cumsum(ds, ["id"], "v").to_pandas()
+    cum = cum.sort_values("id").reset_index(drop=True)
+    assert list(cum["cumsum_before"]) == [0, 20, 50]

@@ -39,15 +39,31 @@ def _tier(sf_dir: str) -> str:
     return fixtures.tier_for_sf_dir(sf_dir)
 
 
-def _transcripts_ds(sf_dir: str):
+def _strip_meta_batch(b: pa.Table) -> pa.Table:
+    return b.replace_schema_metadata(None)
+
+
+def _read_pq(*args, **kwargs):
+    """read_parquet that drops schema metadata: the driver's testdata
+    parquet carries pandas round-trip metadata, and a metadata-bearing
+    Arrow schema is UNHASHABLE (``hash(schema)`` raises on the metadata
+    dict) — Ray's shuffle-reduce schema dedup then falls back to a full
+    unify per reduce with a per-call warning. Stripping at the read is a
+    zero-copy metadata-only map that fuses with the next stage."""
     import ray.data as rd
 
+    return rd.read_parquet(*args, **kwargs).map_batches(
+        _strip_meta_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _transcripts_ds(sf_dir: str):
     from flashray import fixtures
 
     tier = _tier(sf_dir)
     path = os.path.join(_CACHE_ROOT, f"transcripts_{tier}.parquet")
     fixtures.write_transcripts(path, tier)
-    return rd.read_parquet(path)
+    return _read_pq(path)
 
 
 def _graph(sf_dir: str, *, symmetrize: bool, etypes=None) -> Any:
@@ -81,7 +97,7 @@ def entry() -> Any:
     g = _graph("/root/testdata/sf0.001", symmetrize=False)
     out_dir = os.path.join(_CACHE_ROOT, "entry_pagerank")
     algorithms.pagerank(g, eps=1e-6, out_dir=out_dir)
-    return rd.read_parquet(out_dir)
+    return _read_pq(out_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +331,7 @@ def _q_events_user_edges(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_type", "value"],
     )
@@ -1056,7 +1072,7 @@ def _q_docs_token_stats(sf_dir: str):
 
     from flashray.datapipe import textstats
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = textstats.add_text_stats(ds, concurrency=4).to_pandas()
@@ -1068,7 +1084,7 @@ def _q_docs_exact_dedup(sf_dir: str):
 
     from flashray.datapipe import dedup
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = dedup.exact_dedup(ds).to_pandas()
@@ -1086,7 +1102,7 @@ def _q_embeddings_covariance(sf_dir: str):
 
     from flashray.datapipe.similarity import embedding_moments
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
     )
     n, mean, cov = embedding_moments(ds)
@@ -1107,7 +1123,7 @@ def _q_embeddings_knn(sf_dir: str):
 
     from flashray.datapipe import similarity
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     q = None
     for b in ds.iter_batches(batch_size=512, batch_format="pandas"):
         hit = b[b["vec_id"] == 0]
@@ -1125,7 +1141,7 @@ def _q_minhash_dup_groups(sf_dir: str):
 
     from flashray.datapipe import dedup
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     pairs = dedup.candidate_pairs_minhash(ds, threshold=0.8, concurrency=4)
@@ -1137,7 +1153,7 @@ def _q_simhash_pairs(sf_dir: str):
 
     from flashray.datapipe import dedup
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return dedup.candidate_pairs_simhash(ds, max_hamming=3, concurrency=4)
@@ -1156,8 +1172,8 @@ def _q_embedding_near_dups(sf_dir: str):
     from flashray.datapipe import similarity
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = rd.read_parquet(path)
-    base = rd.read_parquet(
+    ds = _read_pq(path)
+    base = _read_pq(
         path, filter=pc.field("vec_id") < 200
     ).to_pandas()  # constant 200 rows regardless of scale
     vecs = {
@@ -1181,7 +1197,7 @@ def _q_docs_langid(sf_dir: str):
 
     from flashray.datapipe import textstats
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = textstats.add_lang_id(ds, concurrency=4).to_pandas()
@@ -1193,7 +1209,7 @@ def _q_docs_fingerprints(sf_dir: str):
 
     from flashray.datapipe import textstats
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = textstats.add_fingerprint(ds, concurrency=4).to_pandas()
@@ -1205,7 +1221,7 @@ def _q_docs_quality(sf_dir: str):
 
     from flashray.datapipe import textstats
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = textstats.add_text_stats(ds, concurrency=4).to_pandas()
@@ -1223,7 +1239,7 @@ def _q_embeddings_kmeans(sf_dir: str):
 
     from flashray.datapipe import kmeans
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     )
@@ -1244,7 +1260,7 @@ def _q_docs_repetition(sf_dir: str):
 
     from flashray.datapipe import textstats
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = textstats.add_repetition_stats(ds, concurrency=4).to_pandas()
@@ -1293,7 +1309,7 @@ def _q_events_tumbling(sf_dir: str):
 
     from flashray.datapipe import windows
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"))
     return _round_col(windows.tumbling_window(ds, window_sec=3600), "sum_value")
 
 
@@ -1302,7 +1318,7 @@ def _q_events_sliding(sf_dir: str):
 
     from flashray.datapipe import windows
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"))
     return _round_col(
         windows.sliding_window(ds, window_sec=3600, slide_sec=900), "sum_value"
     )
@@ -1313,7 +1329,7 @@ def _q_events_sessions(sf_dir: str):
 
     from flashray.datapipe import windows
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"))
     return _round_col(windows.session_window(ds, gap_sec=1800), "sum_value")
 
 
@@ -1326,7 +1342,7 @@ def _q_docs_distinct_words_hll(sf_dir: str):
 
     from flashray.datapipe import sketches
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["text"]
     )
     est = sketches.approx_distinct_words(ds, "text", p=12)
@@ -1341,7 +1357,7 @@ def _q_events_bottomk_sample(sf_dir: str):
 
     from flashray.datapipe import sketches
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "event_type"],
     )
@@ -1357,7 +1373,7 @@ def _user_succession_edges(sf_dir: str):
 
     from flashray.joins import bucket_group_agg
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_type", "ts"],
     )
@@ -1590,7 +1606,7 @@ def _q_events_quantiles(sf_dir: str):
 
     from flashray.datapipe.sketches import exact_quantiles
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["value"]
     )
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
@@ -1609,7 +1625,7 @@ def _q_docs_quality_filter(sf_dir: str):
 
     from flashray.datapipe.textstats import quality_filter
 
-    docs = rd.read_parquet(
+    docs = _read_pq(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
     )
@@ -1635,7 +1651,7 @@ def _q_events_value_rank(sf_dir: str):
 
     from flashray.datapipe.sketches import global_rank
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
     )
     out = global_rank(ev, ["value", "event_id"], ntile=4).to_pandas()
@@ -1654,7 +1670,7 @@ def _q_docs_stratified_sample(sf_dir: str):
 
     from flashray.datapipe.sketches import stratified_sample
 
-    docs = rd.read_parquet(
+    docs = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
     )
     out = stratified_sample(
@@ -1674,7 +1690,7 @@ def _q_docs_chunks(sf_dir: str):
 
     from flashray.datapipe.textstats import chunk_documents
 
-    docs = rd.read_parquet(
+    docs = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = chunk_documents(
@@ -1696,7 +1712,7 @@ def _q_docs_redact(sf_dir: str):
 
     from flashray.datapipe.textstats import redact
 
-    docs = rd.read_parquet(
+    docs = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -1730,7 +1746,7 @@ def _q_docs_pack_sequences(sf_dir: str):
     from flashray.datapipe.sketches import pack_sequences
     from flashray.datapipe.textstats import chunk_documents
 
-    docs = rd.read_parquet(
+    docs = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     chunks = chunk_documents(
@@ -1754,7 +1770,7 @@ def _q_docs_top3_per_lang(sf_dir: str):
 
     from flashray.joins import topk_per_group
 
-    docs = rd.read_parquet(
+    docs = _read_pq(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "n_chars"],
     )
@@ -1777,7 +1793,7 @@ def _q_events_clicks_anti_purchasers(sf_dir: str):
 
     from flashray.joins import bucket_semi_join
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -1807,7 +1823,7 @@ def _q_events_asof_purchase(sf_dir: str):
     from flashray.datapipe.temporal import asof_join
     from flashray.joins import bucket_group_agg
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -1849,7 +1865,7 @@ def _q_events_range_purchases(sf_dir: str):
 
     from flashray.datapipe.temporal import range_join
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -1939,7 +1955,7 @@ def _q_docs_tfidf(sf_dir: str):
 
     from flashray.datapipe.textstats import tfidf_top_terms
 
-    docs = rd.read_parquet(
+    docs = _read_pq(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
     )
@@ -1961,7 +1977,7 @@ def _q_docs_hash_split(sf_dir: str):
 
     from flashray.datapipe.sketches import hash_split
 
-    docs = rd.read_parquet(
+    docs = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     out = hash_split(
@@ -2027,7 +2043,7 @@ def _q_docs_line_dedup(sf_dir: str):
 
     from flashray.datapipe.dedup import line_dedup
 
-    docs = rd.read_parquet(
+    docs = _read_pq(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
     )

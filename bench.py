@@ -249,10 +249,24 @@ def _datapipe_bench(queries: dict, extra: dict) -> None:
     pipelines have measured numbers, not guesses. Also records the IVF
     bytes-read ratio: a real index reads only probed buckets."""
     import numpy as np
-    import ray.data as rd
+    import ray.data as _rd
 
     from flashray import joins  # noqa: F401  (import cost paid up front)
     from flashray.datapipe import dedup, similarity
+
+    class rd:
+        """read_parquet shim stripping schema metadata — the driver's
+        testdata parquet carries pandas round-trip metadata whose schemas
+        are unhashable, defeating Ray's shuffle schema dedup (worker-side
+        warnings the driver can't filter)."""
+
+        @staticmethod
+        def read_parquet(*a, **kw):
+            return _rd.read_parquet(*a, **kw).map_batches(
+                lambda b: b.replace_schema_metadata(None),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
 
     docs_path = os.path.join(SF_DIR, "documents.parquet")
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")

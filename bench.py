@@ -399,7 +399,7 @@ def _measure_scaling(
     ``fixed_iters`` pins the superstep count (identical work at both
     levels, cheaper than convergence) — None runs to 1e-6 convergence."""
     stop = (
-        f"lambda m: False), max_iters={int(fixed_iters)}"
+        f"lambda m: False, max_iters={int(fixed_iters)})"
         if fixed_iters is not None
         else 'lambda m: m["delta"] < 1e-6)'
     )

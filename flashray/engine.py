@@ -622,7 +622,15 @@ class Engine:
         num_actors: int | None = None,
         actor_cpus: float | None = None,
         threads_per_actor: int | None = None,
+        placement_group=None,
     ):
+        """``placement_group``: optional ray PlacementGroup; shard actor
+        ``a`` is pinned to bundle ``a % len(bundles)`` (round-robin), the
+        layout a multi-node cluster would use — one bundle per node, each
+        node owning an equal slice of the CSR shards. The exchange path is
+        bundle-agnostic (object-store refs), so this only constrains
+        scheduling (see tools/placement_scaling.py for the two-"node"
+        scaling evidence)."""
         self.graph = graph
         self.program = program
         P = graph.num_partitions
@@ -647,6 +655,7 @@ class Engine:
             )
         self._actor_cpus = actor_cpus
         self._threads_per_actor = threads_per_actor
+        self._pg = placement_group
         self._parts_of = [[p for p in range(P) if p % A == a] for a in range(A)]
         self.actors = [self._spawn_actor(a) for a in range(A)]
         ray.get([a.ready.remote() for a in self.actors])
@@ -670,7 +679,17 @@ class Engine:
     # -- internals ----------------------------------------------------------
 
     def _spawn_actor(self, a: int):
-        return ShardActor.options(num_cpus=self._actor_cpus).remote(
+        opts: dict = {"num_cpus": self._actor_cpus}
+        if self._pg is not None:
+            from ray.util.scheduling_strategies import (
+                PlacementGroupSchedulingStrategy,
+            )
+
+            opts["scheduling_strategy"] = PlacementGroupSchedulingStrategy(
+                placement_group=self._pg,
+                placement_group_bundle_index=a % len(self._pg.bundle_specs),
+            )
+        return ShardActor.options(**opts).remote(
             self.graph.path,
             self._parts_of[a],
             self.P,

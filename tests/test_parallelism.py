@@ -69,3 +69,48 @@ def test_results_identical_across_num_cpus(tmp_path):
     assert a["ld"] == b["ld"]  # multi-source BFS: exact
     assert np.array_equal(np.asarray(a["hb_est"]), np.asarray(b["hb_est"]))
     assert np.array_equal(np.asarray(a["hb_harm"]), np.asarray(b["hb_harm"]))
+
+
+def test_placement_group_pinning_bit_identical(tmp_path):
+    """Shard actors pinned round-robin to 2 placement-group bundles (the
+    one-bundle-per-node cluster layout) must produce bit-identical
+    PageRank — the exchange path may assume nothing about co-residency."""
+    import ray
+    import ray.data as rd
+    from ray.util.placement_group import placement_group
+
+    from flashray import algorithms, extract, fixtures
+    from flashray.build import build_graph
+    from flashray.engine import Engine
+    from flashray.programs import PageRank
+
+    path = fixtures.write_transcripts(
+        "/tmp/flashray/par_test/transcripts.parquet", "small"
+    )
+    g = build_graph(
+        extract.extract_edges(rd.read_parquet(path)),
+        str(tmp_path / "g"),
+        num_partitions=4,
+        symmetrize=True,
+    )
+    base = algorithms.pagerank(g, eps=1e-10).sort_values("vertex_id")
+
+    pg = placement_group([{"CPU": 1}] * 2, strategy="STRICT_PACK")
+    ray.get(pg.ready())
+    try:
+        with Engine(
+            g, PageRank(), num_actors=2, actor_cpus=1.0,
+            threads_per_actor=1, placement_group=pg,
+        ) as eng:
+            eng.run(lambda m: m["delta"] < 1e-10)
+            pinned = eng.values_pandas().sort_values("vertex_id")
+    finally:
+        from ray.util.placement_group import remove_placement_group
+
+        remove_placement_group(pg)
+    assert np.array_equal(
+        base["vertex_id"].to_numpy(), pinned["vertex_id"].to_numpy()
+    )
+    assert np.array_equal(
+        base["value"].to_numpy(), pinned["value"].to_numpy()
+    )

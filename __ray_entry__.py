@@ -731,6 +731,50 @@ def _q_katz_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_hits_user(sf_dir: str):
+    """HITS hubs & authorities on the DIRECTED user-succession graph,
+    exactly 2 alternating half-step pairs from h_0 = 1 (matrix.hits).
+    Fixed-T raw scores are alternating-path COUNTS (exact integers in
+    float64), normalized once at the end by each vector's max — so the
+    SQL oracle replays the recurrence join-for-join and the division is
+    order-independent (exact-integer operands). T=2 and num_buckets=8
+    keep the sweep-budget cost down (each half-step is a shuffle
+    round); T exercises the alternation either way."""
+    import shutil
+
+    from flashray import matrix
+    from flashray.build import build_graph
+    from flashray.fixtures import EPOCH_US
+
+    def to_edge_schema(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(np.ones(n)),
+                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
+            }
+        )
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        to_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", f"userhits_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(edges, path, num_partitions=4)
+    df = matrix.hits(g, iters=2, normalize=True, num_buckets=8).to_pandas()
+    out = pd.DataFrame(
+        {
+            "user_id": df["vertex_id"].astype(np.int64),
+            "authority": df["authority"].round(6),
+            "hub": df["hub"].round(6),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_ktruss_user(sf_dir: str):
     """4-truss of the symmetrized user-succession graph (every surviving
     edge in >= 2 triangles within the truss); exact vs a round-unrolled
@@ -2220,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction_user": _q_link_prediction_user,
         "ktruss_user": _q_ktruss_user,
         "katz_user": _q_katz_user,
+        "hits_user": _q_hits_user,
         "butterflies_user": _q_butterflies_user,
         "coloring_user": _q_coloring_user,
         "lpa_communities_user": _q_lpa_communities_user,
@@ -2408,6 +2453,40 @@ p{i} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.cnt) AS cnt
 SELECT CAST(v AS BIGINT) AS user_id,
        ROUND(SUM(cnt * POWER({alpha}, l)), 6) AS katz
 FROM ({levels}) GROUP BY 1"""
+    return head + "," + ",".join(stages) + tail
+
+
+def _hits_sql(iters: int) -> str:
+    """Level-unrolled HITS recurrence on the user-succession graph:
+    a_t[v] = Σ_{(u,v)} h_{t-1}[u], h_t[u] = Σ_{(u,v)} a_t[v] from h_0 = 1;
+    final scores normalized by each vector's max. All intermediate values
+    are alternating-path counts (exact integers in float64), so the only
+    inexact step is the single final division — identical float64 on both
+    systems. Inner joins are lossless at every level: each edge's dst has
+    an in-edge (itself) so it appears in a_t, and each edge's src has an
+    out-edge so it appears in h_t."""
+    head = """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM eu UNION SELECT dst FROM eu)),
+h0 AS (SELECT u AS v, CAST(1 AS DOUBLE) AS s FROM verts)"""
+    stages = []
+    for i in range(1, iters + 1):
+        stages.append(f"""
+a{i} AS MATERIALIZED (SELECT e.dst AS v, SUM(h.s) AS s
+        FROM h{i - 1} h JOIN eu e ON e.src = h.v GROUP BY 1),
+h{i} AS MATERIALIZED (SELECT e.src AS v, SUM(a.s) AS s
+        FROM a{i} a JOIN eu e ON e.dst = a.v GROUP BY 1)""")
+    T = iters
+    tail = f"""
+SELECT CAST(v.u AS BIGINT) AS user_id,
+       ROUND(COALESCE(a.s, 0) / (SELECT MAX(s) FROM a{T}), 6) AS authority,
+       ROUND(COALESCE(h.s, 0) / (SELECT MAX(s) FROM h{T}), 6) AS hub
+FROM verts v LEFT JOIN a{T} a ON a.v = v.u LEFT JOIN h{T} h ON h.v = v.u"""
     return head + "," + ",".join(stages) + tail
 
 
@@ -3046,6 +3125,7 @@ FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id""",
         # statement small enough that no DuckDB build chokes on it
         "ktruss_user": _ktruss_sql(4, 4),
         "katz_user": _katz_sql(0.0625, 6),
+        "hits_user": _hits_sql(2),
         # butterflies: sum over pairs of C(cn, 2) via the wedge join
         "butterflies_user": """
 WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,

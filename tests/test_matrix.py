@@ -115,3 +115,52 @@ def test_spmv_power_iteration_matches_pagerank_step(er):
     for s, d in zip(src, dst):
         want[pos[int(d)]] += contrib[pos[int(s)]]
     assert np.allclose(r1, 0.15 / n + 0.85 * want, atol=1e-12)
+
+
+def _hits_replay(src, dst, vids, iters):
+    """Dense numpy replay of the fixed-T alternating recurrence."""
+    pos = {int(v): i for i, v in enumerate(vids)}
+    n = len(vids)
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, d in zip(src, dst):
+            a[pos[int(d)]] += h[pos[int(s)]]
+        h = np.zeros(n)
+        for s, d in zip(src, dst):
+            h[pos[int(s)]] += a[pos[int(d)]]
+    return a, h
+
+
+def test_hits_unnormalized_exact(er):
+    """Fixed-T unnormalized HITS counts alternating paths — integers on an
+    unweighted graph, so the comparison is EXACT (the property the SQL
+    oracle relies on)."""
+    g, src, dst, _ = er
+    vids, _ = _x_for(g)
+    a, h = _hits_replay(src, dst, vids, iters=3)
+    got = (
+        matrix.hits(g, iters=3, normalize=False)
+        .to_pandas()
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+    assert (got["vertex_id"].to_numpy() == vids).all()
+    assert np.array_equal(got["authority"].to_numpy(), a)
+    assert np.array_equal(got["hub"].to_numpy(), h)
+
+
+def test_hits_normalized(er):
+    g, src, dst, _ = er
+    vids, _ = _x_for(g)
+    a, h = _hits_replay(src, dst, vids, iters=2)
+    got = (
+        matrix.hits(g, iters=2, normalize=True)
+        .to_pandas()
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(got["authority"].to_numpy(), a / a.max())
+    assert np.array_equal(got["hub"].to_numpy(), h / h.max())
+    assert got["authority"].max() == 1.0

@@ -1348,6 +1348,26 @@ def _q_frame_samples(sf_dir: str):
     return multimodal.sample_frames(rd.from_arrow(media), frames_per_item=4)
 
 
+def _q_media_resize(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from flashray.datapipe import multimodal
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    media = multimodal.media_table_from_documents(docs)
+    out = multimodal.resize_images(
+        rd.from_arrow(media), out_h=4, out_w=4
+    ).to_pandas()
+    out["px_mean"] = out["px_mean"].round(6)
+    # payload is the resized BMP binary — drop it for the value compare (the
+    # oracle replays the sampled synth pixels, not the container bytes; the
+    # binary round-trip is pytest-verified in tests/test_datapipe.py)
+    return out[["media_id", "width", "height", "px_mean"]]
+
+
 def _q_events_tumbling(sf_dir: str):
     import ray.data as rd
 
@@ -2296,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": _q_embeddings_kmeans,
         "docs_fingerprints": _q_docs_fingerprints,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
         "frame_samples": _q_frame_samples,
         "events_tumbling_1h": _q_events_tumbling,
         "events_sliding_1h_15m": _q_events_sliding,
@@ -3633,6 +3654,20 @@ SELECT media_id, kind,
        ROUND(sqrt(AVG(v * v) - AVG(v) * AVG(v)), 6) AS px_std,
        shape
 FROM allv GROUP BY 1, 2, 5""",
+        # nearest-neighbor 8x8 -> 4x4: sampled source coords are
+        # (dst * 8) // 4 = {0, 2, 4, 6}; pixel (sy, sx, c) of image doc d is
+        # (d*37 + (sy*8 + sx)*3 + c) % 256 (synthesis closed form)
+        "media_resize": """
+WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+yy AS (SELECT media_id, unnest([0, 2, 4, 6]) AS sy FROM m),
+xx AS (SELECT media_id, sy, unnest([0, 2, 4, 6]) AS sx FROM yy),
+cc AS (SELECT media_id, sy, sx, unnest([0, 1, 2]) AS c FROM xx)
+SELECT media_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       ROUND(AVG(CAST((media_id * 37 + (sy * 8 + sx) * 3 + c) % 256
+                      AS DOUBLE)), 6) AS px_mean
+FROM cc GROUP BY 1""",
         "frame_samples": """
 WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 2),
 f AS (SELECT media_id, unnest(generate_series(0, 3)) AS frame_idx FROM m),

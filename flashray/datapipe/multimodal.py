@@ -14,7 +14,7 @@ through pandas cleanly —
 https://docs.ray.io/en/latest/data/working-with-tensors.html).
 
 Covers SURVEY.md §2 "multimodal columns" (decode / feature-extract /
-frame-sample as actor-pool map_batches stages).
+resize / frame-sample as actor-pool map_batches stages).
 """
 
 from __future__ import annotations
@@ -150,6 +150,51 @@ class MediaFeatures:
 ImageFeatures = MediaFeatures
 
 
+class ImageResizer:
+    """Actor-pool stage: decode each BMP image, resize to
+    ``(out_h, out_w)`` with nearest-neighbor sampling, re-encode as BMP.
+
+    The sample map ``src_row = (dst_row * in_h) // out_h`` is exact
+    integer arithmetic — deterministic across platforms and replayable in
+    SQL (the oracle recomputes the sampled synth pixels directly), unlike
+    interpolating filters whose float rounding is libm-dependent. Non-image
+    rows are skipped (resize only has image semantics). Emits the resized
+    payload plus (width, height, px_mean) so downstream stages can chain
+    without re-decoding."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 4):
+        if out_h < 1 or out_w < 1:
+            raise ValueError("output dims must be >= 1")
+        self.out_h, self.out_w = int(out_h), int(out_w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        out_id, out_payload, out_mean = [], [], []
+        for mid, kind, p in zip(ids, kinds, payloads):
+            if kind != "image":
+                continue
+            img = codecs.decode_bmp(p or b"")
+            h, w = img.shape[0], img.shape[1]
+            sy = (np.arange(self.out_h, dtype=np.int64) * h) // self.out_h
+            sx = (np.arange(self.out_w, dtype=np.int64) * w) // self.out_w
+            resized = img[sy][:, sx]
+            out_id.append(int(mid))
+            out_payload.append(codecs.encode_bmp(resized))
+            out_mean.append(float(resized.astype(np.float64).mean()))
+        n = len(out_id)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "payload": pa.array(out_payload, type=pa.binary()),
+                "width": pa.array([self.out_w] * n, type=pa.int32()),
+                "height": pa.array([self.out_h] * n, type=pa.int32()),
+                "px_mean": pa.array(out_mean, type=pa.float64()),
+            }
+        )
+
+
 class FrameSampler:
     """Actor-pool stage: parse each FRV1 video container, decode up to N
     evenly-spaced real frames, fingerprint each frame's pixels
@@ -199,6 +244,17 @@ def media_features(ds, *, concurrency: int = 2, batch_size: int = 128):
 
 # Back-compat alias (pre-codec name).
 image_features = media_features
+
+
+def resize_images(ds, *, out_h: int = 4, out_w: int = 4,
+                  concurrency: int = 2, batch_size: int = 128):
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_util.pool_size(concurrency),
+    )
 
 
 def sample_frames(ds, *, frames_per_item: int = 4, concurrency: int = 2,

@@ -298,6 +298,45 @@ def test_multimodal_real_decode_pipeline():
     ).all()
 
 
+def test_image_resize():
+    import pyarrow.parquet as pq
+
+    from flashray.datapipe import codecs
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    media = multimodal.media_table_from_documents(docs.slice(0, 30))
+    mt = media.to_pandas()
+    n_img = int((mt["kind"] == "image").sum())
+    assert n_img > 0
+
+    out = multimodal.resize_images(
+        rd.from_arrow(media), out_h=4, out_w=4, concurrency=1
+    ).to_pandas()
+    assert len(out) == n_img  # only image rows survive
+    assert (out["width"] == 4).all() and (out["height"] == 4).all()
+
+    by_id = mt.set_index("media_id")
+    for _, row in out.iterrows():
+        src = codecs.decode_bmp(by_id.loc[row["media_id"], "payload"])
+        sy = (np.arange(4) * src.shape[0]) // 4
+        sx = (np.arange(4) * src.shape[1]) // 4
+        want = src[sy][:, sx]
+        got = codecs.decode_bmp(row["payload"])  # output is a real BMP
+        assert got.shape == (4, 4, 3)
+        assert (got == want).all()
+        assert row["px_mean"] == pytest.approx(want.astype(float).mean())
+
+    # upsampling repeats source pixels (nearest-neighbor), stays exact
+    up = multimodal.resize_images(
+        rd.from_arrow(media), out_h=16, out_w=16, concurrency=1
+    ).to_pandas()
+    src = codecs.decode_bmp(by_id.loc[up.iloc[0]["media_id"], "payload"])
+    got = codecs.decode_bmp(up.iloc[0]["payload"])
+    sy = (np.arange(16) * src.shape[0]) // 16
+    sx = (np.arange(16) * src.shape[1]) // 16
+    assert (got == src[sy][:, sx]).all()
+
+
 def test_repetition_stats():
     from collections import Counter
 

@@ -3350,10 +3350,15 @@ SELECT 'conv:' || conv_id, CAST(L - 1 AS BIGINT) FROM cl WHERE L >= 2""",
 WITH e AS ({_edges_keys_sql()}),
 sym AS (SELECT src_key, dst_key, etype FROM e
         UNION SELECT dst_key, src_key, etype FROM e),
-deg AS (SELECT src_key AS k, COUNT(*) AS scan FROM sym GROUP BY 1)
+deg AS (SELECT src_key AS k, COUNT(*) AS scan FROM sym GROUP BY 1),
+-- take the top-20 VALUES first (order statistics — deterministic under
+-- ties), THEN number them: ROW_NUMBER before a LIMIT would be assigned
+-- over DuckDB's arbitrary tie order on the full vertex set, so tied rows
+-- selected by the LIMIT could carry ranks from anywhere in the tied range
+top AS (SELECT scan FROM deg ORDER BY scan DESC LIMIT 20)
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY scan DESC) AS BIGINT) AS rank,
        scan
-FROM deg ORDER BY scan DESC LIMIT 20""",
+FROM top ORDER BY rank""",
         "betweenness_sampled": f"""
 WITH t AS ({_tsql()}),
 cl AS (SELECT conv_id, COUNT(*) AS L FROM t GROUP BY 1)

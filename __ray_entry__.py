@@ -467,26 +467,7 @@ def _q_clustering_user_graph(sf_dir: str):
 
     from flashray.fixtures import EPOCH_US
 
-    def to_edge_schema(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "src": b["src"].cast(pa.int64()),
-                "dst": b["dst"].cast(pa.int64()),
-                "etype": pa.array(["succ"] * n, type=pa.string()),
-                "weight": pa.array(np.ones(n)),
-                "ts": pa.array(
-                    np.full(n, EPOCH_US), type=pa.timestamp("us")
-                ),
-            }
-        )
-
-    edges = _user_succession_edges(sf_dir).map_batches(
-        to_edge_schema, batch_format="pyarrow"
-    )
-    path = os.path.join(_CACHE_ROOT, "graphs", f"usercc_{_tier(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    g = _user_graph(sf_dir, symmetrize=True)
     df = tri.clustering_coefficient(g).to_pandas()
     df["user_id"] = df["vertex_id"].astype(np.int64)
     df["cc"] = df["cc"].round(6)
@@ -555,24 +536,7 @@ def _q_butterflies_user(sf_dir: str):
     from flashray.build import build_graph
     from flashray.fixtures import EPOCH_US
 
-    def to_edge_schema(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "src": b["src"].cast(pa.int64()),
-                "dst": b["dst"].cast(pa.int64()),
-                "etype": pa.array(["succ"] * n, type=pa.string()),
-                "weight": pa.array(np.ones(n)),
-                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
-            }
-        )
-
-    edges = _user_succession_edges(sf_dir).map_batches(
-        to_edge_schema, batch_format="pyarrow"
-    )
-    path = os.path.join(_CACHE_ROOT, "graphs", f"userbf_{_tier(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    g = _user_graph(sf_dir, symmetrize=True)
     return pd.DataFrame({"butterflies": [tri.butterfly_count(g)]})
 
 
@@ -586,24 +550,7 @@ def _q_coloring_user(sf_dir: str):
     from flashray.build import build_graph
     from flashray.fixtures import EPOCH_US
 
-    def to_edge_schema(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "src": b["src"].cast(pa.int64()),
-                "dst": b["dst"].cast(pa.int64()),
-                "etype": pa.array(["succ"] * n, type=pa.string()),
-                "weight": pa.array(np.ones(n)),
-                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
-            }
-        )
-
-    edges = _user_succession_edges(sf_dir).map_batches(
-        to_edge_schema, batch_format="pyarrow"
-    )
-    path = os.path.join(_CACHE_ROOT, "graphs", f"usercol_{_tier(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    g = _user_graph(sf_dir, symmetrize=True)
     df = algorithms.greedy_color(g, hash_fn="sha")
     return pd.DataFrame(
         {
@@ -624,24 +571,7 @@ def _q_modularity_user(sf_dir: str):
     from flashray.build import build_graph
     from flashray.fixtures import EPOCH_US
 
-    def to_edge_schema(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "src": b["src"].cast(pa.int64()),
-                "dst": b["dst"].cast(pa.int64()),
-                "etype": pa.array(["succ"] * n, type=pa.string()),
-                "weight": pa.array(np.ones(n)),
-                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
-            }
-        )
-
-    edges = _user_succession_edges(sf_dir).map_batches(
-        to_edge_schema, batch_format="pyarrow"
-    )
-    path = os.path.join(_CACHE_ROOT, "graphs", f"usermod_{_tier(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    g = _user_graph(sf_dir, symmetrize=True)
     verts = g.vertices_dataset(columns=["vertex_id"]).to_pandas()
     labels = pd.DataFrame(
         {
@@ -663,24 +593,7 @@ def _q_mis_user(sf_dir: str):
     from flashray.build import build_graph
     from flashray.fixtures import EPOCH_US
 
-    def to_edge_schema(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "src": b["src"].cast(pa.int64()),
-                "dst": b["dst"].cast(pa.int64()),
-                "etype": pa.array(["succ"] * n, type=pa.string()),
-                "weight": pa.array(np.ones(n)),
-                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
-            }
-        )
-
-    edges = _user_succession_edges(sf_dir).map_batches(
-        to_edge_schema, batch_format="pyarrow"
-    )
-    path = os.path.join(_CACHE_ROOT, "graphs", f"usermis_{_tier(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    g = _user_graph(sf_dir, symmetrize=True)
     df = algorithms.mis(g, hash_fn="sha")
     members = df[df["value"] == 1]
     return pd.DataFrame(
@@ -703,24 +616,7 @@ def _q_katz_user(sf_dir: str):
     from flashray.build import build_graph
     from flashray.fixtures import EPOCH_US
 
-    def to_edge_schema(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "src": b["src"].cast(pa.int64()),
-                "dst": b["dst"].cast(pa.int64()),
-                "etype": pa.array(["succ"] * n, type=pa.string()),
-                "weight": pa.array(np.ones(n)),
-                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
-            }
-        )
-
-    edges = _user_succession_edges(sf_dir).map_batches(
-        to_edge_schema, batch_format="pyarrow"
-    )
-    path = os.path.join(_CACHE_ROOT, "graphs", f"userkatz_{_tier(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    g = build_graph(edges, path, num_partitions=4)
+    g = _user_graph(sf_dir, symmetrize=False)
     df = algorithms.katz(g, alpha=0.0625, eps=0.0, max_iters=6)
     out = pd.DataFrame(
         {
@@ -739,32 +635,20 @@ def _q_hits_user(sf_dir: str):
     SQL oracle replays the recurrence join-for-join and the division is
     order-independent (exact-integer operands). T=2 and num_buckets=8
     keep the sweep-budget cost down (each half-step is a shuffle
-    round); T exercises the alternation either way."""
+    round); T exercises the alternation either way. Engine backend
+    (matrix.hits_engine): each half-step is one fused actor exchange
+    instead of two Dataset shuffles — 29 s → ~4 s at sf0.01; the Dataset
+    backend (matrix.hits) is pytest-verified equal."""
     import shutil
 
     from flashray import matrix
-    from flashray.build import build_graph
-    from flashray.fixtures import EPOCH_US
 
-    def to_edge_schema(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "src": b["src"].cast(pa.int64()),
-                "dst": b["dst"].cast(pa.int64()),
-                "etype": pa.array(["succ"] * n, type=pa.string()),
-                "weight": pa.array(np.ones(n)),
-                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
-            }
-        )
-
-    edges = _user_succession_edges(sf_dir).map_batches(
-        to_edge_schema, batch_format="pyarrow"
+    g = _user_graph(sf_dir, symmetrize=False)
+    scratch = os.path.join(
+        _CACHE_ROOT, "graphs", f"userhits_bi_{_tier(sf_dir)}"
     )
-    path = os.path.join(_CACHE_ROOT, "graphs", f"userhits_{_tier(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    g = build_graph(edges, path, num_partitions=4)
-    df = matrix.hits(g, iters=2, normalize=True, num_buckets=8).to_pandas()
+    shutil.rmtree(scratch, ignore_errors=True)
+    df = matrix.hits_engine(g, scratch_dir=scratch, iters=2, normalize=True)
     out = pd.DataFrame(
         {
             "user_id": df["vertex_id"].astype(np.int64),
@@ -785,24 +669,7 @@ def _q_ktruss_user(sf_dir: str):
     from flashray.build import build_graph
     from flashray.fixtures import EPOCH_US
 
-    def to_edge_schema(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "src": b["src"].cast(pa.int64()),
-                "dst": b["dst"].cast(pa.int64()),
-                "etype": pa.array(["succ"] * n, type=pa.string()),
-                "weight": pa.array(np.ones(n)),
-                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
-            }
-        )
-
-    edges = _user_succession_edges(sf_dir).map_batches(
-        to_edge_schema, batch_format="pyarrow"
-    )
-    path = os.path.join(_CACHE_ROOT, "graphs", f"userkt_{_tier(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    g = _user_graph(sf_dir, symmetrize=True)
     df = tri.k_truss(g, 4).to_pandas()
     for c in ("lo", "hi", "support"):
         df[c] = df[c].astype(np.int64)
@@ -859,24 +726,7 @@ def _q_link_prediction_user(sf_dir: str):
     from flashray.build import build_graph
     from flashray.fixtures import EPOCH_US
 
-    def to_edge_schema(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "src": b["src"].cast(pa.int64()),
-                "dst": b["dst"].cast(pa.int64()),
-                "etype": pa.array(["succ"] * n, type=pa.string()),
-                "weight": pa.array(np.ones(n)),
-                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
-            }
-        )
-
-    edges = _user_succession_edges(sf_dir).map_batches(
-        to_edge_schema, batch_format="pyarrow"
-    )
-    path = os.path.join(_CACHE_ROOT, "graphs", f"userlp_{_tier(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    g = build_graph(edges, path, num_partitions=4, symmetrize=True)
+    g = _user_graph(sf_dir, symmetrize=True)
     df = tri.link_prediction(g).to_pandas()
     df["u"] = df["u"].astype(np.int64)
     df["v"] = df["v"].astype(np.int64)
@@ -898,24 +748,7 @@ def _q_spmv_user(sf_dir: str):
     from flashray.build import build_graph
     from flashray.fixtures import EPOCH_US
 
-    def to_edge_schema(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "src": b["src"].cast(pa.int64()),
-                "dst": b["dst"].cast(pa.int64()),
-                "etype": pa.array(["succ"] * n, type=pa.string()),
-                "weight": pa.array(np.ones(n)),
-                "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
-            }
-        )
-
-    edges = _user_succession_edges(sf_dir).map_batches(
-        to_edge_schema, batch_format="pyarrow"
-    )
-    path = os.path.join(_CACHE_ROOT, "graphs", f"userspmv_{_tier(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    g = build_graph(edges, path, num_partitions=4)
+    g = _user_graph(sf_dir, symmetrize=False)
 
     def make_x(b: pa.Table) -> pa.Table:
         v = b["vertex_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1500,6 +1333,45 @@ def _user_succession_edges(sf_dir: str):
     return bucket_group_agg(prs, ["src", "dst"], None)
 
 
+def _succ_edge_schema(b: pa.Table) -> pa.Table:
+    from flashray.fixtures import EPOCH_US
+
+    n = len(b)
+    return pa.table(
+        {
+            "src": b["src"].cast(pa.int64()),
+            "dst": b["dst"].cast(pa.int64()),
+            "etype": pa.array(["succ"] * n, type=pa.string()),
+            "weight": pa.array(np.ones(n)),
+            "ts": pa.array(np.full(n, EPOCH_US), type=pa.timestamp("us")),
+        }
+    )
+
+
+def _user_graph(sf_dir: str, *, symmetrize: bool):
+    """Shared memoized build of the user-succession graph. A dozen
+    queries() entries run different algorithms over the SAME graph; the
+    driver sweep calls them all in one process, so building it once per
+    (sf_dir, symmetrize) instead of per query cuts minutes of repeated
+    identical build shuffles out of the sweep budget. READ-ONLY: callers
+    that mutate the graph (add_edges) must build their own copy."""
+    key = f"usershared_{'sym' if symmetrize else 'dir'}_{_tier(sf_dir)}"
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    import shutil
+
+    from flashray.build import build_graph
+
+    edges = _user_succession_edges(sf_dir).map_batches(
+        _succ_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", key)
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(edges, path, num_partitions=4, symmetrize=symmetrize)
+    _GRAPH_CACHE[key] = g
+    return g
+
+
 def _q_hyperball_user_graph(sf_dir: str):
     """HyperBall (Boldi-Vigna) ball-size estimates over the user-succession
     DAG, Dataset dataflow backend. The sketch hash (sha256 of the decimal
@@ -1553,27 +1425,17 @@ def _q_landmark_distances_user(sf_dir: str):
     rank-named dist_l0..dist_l2) over the user-succession DAG, computed as
     ONE MultiSourceBFS sweep (vector-valued state). Oracle: recursive-CTE
     BFS per landmark; unreachable = -1."""
-    import tempfile
-
     from flashray import algorithms
-    from flashray.build import build_graph
-    from flashray.convert import to_edge_schema
 
-    edges = _user_succession_edges(sf_dir)
-    with tempfile.TemporaryDirectory(prefix="lmd_") as scratch:
-        g = build_graph(
-            to_edge_schema(edges),
-            os.path.join(scratch, "g"),
-            num_partitions=8,
-        )
-        lms = (
-            g.vertices_dataset(columns=["vertex_id"])
-            .to_pandas()["vertex_id"]
-            .nsmallest(3)
-            .astype(np.int64)
-            .tolist()
-        )
-        out = algorithms.landmark_distances(g, sorted(lms))
+    g = _user_graph(sf_dir, symmetrize=False)
+    lms = (
+        g.vertices_dataset(columns=["vertex_id"])
+        .to_pandas()["vertex_id"]
+        .nsmallest(3)
+        .astype(np.int64)
+        .tolist()
+    )
+    out = algorithms.landmark_distances(g, sorted(lms))
     out = out.rename(
         columns={
             f"dist_{int(s)}": f"dist_l{i}" for i, s in enumerate(sorted(lms))
@@ -2069,29 +1931,19 @@ def _q_egonet_user(sf_dir: str):
     vertex within 2 out-hops of the two lowest user ids — one capped
     multi-source BFS sweep, then a broadcast semi-join. Oracle:
     recursive-CTE ball of radius 2 + edge membership."""
-    import tempfile
-
     from flashray import api
-    from flashray.build import build_graph
-    from flashray.convert import to_edge_schema
 
-    edges = _user_succession_edges(sf_dir)
-    with tempfile.TemporaryDirectory(prefix="ego_") as scratch:
-        g = build_graph(
-            to_edge_schema(edges),
-            os.path.join(scratch, "g"),
-            num_partitions=8,
-        )
-        vids = g.vertices_dataset(columns=["vertex_id"]).to_pandas()[
-            "vertex_id"
-        ]
-        seeds = sorted(vids.nsmallest(2).astype(int).tolist())
-        out = (
-            api.egonet_edges(g, seeds, hops=2)
-            .to_pandas()[["src", "dst"]]
-            .sort_values(["src", "dst"])
-            .reset_index(drop=True)
-        )
+    g = _user_graph(sf_dir, symmetrize=False)
+    vids = g.vertices_dataset(columns=["vertex_id"]).to_pandas()[
+        "vertex_id"
+    ]
+    seeds = sorted(vids.nsmallest(2).astype(int).tolist())
+    out = (
+        api.egonet_edges(g, seeds, hops=2)
+        .to_pandas()[["src", "dst"]]
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
     out["src"] = out["src"].astype(np.int64)
     out["dst"] = out["dst"].astype(np.int64)
     return out

@@ -425,8 +425,16 @@ def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
         import ray.data as rd
 
         lpd = labels[["vertex_id", "label"]].copy()
-        if lpd["label"].dtype != object:
+        if lpd["label"].dtype == object:
+            pass  # string labels flow through as-is
+        elif np.issubdtype(lpd["label"].dtype, np.integer):
             lpd["label"] = lpd["label"].astype(np.int64)
+        else:
+            # mirror the Dataset path: no silent float/NaN truncation
+            raise ValueError(
+                f"label column must be integer or string, got "
+                f"{lpd['label'].dtype}"
+            )
         lpd["vertex_id"] = lpd["vertex_id"].astype(np.int64)
         labels = rd.from_pandas(lpd)
     und = _canonical_undirected(graph).materialize()
@@ -455,12 +463,38 @@ def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
     labels = labels.materialize()
     lsch = pa.schema([("vertex_id", I64), ("label", lab_t)])
     if not allow_partial:
+        # Raw row counts mask duplicates and labels for vertices outside
+        # the graph (duplicates also double-count rows in e_c/deg_c):
+        # count DISTINCT labeled vertices, then semi-join against the
+        # degree table so only in-graph vertices count as covered.
         deg_full = _deg_from_und(und)
         n_vertices = deg_full.count()
-        n_labeled = labels.count()
-        if n_labeled < n_vertices:
+        n_rows = labels.count()
+        lab_ids = bucket_group_agg(
+            labels.map_batches(
+                lambda b: b.select(["vertex_id"]), batch_format="pyarrow"
+            ),
+            ["vertex_id"],
+            None,
+        ).materialize()
+        if lab_ids.count() < n_rows:
             raise ValueError(
-                f"labels cover {n_labeled} of {n_vertices} non-isolated "
+                "labels contain duplicate vertex_id rows — each vertex "
+                "must carry exactly one label (duplicates would "
+                "double-count edges in e_c/deg_c)"
+            )
+        n_covered = bucket_hash_join(
+            deg_full.map_batches(
+                lambda b: b.select(["vertex_id"]), batch_format="pyarrow"
+            ),
+            lab_ids,
+            ["vertex_id"],
+            left_schema=pa.schema([("vertex_id", I64)]),
+            right_schema=pa.schema([("vertex_id", I64)]),
+        ).count()
+        if n_covered < n_vertices:
+            raise ValueError(
+                f"labels cover {n_covered} of {n_vertices} non-isolated "
                 "vertices — pass allow_partial=True to score anyway "
                 "(edges at unlabeled vertices count as cut)"
             )

@@ -327,13 +327,13 @@ def duplicate_groups(
     ``scratch_dir`` names one) — at 100-TB dedup the pair set can itself be
     huge, so the driver path must not be the silent default there."""
     pairs = pairs.materialize()
+    own_scratch = False
     if scratch_dir is None and pairs.count() > engine_pair_threshold:
         import tempfile
 
         scratch_dir = tempfile.mkdtemp(prefix="flashray_dupgroups_")
+        own_scratch = True
     if scratch_dir is not None:
-        import ray.data as rd
-
         from flashray import algorithms
         from flashray.build import build_graph
         from flashray.fixtures import edges_table
@@ -345,12 +345,21 @@ def duplicate_groups(
                 np.concatenate([a, bb]), np.concatenate([bb, a])
             )
 
-        g = build_graph(
-            pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True),
-            scratch_dir,
-            num_partitions=8,
-        )
-        df = algorithms.wcc(g)
+        try:
+            g = build_graph(
+                pairs.map_batches(
+                    to_edges, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                scratch_dir,
+                num_partitions=8,
+            )
+            df = algorithms.wcc(g)
+        finally:
+            if own_scratch:
+                # auto-created temp dir: don't leak graph-build artifacts
+                import shutil
+
+                shutil.rmtree(scratch_dir, ignore_errors=True)
         return df.rename(columns={"vertex_id": "doc_id", "value": "group"})
 
     pdf = pairs.to_pandas()

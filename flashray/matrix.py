@@ -301,3 +301,104 @@ def hits(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def hits_engine(
+    graph: Graph,
+    *,
+    scratch_dir: str,
+    iters: int = 3,
+    weighted: bool = False,
+    normalize: bool = True,
+    actor_cpus: float | None = None,
+) -> pd.DataFrame:
+    """HITS on the superstep engine: alternating supersteps over the
+    channel-tagged bidirected graph (the Brandes/SCC channel pattern —
+    scc.FWD carries the original edge direction, scc.BWD the reverse).
+    Superstep 2t-1 scatters h along FWD edges, sum-combining into the
+    authority vector; superstep 2t scatters a along BWD edges into the
+    hub vector. Identical recurrence to :func:`hits` (raw fixed-T
+    alternating path counts, one end normalization), but each half-step
+    is ONE fused actor exchange instead of two Dataset all-to-all
+    shuffles — the per-superstep cost drops from seconds to the engine's
+    ~0.2 s exchange, and the gap widens with T.
+
+    NOT ``stale_mirror_safe``: arrival round matters (a half-step must
+    see exactly the previous half-step's vector), so split graphs take
+    the two-phase mirror rounds, same as Katz ``exact_iterations``.
+
+    ``graph`` is the DIRECTED graph; the channel-tagged bidirected copy
+    is built under ``scratch_dir`` once and reused on later calls (keyed
+    by meta.json presence, like :func:`flashray.betweenness.betweenness`).
+    Returns a pandas DataFrame (vertex_id, authority, hub) over every
+    vertex, equal to :func:`hits` up to float rounding."""
+    import os
+
+    from flashray.engine import Engine
+    from flashray.programs import VertexProgram
+    from flashray.scc import BWD, FWD, build_bidirected
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
+    class _Hits(VertexProgram):
+        combine = "sum"
+        identity = 0.0
+        uses_channels = True
+        channel_map = {"fwd": FWD, "bwd": BWD}
+        output_columns = ["hub"]
+        stale_mirror_safe = False
+        use_weights = weighted
+
+        def init_state(self, shard, N):
+            return {
+                "values": np.zeros(shard.nv),  # authority
+                "hub": np.ones(shard.nv),  # h_0 = 1
+                "active": np.ones(shard.nv, dtype=bool),
+                "phase": 0,  # 0 -> next superstep computes authorities
+            }
+
+        def edge_mask(self, shard, state):
+            if shard.edge_channel is None:
+                return None
+            want = FWD if state["phase"] == 0 else BWD
+            return shard.edge_channel == want
+
+        def signal(self, shard, state):
+            return state["hub"] if state["phase"] == 0 else state["values"]
+
+        def apply(self, shard, state, agg, N):
+            if state["phase"] == 0:
+                state["values"] = agg.astype(np.float64)
+            else:
+                state["hub"] = agg.astype(np.float64)
+            state["phase"] ^= 1
+            return {"changed": shard.nv, "active": shard.nv}
+
+        def state_columns(self):
+            return ["values", "hub", "active"]
+
+        def scalar_state_keys(self):
+            return ["phase"]
+
+    bi_path = os.path.join(scratch_dir, "bidirected")
+    if not os.path.exists(os.path.join(bi_path, "meta.json")):
+        build_bidirected(graph, bi_path)
+    from flashray.build import Graph as _G
+
+    bi = _G.load(bi_path)
+
+    with Engine(bi, _Hits(), actor_cpus=actor_cpus) as eng:
+        eng.run(lambda m: False, max_iters=2 * int(iters))
+        df = eng.values_pandas()
+    df = df.rename(columns={"value": "authority"})
+    if normalize:
+        a_max = float(df["authority"].max() or 0.0)
+        h_max = float(df["hub"].max() or 0.0)
+        df["authority"] = df["authority"] / (a_max if a_max > 0 else 1.0)
+        df["hub"] = df["hub"] / (h_max if h_max > 0 else 1.0)
+    return (
+        df[["vertex_id", "authority", "hub"]]
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )

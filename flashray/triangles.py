@@ -606,7 +606,13 @@ def butterfly_count(
     The standard bipartite-network cohesion metric (works on any graph; on
     a bipartite one every 4-cycle is a butterfly). Same wedge dataflow as
     link prediction; the final reduction streams one partial per block to
-    the driver."""
+    the driver.
+
+    With ``max_center_degree`` set the count is APPROXIMATE (a lower
+    bound): wedges through pruned super-hub centers are skipped, and a
+    4-cycle's two diagonal contributions can drop asymmetrically — the
+    halved sum is then rounded half-up. With ``max_center_degree=None``
+    the count is exact and the even-pair-sum invariant is asserted."""
     B = num_buckets or max(16, graph.num_partitions)
     und = _canonical_undirected(graph).materialize()
     pairs = _pair_common_neighbors(und, B, max_center_degree)
@@ -618,9 +624,20 @@ def butterfly_count(
     out = pairs.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).sum("bf")
-    # the pair sum is always even: divide AFTER the total (per-block
-    # partials can be odd)
-    return int(out or 0) // 2
+    total = int(out or 0)
+    # Exact mode: the pair sum counts each 4-cycle exactly twice, so it is
+    # always even — assert rather than let floor-division hide a bug.
+    # With max_center_degree pruning, the two diagonal contributions of a
+    # 4-cycle can be dropped asymmetrically (odd total is legitimate);
+    # round half-up and document the approximate regime in the docstring.
+    if max_center_degree is None:
+        if total % 2 != 0:
+            raise AssertionError(
+                f"exact butterfly pair-sum {total} is odd — "
+                "diagonal-pair double-count invariant violated"
+            )
+        return total // 2
+    return (total + 1) // 2
 
 
 def link_prediction(

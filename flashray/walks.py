@@ -161,18 +161,35 @@ class _StepSink:
     def __init__(self, out_dir: str | None):
         self.out_dir = out_dir
         self.parts: list[ray.data.Dataset] = []
+        self.step_dirs: list[str] = []
+        if out_dir is not None and os.path.isdir(out_dir) and os.listdir(out_dir):
+            # A prior run (possibly with a different walk_len/salt) would
+            # silently mix its step_t/ files into result(); refuse instead.
+            raise ValueError(
+                f"out_dir {out_dir!r} is not empty — pass a fresh directory "
+                "(stale step_t/ files from a previous run would be mixed in)"
+            )
 
     def add(self, rows: ray.data.Dataset, t: int) -> None:
         if self.out_dir is not None:
             d = os.path.join(self.out_dir, f"step_{t}")
             os.makedirs(d, exist_ok=True)
             rows.write_parquet(d)
+            self.step_dirs.append(d)
         else:
             self.parts.append(rows.materialize())
 
     def result(self) -> ray.data.Dataset:
         if self.out_dir is not None:
-            return ray.data.read_parquet(self.out_dir)
+            # Read only the step dirs written by THIS run (read_parquet
+            # accepts a list of FILES, not directories — expand each dir).
+            files = [
+                os.path.join(d, f)
+                for d in self.step_dirs
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+            return ray.data.read_parquet(files)
         first, *rest = self.parts
         return first.union(*rest) if rest else first
 

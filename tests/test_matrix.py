@@ -164,3 +164,44 @@ def test_hits_normalized(er):
     assert np.array_equal(got["authority"].to_numpy(), a / a.max())
     assert np.array_equal(got["hub"].to_numpy(), h / h.max())
     assert got["authority"].max() == 1.0
+
+
+def test_hits_engine_agrees_with_dataset_backend(er, tmp_path):
+    g, _, _, _ = er
+    want = (
+        matrix.hits(g, iters=3, normalize=True)
+        .to_pandas()[["vertex_id", "authority", "hub"]]
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+    got = matrix.hits_engine(
+        g, scratch_dir=str(tmp_path / "hits_bi"), iters=3, normalize=True
+    )
+    pd.testing.assert_frame_equal(
+        want, got, check_exact=False, rtol=0, atol=1e-12
+    )
+    # scratch reuse: second call loads the existing bidirected build
+    again = matrix.hits_engine(
+        g, scratch_dir=str(tmp_path / "hits_bi"), iters=3, normalize=True
+    )
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_hits_engine_weighted_agrees(er, tmp_path):
+    g, _, _, _ = er
+    want = (
+        matrix.hits(g, iters=2, weighted=True, normalize=False)
+        .to_pandas()[["vertex_id", "authority", "hub"]]
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+    got = matrix.hits_engine(
+        g,
+        scratch_dir=str(tmp_path / "hits_biw"),
+        iters=2,
+        weighted=True,
+        normalize=False,
+    )
+    pd.testing.assert_frame_equal(
+        want, got, check_exact=False, rtol=1e-12, atol=1e-9
+    )

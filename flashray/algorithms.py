@@ -28,6 +28,7 @@ from flashray.programs import (
     MinLabel,
     PageRank,
     PersonalizedPageRank,
+    PowerIteration,
 )
 
 
@@ -159,6 +160,34 @@ def katz(
         eng.run(lambda m: m["delta"] < eps, max_iters=max_iters)
         result = _finish(eng, out_dir)
         lineage = list(eng.lineage)
+    return _with_lineage(result, lineage)
+
+
+def eigenvector_centrality(
+    graph: Graph,
+    *,
+    iters: int = 20,
+    weighted: bool = False,
+    normalize: bool = True,
+    out_dir: str | None = None,
+    actor_cpus: float | None = None,
+):
+    """Eigenvector centrality by fixed-T unnormalized power iteration on
+    the superstep engine (``x = Aᵀx`` from x=1; see
+    programs.PowerIteration), divided by the max once at the end. Fixed-T
+    raw values are exact length-T path counts on an unweighted graph, so
+    the driver oracle replays them in SQL level-by-level; the single end
+    division is order-independent (exact-integer operands). T must stay
+    modest (path counts grow like λ_max^T in float64)."""
+    prog = PowerIteration(weighted=weighted, exact_iterations=True)
+    with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
+        eng.run(lambda m: False, max_iters=int(iters))
+        result = _finish(eng, out_dir)
+        lineage = list(eng.lineage)
+    if normalize and out_dir is None:
+        mx = float(result["value"].max() or 0.0)
+        if mx > 0:
+            result["value"] = result["value"] / mx
     return _with_lineage(result, lineage)
 
 

@@ -160,6 +160,44 @@ class Katz(VertexProgram):
         return {"delta": delta, "changed": shard.nv, "active": shard.nv}
 
 
+class PowerIteration(VertexProgram):
+    """Unnormalized power iteration ``x_t = Aᵀ x_{t-1}`` from ``x_0 = 1``
+    — the eigenvector-centrality kernel (same A1-family engine shape as
+    PageRank/Katz, SURVEY.md §2.2). Fixed-T raw values are length-T path
+    counts ending at each vertex (exact integers in float64 on an
+    unweighted graph), so a SQL level-unrolled recurrence replays them
+    exactly; :func:`flashray.algorithms.eigenvector_centrality` divides
+    by the max once at the end (exact-integer operands → one
+    order-independent division), mirroring the HITS normalization
+    contract. Raw counts grow like λ_max^T — keep T modest (≲ 30 on a
+    dense graph) or the float64 integer range saturates; convergence-mode
+    per-step normalization would break cross-system exactness."""
+
+    combine = "sum"
+    identity = 0.0
+
+    def __init__(self, weighted: bool = False,
+                 exact_iterations: bool = False):
+        self.use_weights = weighted
+        # same contract as Katz: fixed-T equality with the synchronous
+        # recurrence needs same-round mirror delivery on split graphs
+        self.stale_mirror_safe = not exact_iterations
+
+    def init_state(self, shard, N):
+        return {
+            "values": np.ones(shard.nv),
+            "active": np.ones(shard.nv, dtype=bool),
+        }
+
+    def signal(self, shard, state):
+        return state["values"]
+
+    def apply(self, shard, state, agg, N):
+        delta = float(np.abs(agg - state["values"]).sum())
+        state["values"] = agg.astype(np.float64)
+        return {"delta": delta, "changed": shard.nv, "active": shard.nv}
+
+
 class MaxIndependentSet(VertexProgram):
     """Deterministic Luby maximal independent set on a SYMMETRIZED graph.
 

@@ -293,6 +293,26 @@ def test_katz_matches_dense_oracle(tmp_graphs, name):
         assert abs(got[v] - x) < 1e-9, v
 
 
+@pytest.mark.parametrize("name", ["k3", "path5", "er100"])
+def test_eigenvector_matches_dense_power_iteration(tmp_graphs, name):
+    graph, (src, dst) = tmp_graphs(name, FIXES[name])
+    df = algorithms.eigenvector_centrality(graph, iters=5, normalize=True)
+    vids = sorted(set(map(int, src)) | set(map(int, dst)))
+    pos = {v: i for i, v in enumerate(vids)}
+    x = np.ones(len(vids))
+    for _ in range(5):
+        nxt = np.zeros(len(vids))
+        for s, d in zip(src, dst):
+            nxt[pos[int(d)]] += x[pos[int(s)]]
+        x = nxt
+    mx = x.max()
+    want = x / mx if mx > 0 else x
+    got = dict(zip(df["vertex_id"].astype(int), df["value"]))
+    assert got.keys() == set(vids)
+    for v in vids:
+        assert abs(got[v] - want[pos[v]]) < 1e-12, v
+
+
 def test_katz_converges_below_spectral_bound(tmp_graphs):
     # cycle3: lambda_max = 1, alpha = 0.5 converges to x = beta/(1-alpha)
     graph, _ = tmp_graphs("cycle3", FIXES["cycle3"])

@@ -367,9 +367,11 @@ def k_truss(
     while True:
         deg = _deg_from_und(und)
         oriented = _orient_und(und, deg, nv, B).materialize()
-        supz = _support_with_zeros(
-            und, _support_from_closed(_closed_from_oriented(oriented, B), B), B
-        )
+        # NO zero-fill join here (unlike edge_support): thr = k-2 >= 1, so
+        # an edge absent from the support table (support 0) is dropped by
+        # the filter either way — skipping _support_with_zeros saves one
+        # all-to-all per peel round
+        supz = _support_from_closed(_closed_from_oriented(oriented, B), B)
 
         def keep(b: pa.Table) -> pa.Table:
             return b.filter(

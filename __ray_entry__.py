@@ -1526,13 +1526,23 @@ def _q_random_walks_user(sf_dir: str):
     Output (walk_id, step, vertex_id), walk_len 4, 1 walk per vertex."""
     from flashray import walks
 
-    edges = _user_succession_edges_cached(sf_dir)
-    return walks.corpus_pandas(
-        walks.random_walks(
+    return walks.corpus_pandas(_user_walk_corpus(sf_dir))
+
+
+def _user_walk_corpus(sf_dir: str):
+    """Memoized materialized walk corpus (walk_len 4, 1 walk/vertex, sha
+    priorities) — shared by random_walks_user and skipgram_pairs_user,
+    which consume the SAME walks."""
+    key = f"walkcorpus_{_tier(sf_dir)}"
+    if key not in _GRAPH_CACHE:
+        from flashray import walks
+
+        edges = _user_succession_edges_cached(sf_dir)
+        _GRAPH_CACHE[key] = walks.random_walks(
             edges, walk_len=4, walks_per_vertex=1, hash_fn="sha",
             num_buckets=16,
-        )
-    )
+        ).materialize()
+    return _GRAPH_CACHE[key]
 
 
 def _q_skipgram_pairs_user(sf_dir: str):
@@ -1541,10 +1551,7 @@ def _q_skipgram_pairs_user(sf_dir: str):
     oracle replays the walks in SQL then self-joins within the window."""
     from flashray import walks
 
-    edges = _user_succession_edges_cached(sf_dir)
-    corpus = walks.random_walks(
-        edges, walk_len=4, walks_per_vertex=1, hash_fn="sha", num_buckets=16
-    )
+    corpus = _user_walk_corpus(sf_dir)
     out = (
         walks.skipgram_pairs(corpus, window=2, num_buckets=16)
         .to_pandas()

@@ -336,12 +336,64 @@ def _support_with_zeros(
     return j.map_batches(fill, batch_format="pandas")
 
 
+def _k_truss_local(
+    lo: np.ndarray, hi: np.ndarray, thr: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized in-process peel — the distributed round's exact local
+    mirror (same orientation rule, same wedge enumeration via
+    pairs_within_groups, same support filter), run to the fixed point.
+    Input: deduped canonical edges (lo < hi). Returns (lo, hi, support)."""
+    lo = np.asarray(lo, dtype=np.int64)
+    hi = np.asarray(hi, dtype=np.int64)
+    while True:
+        ne = len(lo)
+        if ne == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        # compact codes: pair key = c1 * nv + c2 stays within int64
+        ids = np.unique(np.concatenate([lo, hi]))
+        nv = len(ids)
+        clo = np.searchsorted(ids, lo)
+        chi = np.searchsorted(ids, hi)
+        deg = np.bincount(np.concatenate([clo, chi]), minlength=nv)
+        dlo, dhi = deg[clo], deg[chi]
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (clo < chi))
+        a = np.where(lo_first, clo, chi)
+        b = np.where(lo_first, chi, clo)
+        order = np.lexsort((b, a))
+        w1, w2, center = pairs_within_groups(a[order], b[order])
+        ckey = np.minimum(clo, chi) * nv + np.maximum(clo, chi)
+        perm = np.argsort(ckey)
+        ekey = ckey[perm]
+        wkey = np.minimum(w1, w2) * nv + np.maximum(w1, w2)
+        pos = np.searchsorted(ekey, wkey)
+        closed = (pos < ne) & (ekey[np.minimum(pos, ne - 1)] == wkey)
+        cw1, cw2, cc = w1[closed], w2[closed], center[closed]
+        member = np.concatenate(
+            [
+                np.minimum(cw1, cw2) * nv + np.maximum(cw1, cw2),
+                np.minimum(cc, cw1) * nv + np.maximum(cc, cw1),
+                np.minimum(cc, cw2) * nv + np.maximum(cc, cw2),
+            ]
+        )
+        sup_sorted = np.bincount(
+            np.searchsorted(ekey, member), minlength=ne
+        ).astype(np.int64)
+        support = np.empty(ne, dtype=np.int64)
+        support[perm] = sup_sorted
+        keep = support >= thr
+        if keep.all():
+            return lo, hi, support
+        lo, hi = lo[keep], hi[keep]
+
+
 def k_truss(
     graph: Graph,
     k: int,
     *,
     num_buckets: int | None = None,
     max_rounds: int | None = None,
+    local_threshold: int | None = 200_000,
 ) -> ray.data.Dataset:
     """The k-truss: the maximal subgraph in which every edge participates
     in at least k−2 triangles (support counted WITHIN the subgraph).
@@ -355,7 +407,16 @@ def k_truss(
     depth of the graph, not |E|: each round removes all violating edges
     at once. ``max_rounds`` caps it for latency-sensitive callers (the
     result is then a truss SUPERSET, support values still exact for the
-    returned edge set's last round)."""
+    returned edge set's last round).
+
+    ``local_threshold``: peel-tail hybrid. Peeling is O(peel-depth)
+    ROUNDS of multi-stage shuffles — pure round-trip latency once the
+    survivor set is small — and at scale the set shrinks monotonically,
+    so once the current edge count fits one worker the remaining rounds
+    run as one vectorized in-process peel (:func:`_k_truss_local`, the
+    exact same per-round rule) instead of paying
+    O(stages × remaining_rounds) in shuffle latency. Set ``None`` (or 0)
+    to force the distributed loop for every round."""
     if k < 3:
         raise ValueError("k-truss requires k >= 3")
     B = num_buckets or max(16, graph.num_partitions)
@@ -365,6 +426,20 @@ def k_truss(
     n = und.count()
     rounds = 0
     while True:
+        if local_threshold and n <= local_threshold and max_rounds is None:
+            pdf = und.to_pandas()
+            lo, hi, sup = _k_truss_local(
+                pdf["lo"].to_numpy(), pdf["hi"].to_numpy(), thr
+            )
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "lo": pa.array(lo, pa.int64()),
+                        "hi": pa.array(hi, pa.int64()),
+                        "support": pa.array(sup, pa.int64()),
+                    }
+                )
+            )
         deg = _deg_from_und(und)
         oriented = _orient_und(und, deg, nv, B).materialize()
         # NO zero-fill join here (unlike edge_support): thr = k-2 >= 1, so

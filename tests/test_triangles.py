@@ -278,6 +278,28 @@ def test_ktruss_er(graphs, k):
         assert want[(int(row.lo), int(row.hi))] == int(row.support)
 
 
+def test_ktruss_distributed_matches_local_tail(graphs):
+    # local_threshold=0 forces the pure-distributed peel; the default
+    # takes the vectorized local tail — identical results required
+    graph, _ = graphs("er100", fixtures.er_edges)
+    dist = (
+        triangles.k_truss(graph, 3, local_threshold=0)
+        .to_pandas()
+        .sort_values(["lo", "hi"])
+        .reset_index(drop=True)
+    )
+    loc = (
+        triangles.k_truss(graph, 3)
+        .to_pandas()
+        .sort_values(["lo", "hi"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    assert len(dist) > 0  # er100 3-truss is non-empty
+    pd.testing.assert_frame_equal(dist, loc, check_dtype=False)
+
+
 def test_ktruss_k3_and_star(graphs):
     graph, _ = graphs("k3", fixtures.k3_edges)
     df = triangles.k_truss(graph, 3).to_pandas()

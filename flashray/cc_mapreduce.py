@@ -134,12 +134,37 @@ def _checksum(edges: ray.data.Dataset) -> tuple[int, int, int]:
     return (int(agg["h_hi"] or 0), int(agg["h_lo"] or 0), int(agg["n"] or 0))
 
 
+def _local_star_forest(pdf: pd.DataFrame) -> pd.DataFrame:
+    """In-process min-root union-find over a small edge set: returns the
+    star forest (a = non-root member, b = component min) — exactly the
+    large/small-star fixed point, so the distributed finish stage
+    consumes it unchanged."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["a"].astype(int), pdf["b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(v, find(v)) for v in parent]
+    out = pd.DataFrame(
+        [(v, r) for v, r in rows if v != r], columns=["a", "b"]
+    )
+    return out.astype({"a": "int64", "b": "int64"})
+
+
 def wcc_mapreduce(
     graph: Graph,
     *,
     num_buckets: int | None = None,
     max_rounds: int = 64,
     out_dir: str | None = None,
+    local_threshold: int | None = 500_000,
 ):
     """WCC labels (min member id per component) in O(log n) rounds,
     matching ``algorithms.wcc`` semantics. The finish is a distributed
@@ -148,11 +173,33 @@ def wcc_mapreduce(
     end-to-end (a pandas left-join would float 63-bit labels through NaN).
     Returns a sorted pandas DataFrame by default; pass ``out_dir=`` to
     write partitioned parquet and get a Dataset back (the path for huge
-    graphs)."""
+    graphs).
+
+    ``local_threshold``: hybrid tail (the duplicate_groups pattern).
+    Each star round is ~4 all-to-alls of pure latency once the live edge
+    set is small; when the current set fits one worker the remaining
+    rounds collapse into an in-process min-root union-find producing the
+    same star-forest fixed point, which the distributed finish stage
+    consumes unchanged. 0/None forces star rounds all the way down."""
     B = num_buckets or max(16, graph.num_partitions)
     edges = _canonical_edges(graph).materialize()
     prev = None
     for _ in range(max_rounds):
+        if local_threshold and edges.count() <= local_threshold:
+            pdf = edges.to_pandas()
+            forest = _local_star_forest(pdf)
+            if len(forest):
+                edges = ray.data.from_pandas(forest)
+            else:
+                edges = ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64()),
+                        }
+                    )
+                )
+            break
         # dedup only once per round (after small-star): duplicate edges do
         # not change star minima, and each skipped dedup saves a shuffle
         mid = _star_round(edges, large=True, num_buckets=B, dedup=False)

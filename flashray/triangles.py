@@ -191,6 +191,75 @@ def _orient_und(
     return j.map_batches(orient, batch_format="pyarrow")
 
 
+# Hybrid routing (the duplicate_groups/broadcast-orientation pattern):
+# wedge dataflows cost a fixed ~4 all-to-alls regardless of size, pure
+# latency on small graphs; below this edge count the SAME
+# orient/wedge/close rule runs as one vectorized in-process kernel.
+# graph.meta.num_edges (>= canonical rows) gates it without extra passes.
+LOCAL_EDGE_THRESHOLD = 200_000
+
+
+def _local_closed_wedges(
+    lo: np.ndarray, hi: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Closed wedges of a deduped canonical edge set, vectorized
+    in-process — the exact local mirror of _orient_und +
+    _closed_from_oriented (same degree orientation, same
+    pairs_within_groups wedge enumeration, same closing-edge probe).
+    Returns (w1, w2, center) with w1 < w2, original vertex ids."""
+    lo = np.asarray(lo, dtype=np.int64)
+    hi = np.asarray(hi, dtype=np.int64)
+    ne = len(lo)
+    if ne == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    ids = np.unique(np.concatenate([lo, hi]))
+    nv = len(ids)
+    clo = np.searchsorted(ids, lo)
+    chi = np.searchsorted(ids, hi)
+    deg = np.bincount(np.concatenate([clo, chi]), minlength=nv)
+    dlo, dhi = deg[clo], deg[chi]
+    # code comparison == id comparison (searchsorted is monotonic)
+    lo_first = (dlo < dhi) | ((dlo == dhi) & (clo < chi))
+    a = np.where(lo_first, clo, chi)
+    b = np.where(lo_first, chi, clo)
+    order = np.lexsort((b, a))
+    w1, w2, center = pairs_within_groups(a[order], b[order])
+    ekey = np.sort(np.minimum(clo, chi) * nv + np.maximum(clo, chi))
+    wkey = np.minimum(w1, w2) * nv + np.maximum(w1, w2)
+    pos = np.searchsorted(ekey, wkey)
+    closed = (pos < ne) & (ekey[np.minimum(pos, ne - 1)] == wkey)
+    return ids[w1[closed]], ids[w2[closed]], ids[center[closed]]
+
+
+def _local_und_pdf(graph: Graph) -> pd.DataFrame:
+    return _canonical_undirected(graph).to_pandas()
+
+
+def _local_deg_pdf(graph: Graph, und: pd.DataFrame) -> pd.DataFrame:
+    """Local mirror of _degree_table (same source columns)."""
+    if graph.meta.symmetrized:
+        d = graph.vertices_dataset(
+            columns=["vertex_id", "out_degree"]
+        ).to_pandas()
+        return d.rename(columns={"out_degree": "deg"})
+    vid, cnt = np.unique(
+        np.concatenate([und["lo"].to_numpy(), und["hi"].to_numpy()]),
+        return_counts=True,
+    )
+    return pd.DataFrame({"vertex_id": vid, "deg": cnt.astype(np.int64)})
+
+
+def _local_tri_counts(und: pd.DataFrame) -> pd.DataFrame:
+    w1, w2, c = _local_closed_wedges(
+        und["lo"].to_numpy(), und["hi"].to_numpy()
+    )
+    vid, cnt = np.unique(np.concatenate([w1, w2, c]), return_counts=True)
+    return pd.DataFrame(
+        {"vertex_id": vid.astype(np.int64), "triangles": cnt.astype(np.int64)}
+    )
+
+
 def _closed_wedges(graph: Graph, num_buckets: int) -> ray.data.Dataset:
     # oriented feeds BOTH the wedge expansion and the closing-edge probe;
     # materialize so the canonical-dedup shuffle (+ orientation joins on
@@ -239,9 +308,18 @@ def _closed_from_oriented(
     )
 
 
-def triangles(graph: Graph, *, num_buckets: int | None = None) -> ray.data.Dataset:
+def triangles(
+    graph: Graph,
+    *,
+    num_buckets: int | None = None,
+    local_threshold: int | None = LOCAL_EDGE_THRESHOLD,
+) -> ray.data.Dataset:
     """Per-vertex triangle counts: Dataset (vertex_id, triangles). Vertices
-    in no triangle are absent (left-join the vertex table for zeros)."""
+    in no triangle are absent (left-join the vertex table for zeros).
+    Below ``local_threshold`` edges the wedge pass runs in-process
+    (see LOCAL_EDGE_THRESHOLD); 0/None forces the distributed dataflow."""
+    if local_threshold and graph.meta.num_edges <= local_threshold:
+        return ray.data.from_pandas(_local_tri_counts(_local_und_pdf(graph)))
     B = num_buckets or max(16, graph.num_partitions)
     closed = _closed_wedges(graph, B)
 
@@ -270,12 +348,36 @@ def edge_support(
     *,
     num_buckets: int | None = None,
     include_zero: bool = True,
+    local_threshold: int | None = LOCAL_EDGE_THRESHOLD,
 ) -> ray.data.Dataset:
     """Per-EDGE triangle support (the k-truss quantity): for every
     undirected edge (lo, hi), the number of triangles containing it.
     Each closed wedge contributes its three member edges; one bucketed
     sum. ``include_zero`` left-joins the canonical edge set so
-    triangle-free edges appear with support 0."""
+    triangle-free edges appear with support 0. Below ``local_threshold``
+    edges the pass runs in-process (see LOCAL_EDGE_THRESHOLD)."""
+    if local_threshold and graph.meta.num_edges <= local_threshold:
+        und = _local_und_pdf(graph)
+        lo = und["lo"].to_numpy()
+        hi = und["hi"].to_numpy()
+        w1, w2, c = _local_closed_wedges(lo, hi)
+        mlo = np.concatenate([w1, np.minimum(c, w1), np.minimum(c, w2)])
+        mhi = np.concatenate([w2, np.maximum(c, w1), np.maximum(c, w2)])
+        sup_df = (
+            pd.DataFrame({"lo": mlo, "hi": mhi})
+            .groupby(["lo", "hi"])
+            .size()
+            .rename("support")
+            .reset_index()
+        )
+        if include_zero:
+            sup_df = und.merge(sup_df, on=["lo", "hi"], how="left")
+            sup_df["support"] = sup_df["support"].fillna(0)
+        return ray.data.from_pandas(
+            sup_df.astype(
+                {"lo": "int64", "hi": "int64", "support": "int64"}
+            )
+        )
     B = num_buckets or max(16, graph.num_partitions)
     closed = _closed_wedges(graph, B)
     sup = _support_from_closed(closed, B)
@@ -473,8 +575,20 @@ def k_truss(
         n = m
 
 
-def triangle_count(graph: Graph, *, num_buckets: int | None = None) -> int:
-    """Global triangle count (each triangle once)."""
+def triangle_count(
+    graph: Graph,
+    *,
+    num_buckets: int | None = None,
+    local_threshold: int | None = LOCAL_EDGE_THRESHOLD,
+) -> int:
+    """Global triangle count (each triangle once). Below
+    ``local_threshold`` edges the wedge pass runs in-process."""
+    if local_threshold and graph.meta.num_edges <= local_threshold:
+        und = _local_und_pdf(graph)
+        w1, _w2, _c = _local_closed_wedges(
+            und["lo"].to_numpy(), und["hi"].to_numpy()
+        )
+        return int(len(w1))
     B = num_buckets or max(16, graph.num_partitions)
     return _closed_wedges(graph, B).count()
 
@@ -539,10 +653,27 @@ def directed_triangle_count(
     return closed.count()
 
 
-def scan_statistic(graph: Graph, *, num_buckets: int | None = None) -> ray.data.Dataset:
-    """A7: scan1(v) = deg(v) + triangles(v). Returns (vertex_id, scan)."""
+def scan_statistic(
+    graph: Graph,
+    *,
+    num_buckets: int | None = None,
+    local_threshold: int | None = LOCAL_EDGE_THRESHOLD,
+) -> ray.data.Dataset:
+    """A7: scan1(v) = deg(v) + triangles(v). Returns (vertex_id, scan).
+    Below ``local_threshold`` edges the pass runs in-process."""
+    if local_threshold and graph.meta.num_edges <= local_threshold:
+        und = _local_und_pdf(graph)
+        out = _local_deg_pdf(graph, und).merge(
+            _local_tri_counts(und), on="vertex_id", how="left"
+        )
+        out["scan"] = out["deg"].astype(np.int64) + out[
+            "triangles"
+        ].fillna(0).astype(np.int64)
+        return ray.data.from_pandas(
+            out[["vertex_id", "scan"]].astype("int64")
+        )
     B = num_buckets or max(16, graph.num_partitions)
-    tri = triangles(graph, num_buckets=B)
+    tri = triangles(graph, num_buckets=B, local_threshold=local_threshold)
     und = _canonical_undirected(graph)
     deg = _degree_table(graph, und)
     j = bucket_hash_join(
@@ -575,7 +706,10 @@ def topk_scan(graph: Graph, k: int = 10, *, num_buckets: int | None = None):
 
 
 def clustering_coefficient(
-    graph: Graph, *, num_buckets: int | None = None
+    graph: Graph,
+    *,
+    num_buckets: int | None = None,
+    local_threshold: int | None = LOCAL_EDGE_THRESHOLD,
 ) -> ray.data.Dataset:
     """Local clustering coefficient per vertex:
     ``cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1))`` over the undirected
@@ -584,9 +718,30 @@ def clustering_coefficient(
     Derived from the same wedge-join dataflow as :func:`triangles` (A5) —
     no new shuffle shape; one extra left join of the degree table against
     the per-vertex triangle counts. Returns (vertex_id, deg, triangles,
-    cc); every vertex with at least one undirected edge appears."""
+    cc); every vertex with at least one undirected edge appears. Below
+    ``local_threshold`` edges the pass runs in-process."""
+    if local_threshold and graph.meta.num_edges <= local_threshold:
+        und = _local_und_pdf(graph)
+        out = _local_deg_pdf(graph, und).merge(
+            _local_tri_counts(und), on="vertex_id", how="left"
+        )
+        d = out["deg"].to_numpy().astype(np.int64)
+        t = out["triangles"].fillna(0).to_numpy().astype(np.int64)
+        denom = (d * (d - 1)).astype(np.float64)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "vertex_id": out["vertex_id"].astype(np.int64),
+                    "deg": d,
+                    "triangles": t,
+                    "cc": np.where(
+                        denom > 0, 2.0 * t / np.maximum(denom, 1.0), 0.0
+                    ),
+                }
+            )
+        )
     B = num_buckets or max(16, graph.num_partitions)
-    tri = triangles(graph, num_buckets=B)
+    tri = triangles(graph, num_buckets=B, local_threshold=local_threshold)
     und = _canonical_undirected(graph)
     deg = _degree_table(graph, und)
     j = bucket_hash_join(

@@ -35,3 +35,16 @@ def test_wcc_backends_agree(tmp_path):
     a = cc_mapreduce.wcc_mapreduce(g)
     b = algorithms.wcc(g).sort_values("vertex_id").reset_index(drop=True)
     assert (a["value"].values == b["value"].values).all()
+
+
+def test_wcc_mapreduce_distributed_matches_local_tail(tmp_path):
+    # local_threshold=0 forces star rounds to the fixed point; the default
+    # finishes small forests with the in-process union-find — same labels
+    src, dst = fixtures.er_edges(120, 0.03, seed=4)
+    g = build_graph_from_arrays(
+        src, dst, str(tmp_path / "tail"), num_partitions=4
+    )
+    dist = cc_mapreduce.wcc_mapreduce(g, local_threshold=0)
+    loc = cc_mapreduce.wcc_mapreduce(g)
+    assert (dist["vertex_id"].values == loc["vertex_id"].values).all()
+    assert (dist["value"].values == loc["value"].values).all()

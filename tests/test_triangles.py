@@ -300,6 +300,36 @@ def test_ktruss_distributed_matches_local_tail(graphs):
     pd.testing.assert_frame_equal(dist, loc, check_dtype=False)
 
 
+def test_wedge_family_distributed_matches_local(graphs):
+    """local_threshold=0 forces the distributed wedge dataflow; default
+    routes small graphs through the vectorized in-process kernel —
+    identical outputs required across the whole family."""
+    import pandas as pd
+
+    graph, _ = graphs("er100", fixtures.er_edges)
+
+    def norm(ds, cols):
+        return (
+            ds.to_pandas()
+            .sort_values(cols)
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in cols})
+        )
+
+    for fn, cols in [
+        (triangles.triangles, ["vertex_id"]),
+        (triangles.edge_support, ["lo", "hi"]),
+        (triangles.scan_statistic, ["vertex_id"]),
+        (triangles.clustering_coefficient, ["vertex_id"]),
+    ]:
+        dist = norm(fn(graph, local_threshold=0), cols)
+        loc = norm(fn(graph), cols)
+        pd.testing.assert_frame_equal(dist, loc, check_dtype=False)
+    assert triangles.triangle_count(
+        graph, local_threshold=0
+    ) == triangles.triangle_count(graph)
+
+
 def test_ktruss_k3_and_star(graphs):
     graph, _ = graphs("k3", fixtures.k3_edges)
     df = triangles.k_truss(graph, 3).to_pandas()

@@ -49,9 +49,35 @@ def _read_pq(*args, **kwargs):
     Arrow schema is UNHASHABLE (``hash(schema)`` raises on the metadata
     dict) — Ray's shuffle-reduce schema dedup then falls back to a full
     unify per reduce with a per-call warning. Stripping at the read is a
-    zero-copy metadata-only map that fuses with the next stage."""
+    zero-copy metadata-only map that fuses with the next stage.
+
+    Block-count cap: Ray's default read parallelism oversplits small
+    files (~2 × num_cpus blocks for a 200 KB parquet), and every
+    downstream stage + all-to-all then pays per-block task dispatch —
+    the dominant cost of small-scale pipelines. Target ~32 MB per block
+    (the 100-TB-friendly setting too: large inputs keep full
+    parallelism; callers can still pass override_num_blocks)."""
     import ray.data as rd
 
+    if "override_num_blocks" not in kwargs and args:
+        paths = args[0] if isinstance(args[0], list) else [args[0]]
+        try:
+            files = []
+            for p in paths:
+                if os.path.isdir(p):
+                    files += [
+                        os.path.join(p, f)
+                        for f in os.listdir(p)
+                        if f.endswith(".parquet")
+                    ]
+                else:
+                    files.append(p)
+            total = sum(os.path.getsize(p) for p in files)
+            kwargs["override_num_blocks"] = max(
+                max(1, len(files)), min(256, 1 + total // (32 << 20))
+            )
+        except OSError:
+            pass
     return rd.read_parquet(*args, **kwargs).map_batches(
         _strip_meta_batch, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -991,6 +991,77 @@ def _q_scan_topk(sf_dir: str):
     return df[["rank", "scan"]]
 
 
+def _q_docs_bm25(sf_dir: str):
+    """BM25 top-10 docs for the fixed query {join, scan, window} (Lucene
+    idf variant, k1=1.2 b=0.75); scores rounded 6 dp, doc_id tie-break.
+    Oracle replays tf/df/dl/avgdl and the exact formula in SQL."""
+    from flashray.datapipe.textstats import bm25_topk
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = bm25_topk(
+        ds, ["join", "scan", "window"], k=10
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def _q_docs_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 word bigrams (count desc, bigram asc): map-side
+    per-batch combine -> one bucket aggregate -> sort+limit. Oracle:
+    unnest(range) adjacent-pair expansion in SQL."""
+    from flashray.datapipe.textstats import top_ngrams
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = top_ngrams(ds, n=2, k=20).to_pandas()
+    out["count"] = out["count"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def _q_docs_quality_percentile(sf_dir: str):
+    """Percentile-gated corpus pruning: keep docs whose avg_token_len is
+    >= the exact 25th percentile of the corpus distribution — the
+    distributed exact-quantile op (range-partitioned sort, quantile_disc
+    index rule) feeding a broadcast filter. avg_token_len = word_chars /
+    token_count is a ratio of small ints, so the cut value and the >=
+    comparison are bit-identical float64 on both systems. The standard
+    'drop the worst quartile' training-data step."""
+    from flashray.datapipe.sketches import exact_quantiles
+    from flashray.datapipe.textstats import add_text_stats
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    scored = add_text_stats(docs, concurrency=4).materialize()
+    cut = exact_quantiles(scored, "avg_token_len", [0.25])[0.25]
+
+    def keep(b: pa.Table) -> pa.Table:
+        v = b["avg_token_len"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(v >= cut))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "avg_token_len": pa.array(
+                    np.round(
+                        t["avg_token_len"].to_numpy(zero_copy_only=False),
+                        6,
+                    )
+                ),
+            }
+        )
+
+    return (
+        scored.map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_docs_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -2230,6 +2301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "convert_edges_roundtrip": _q_convert_edges_roundtrip,
         "docs_tfidf": _q_docs_tfidf,
+        "docs_bm25": _q_docs_bm25,
+        "docs_top_bigrams": _q_docs_top_bigrams,
+        "docs_quality_percentile": _q_docs_quality_percentile,
         "embeddings_kmeans": _q_embeddings_kmeans,
         "assortativity_user": _q_assortativity_user,
         "link_prediction_user": _q_link_prediction_user,
@@ -2765,6 +2839,53 @@ SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
        CAST(v AS BIGINT) AS vertex_id
 FROM r""",
         # TF-IDF top-3 per doc: same tf/df/N, same ROUND-then-rank rule
+        # exact-quantile gate: same avg_token_len formula as docs_quality,
+        # quantile_disc(0.25) cut, >= filter on the exact float64 values
+        "docs_quality_percentile": """
+WITH s AS (SELECT doc_id,
+  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+    / greatest(length(regexp_extract_all(text, '\\S+')), 1) AS atl
+  FROM documents),
+c AS (SELECT quantile_disc(atl, 0.25) AS cut FROM s)
+SELECT doc_id, ROUND(atl, 6) AS avg_token_len FROM s, c
+WHERE s.atl >= c.cut""",
+        # adjacent-pair bigram expansion; exact integer counts, bigram
+        # string tie-break
+        "docs_top_bigrams": """
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '') AS ws
+           FROM documents),
+idx AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM t),
+bg AS (SELECT ws[i] || ' ' || ws[i + 1] AS ngram FROM idx)
+SELECT ngram, COUNT(*) AS count FROM bg
+GROUP BY 1 ORDER BY count DESC, ngram LIMIT 20""",
+        # BM25 (Lucene idf) replay: same tokenizer as docs_tfidf, same
+        # k1/b, avgdl = sum(dl)/N in float64, 6-dp round + doc_id tiebreak
+        "docs_bm25": """
+WITH w AS (SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+n AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+             (SELECT SUM(dl) FROM dl) AS sum_dl),
+q(term) AS (VALUES ('join'), ('scan'), ('window')),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+        WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+s AS (SELECT tfq.doc_id,
+             SUM(ln(1 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * (tfq.tf * 2.2)
+                 / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                    / (CAST(n.sum_dl AS DOUBLE) / n.n)))
+                ) AS score
+      FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), n
+      GROUP BY 1)
+SELECT doc_id, ROUND(score, 6) AS score FROM s
+WHERE ROUND(score, 6) > 0
+ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""",
         "docs_tfidf": """
 WITH w AS (SELECT doc_id,
                   unnest(list_filter(regexp_split_to_array(text, '\\s+'),

@@ -564,3 +564,128 @@ def redact(ds, *, text_col: str = "text", concurrency: int = 4,
         batch_size=batch_size,
         concurrency=_util.pool_size(concurrency),
     )
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 retrieval: score every document against a fixed bag of query
+    terms, return the top-k as a Dataset of (doc_id, score), score
+    rounded to 6 dp, ties broken by doc_id (deterministic cross-system
+    ranking, same contract as tfidf_top_terms). Lucene's always-positive
+    idf variant: ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``; term
+    component ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with dl =
+    whitespace word count. Docs containing no query term (score 0) are
+    not returned.
+
+    Dataflow (100-TB shape): pass A streams one O(|Q|+2) partial row per
+    batch (per-term df counts + Σdl) — a driver-side fold over blocks, no
+    shuffle; the tiny (df, N, avgdl) vector broadcasts into pass B, which
+    scores each doc entirely inside its batch (a doc is one row — tf and
+    dl complete locally). The only wide step is the final
+    sort-desc + limit(k)."""
+    import pyarrow as pa
+    import ray
+
+    terms = sorted(set(query_terms))
+    N = docs.count()
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split()
+        dl = toks.str.len().fillna(0).astype(np.int64)
+        row = {"__sum_dl": [int(dl.sum())]}
+        sets = toks.map(set)
+        for t in terms:
+            row[f"__df_{t}"] = [int(sets.map(lambda s: t in s).sum())]
+        return pd.DataFrame(row)
+
+    agg = (
+        docs.map_batches(partials, batch_format="pandas")
+        .sum(["__sum_dl"] + [f"__df_{t}" for t in terms])
+    )
+    sum_dl = int(agg["sum(__sum_dl)"] or 0)
+    dfreq = {t: int(agg[f"sum(__df_{t})"] or 0) for t in terms}
+    avgdl = sum_dl / N if N else 1.0
+    idf = {
+        t: float(np.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5)))
+        for t in terms
+        if dfreq[t] > 0
+    }
+    idf_ref = ray.put(idf)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        idf_l = ray.get(idf_ref)
+        toks = df[text_col].astype(str).str.split()
+        dl = toks.str.len().fillna(0).to_numpy(dtype=np.float64)
+        denom_norm = k1 * (1.0 - b + b * dl / avgdl)
+        total = np.zeros(len(df))
+        for t, w in idf_l.items():
+            tf = toks.map(lambda ws: ws.count(t)).to_numpy(
+                dtype=np.float64
+            )
+            total += w * (tf * (k1 + 1.0)) / np.maximum(tf + denom_norm, 1e-300)
+        out = pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy().astype(np.int64),
+                "score": np.round(total, 6),
+            }
+        )
+        return out[out["score"] > 0]
+
+    return (
+        docs.map_batches(score, batch_format="pandas")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def top_ngrams(
+    docs,
+    *,
+    n: int = 2,
+    k: int = 20,
+    num_buckets: int = 64,
+    text_col: str = "text",
+):
+    """Corpus-wide top-k word n-grams: Dataset (ngram, count) ordered by
+    (count desc, ngram asc — exact-integer counts, lexicographic
+    tie-break, so the ranking is deterministic cross-system).
+
+    Dataflow: per-batch n-gram counting (map-side combine — each batch
+    emits its local (ngram, count) partials, never raw token rows), one
+    bucket-hashed aggregate over the partials, then sort + limit(k). The
+    shuffle carries one row per DISTINCT (batch, ngram), not per token —
+    the standard heavy-hitters pre-aggregation shape at corpus scale."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split()
+        grams = toks.map(
+            lambda ws: [
+                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            ]
+        )
+        d = pd.DataFrame({"ngram": grams}).explode("ngram").dropna()
+        if not len(d):
+            return pd.DataFrame(
+                {"ngram": pd.Series(dtype=str),
+                 "count": pd.Series(dtype=np.int64)}
+            )
+        return (
+            d.groupby("ngram").size().rename("count").reset_index()
+        )
+
+    from flashray.joins import bucket_group_agg
+
+    counts = bucket_group_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["ngram"],
+        {"count": ("count", "sum")},
+        num_buckets=num_buckets,
+    )
+    return counts.sort(["count", "ngram"], descending=[True, False]).limit(k)

@@ -105,3 +105,59 @@ def test_redactor_matches_duckdb():
     )
     assert got["n_redactions"].sum() >= 5
     assert not got["text"].str.contains("@").any()
+
+
+def test_bm25_topk_matches_python():
+    from flashray.datapipe.textstats import bm25_topk
+
+    rng = np.random.default_rng(11)
+    vocab = ["join", "scan", "window", "hash", "row", "agg"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 20)))
+        for _ in range(80)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+    q = ["join", "window"]
+    got = bm25_topk(rd.from_pandas(df), q, k=10).to_pandas()
+
+    # brute-force python replay
+    toks = [t.split() for t in texts]
+    N = len(toks)
+    avgdl = sum(len(w) for w in toks) / N
+    dfreq = {t: sum(t in set(w) for w in toks) for t in q}
+    scores = {}
+    for i, ws in enumerate(toks):
+        s = 0.0
+        for t in q:
+            if dfreq[t] == 0:
+                continue
+            tf = ws.count(t)
+            idf = np.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+        if round(s, 6) > 0:
+            scores[i] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["doc_id"], got["score"])) == [
+        (d, pytest.approx(s, abs=1e-9)) for d, s in want
+    ]
+
+
+def test_top_ngrams_matches_python():
+    from collections import Counter
+
+    from flashray.datapipe.textstats import top_ngrams
+
+    rng = np.random.default_rng(3)
+    vocab = ["a", "b", "c", "d"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 12)))
+        for _ in range(60)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+    got = top_ngrams(rd.from_pandas(df), n=2, k=5).to_pandas()
+    cnt = Counter()
+    for t in texts:
+        ws = t.split()
+        cnt.update(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["ngram"], got["count"])) == want

@@ -33,6 +33,33 @@ _GRAPH_CACHE: dict[str, Any] = {}
 _CACHE_ROOT = "/tmp/flashray/cache_v2"
 
 
+def _quiet_known_noise() -> None:
+    """Drop ONE known-harmless Ray log line (same filter as bench.py):
+    AllToAll operators (Sort/Repartition behind groupby/map_groups) emit
+    schema-LESS empty blocks when partitions outnumber groups and the
+    streaming executor warns about a 'different schema'. The empty blocks
+    never reach a UDF, so nothing at the pipeline level can type them —
+    upstream Ray behavior, not schema drift in this repo's operators.
+    Everything else (including real schema-drift warnings) passes."""
+    import logging
+
+    class _DropEmptyBlockSchemaWarning(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return (
+                "Operator produced a RefBundle with a different schema"
+                not in record.getMessage()
+            )
+
+    for name in (
+        "ray.data",
+        "ray.data._internal.execution.streaming_executor_state",
+    ):
+        logging.getLogger(name).addFilter(_DropEmptyBlockSchemaWarning())
+
+
+_quiet_known_noise()
+
+
 def _tier(sf_dir: str) -> str:
     from flashray import fixtures
 
@@ -280,11 +307,18 @@ def _q_extract_edges_keys(sf_dir: str):
 
     from flashray import extract
 
+    from flashray.joins import bucket_group_agg
+
     ds = _transcripts_ds(sf_dir).map_batches(
         extract.extract_edges_keys_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    out = ds.groupby(["src_key", "dst_key", "etype"]).aggregate(
-        Count(alias_name="weight")
+    # near-unique (src,dst,etype) keys: one bucket shuffle + vectorized
+    # pandas count, not a per-group Ray aggregate (joins.bucket_group_agg
+    # rationale — measured 63s vs 6s on near-unique keys)
+    out = bucket_group_agg(
+        ds,
+        ["src_key", "dst_key", "etype"],
+        {"weight": ("etype", "size")},
     )
     return out.map_batches(
         lambda b: b.set_column(

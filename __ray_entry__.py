@@ -364,13 +364,17 @@ def _q_vertex_degrees_keys(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(expand, batch_format="pyarrow")
-        .groupby("vertex_key")
-        .aggregate(
-            Sum("out_degree", alias_name="out_degree"),
-            Sum("in_degree", alias_name="in_degree"),
-        )
+    from flashray.joins import bucket_group_agg
+
+    # near-unique vertex keys (one group per vertex): bucketized
+    # vectorized count, not a per-group Ray aggregate
+    return bucket_group_agg(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["vertex_key"],
+        {
+            "out_degree": ("out_degree", "sum"),
+            "in_degree": ("in_degree", "sum"),
+        },
     )
 
 
@@ -1353,6 +1357,28 @@ def _q_media_resize(sf_dir: str):
     return out[["media_id", "width", "height", "px_mean"]]
 
 
+def _q_media_resample(sf_dir: str):
+    """Audio decimation by 4 (actor-pool WAV decode -> every-4th-sample
+    -> re-encode at rate//4); the oracle replays the decimated synth
+    samples ((d*31 + t*7) % 65536 - 32768 at t = 0,4,8,...) closed-form.
+    Payload round-trip is pytest-verified; the value compare carries
+    (n_samples, rate, amp_mean)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from flashray.datapipe import multimodal
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    media = multimodal.media_table_from_documents(docs)
+    out = multimodal.resample_audio(
+        rd.from_arrow(media), factor=4
+    ).to_pandas()
+    out["amp_mean"] = out["amp_mean"].round(6)
+    return out[["media_id", "n_samples", "rate", "amp_mean"]]
+
+
 def _q_events_tumbling(sf_dir: str):
     import ray.data as rd
 
@@ -2295,6 +2321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _q_events_quantiles,
         "events_tumbling_1h": _q_events_tumbling,
         "media_resize": _q_media_resize,
+        "media_resample": _q_media_resample,
         "frame_samples": _q_frame_samples,
         "media_features": _q_media_features,
         "docs_redact": _q_docs_redact,
@@ -3749,6 +3776,15 @@ FROM allv GROUP BY 1, 2, 5""",
         # nearest-neighbor 8x8 -> 4x4: sampled source coords are
         # (dst * 8) // 4 = {0, 2, 4, 6}; pixel (sy, sx, c) of image doc d is
         # (d*37 + (sy*8 + sx)*3 + c) % 256 (synthesis closed form)
+        "media_resample": """
+WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+t AS (SELECT media_id, unnest(range(0, 256, 4)) AS t FROM m)
+SELECT media_id,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(2000 AS BIGINT) AS rate,
+       ROUND(AVG(CAST((media_id * 31 + t * 7) % 65536 - 32768 AS DOUBLE)),
+             6) AS amp_mean
+FROM t GROUP BY 1""",
         "media_resize": """
 WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
 yy AS (SELECT media_id, unnest([0, 2, 4, 6]) AS sy FROM m),

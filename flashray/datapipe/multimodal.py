@@ -266,3 +266,55 @@ def sample_frames(ds, *, frames_per_item: int = 4, concurrency: int = 2,
         batch_size=batch_size,
         concurrency=_util.pool_size(concurrency),
     )
+
+
+class AudioResampler:
+    """Actor-pool stage: decode each PCM-16 WAV, decimate by an integer
+    ``factor`` (keep samples 0, factor, 2·factor, … — exact integer
+    index arithmetic, deterministic and SQL-replayable, unlike
+    interpolating/filtering resamplers whose float rounding is
+    libm-dependent), re-encode as WAV at rate // factor. Non-audio rows
+    are skipped. Emits the resampled payload plus (n_samples, rate,
+    amp_mean) so downstream stages can chain without re-decoding."""
+
+    def __init__(self, factor: int = 4):
+        if int(factor) < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = int(factor)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        out_id, out_payload, out_n, out_rate, out_mean = [], [], [], [], []
+        for mid, kind, p in zip(ids, kinds, payloads):
+            if kind != "audio":
+                continue
+            samples, rate, _ch = codecs.decode_wav(p or b"")
+            dec = samples[:: self.factor]
+            new_rate = max(1, rate // self.factor)
+            out_id.append(int(mid))
+            out_payload.append(codecs.encode_wav(dec, new_rate))
+            out_n.append(int(len(dec)))
+            out_rate.append(new_rate)
+            out_mean.append(float(dec.astype(np.float64).mean()))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "payload": pa.array(out_payload, type=pa.binary()),
+                "n_samples": pa.array(out_n, type=pa.int64()),
+                "rate": pa.array(out_rate, type=pa.int64()),
+                "amp_mean": pa.array(out_mean, type=pa.float64()),
+            }
+        )
+
+
+def resample_audio(ds, *, factor: int = 4, concurrency: int = 2,
+                   batch_size: int = 128):
+    return ds.map_batches(
+        AudioResampler,
+        fn_constructor_kwargs={"factor": factor},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_util.pool_size(concurrency),
+    )

@@ -337,6 +337,34 @@ def test_image_resize():
     assert (got == src[sy][:, sx]).all()
 
 
+def test_audio_resample():
+    import pyarrow.parquet as pq
+
+    from flashray.datapipe import codecs
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    media = multimodal.media_table_from_documents(docs.slice(0, 30))
+    mt = media.to_pandas()
+    n_aud = int((mt["kind"] == "audio").sum())
+    assert n_aud > 0
+
+    out = multimodal.resample_audio(
+        rd.from_arrow(media), factor=4, concurrency=1
+    ).to_pandas()
+    assert len(out) == n_aud  # only audio rows survive
+    assert (out["rate"] == multimodal.AUDIO_RATE // 4).all()
+
+    by_id = mt.set_index("media_id")
+    for _, row in out.iterrows():
+        src, rate, _ch = codecs.decode_wav(by_id.loc[row["media_id"], "payload"])
+        want = src[::4]
+        got, got_rate, _ = codecs.decode_wav(row["payload"])  # real WAV out
+        assert got_rate == rate // 4
+        assert row["n_samples"] == len(want)
+        assert (got == want).all()
+        assert row["amp_mean"] == pytest.approx(want.astype(float).mean())
+
+
 def test_repetition_stats():
     from collections import Counter
 

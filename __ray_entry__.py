@@ -2306,92 +2306,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # cutoff, so expensive queries go LAST to maximize recorded rows
     # under any budget. Re-sort when adding entries.
     return {
-        "docs_hash_split": _q_docs_hash_split,
+        "embeddings_covariance": _q_embeddings_covariance,
         "docs_distinct_words_hll": _q_docs_distinct_words_hll,
         "events_bottomk_sample": _q_events_bottomk_sample,
-        "embeddings_covariance": _q_embeddings_covariance,
-        "events_sessions": _q_events_sessions,
-        "subgraph_convs": _q_subgraph_convs,
-        "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_top3_per_lang": _q_docs_top3_per_lang,
         "events_value_rank": _q_events_value_rank,
-        "coloring_user": _q_coloring_user,
-        "mis_user": _q_mis_user,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "transcripts_passthrough": _q_transcripts_passthrough,
+        "events_clicks_anti_purchasers": _q_events_clicks_anti_purchasers,
+        "docs_bm25": _q_docs_bm25,
         "events_user_edges": _q_events_user_edges,
         "events_quantiles": _q_events_quantiles,
-        "events_tumbling_1h": _q_events_tumbling,
-        "media_resize": _q_media_resize,
+        "events_sessions": _q_events_sessions,
+        "docs_top_bigrams": _q_docs_top_bigrams,
+        "edge_support_tool_cooccur": _q_edge_support_tool_cooccur,
+        "events_range_purchases": _q_events_range_purchases,
+        "assortativity_user": _q_assortativity_user,
+        "docs_tfidf": _q_docs_tfidf,
+        "docs_line_dedup": _q_docs_line_dedup,
+        "events_asof_purchase": _q_events_asof_purchase,
+        "ktruss_user": _q_ktruss_user,
+        "clustering_tool_cooccur": _q_clustering_tool_cooccur,
+        "mis_user": _q_mis_user,
         "media_resample": _q_media_resample,
         "frame_samples": _q_frame_samples,
-        "media_features": _q_media_features,
-        "docs_redact": _q_docs_redact,
-        "bfs_reply_depth": _q_bfs_reply_depth,
-        "docs_quality": _q_docs_quality,
-        "convert_transcripts_roundtrip": _q_convert_transcripts_roundtrip,
-        "kcore_reply_hist": _q_kcore_reply_hist,
-        "docs_langid": _q_docs_langid,
-        "docs_repetition": _q_docs_repetition,
-        "butterflies_user": _q_butterflies_user,
-        "docs_chunks": _q_docs_chunks,
-        "embeddings_knn": _q_embeddings_knn,
-        "events_range_purchases": _q_events_range_purchases,
-        "docs_pack_sequences": _q_docs_pack_sequences,
-        "vertex_degrees_keys": _q_vertex_degrees_keys,
-        "docs_quality_filter": _q_docs_quality_filter,
-        "docs_token_stats": _q_docs_token_stats,
-        "wcc_reply_sizes": _q_wcc_reply_sizes,
-        "wcc_full": _q_wcc_full,
-        "label_propagation": _q_label_propagation,
-        "events_clicks_anti_purchasers": _q_events_clicks_anti_purchasers,
-        "events_sliding_1h_15m": _q_events_sliding,
-        "pagerank_push": _q_pagerank_push,
         "reply_edges_keys": _q_reply_edges_keys,
-        "betweenness_sampled": _q_betweenness_sampled,
-        "tool_cooccurrence": _q_tool_cooccurrence,
-        "eigenvector_user": _q_eigenvector_user,
-        "docs_fingerprints": _q_docs_fingerprints,
-        "docs_exact_dedup": _q_docs_exact_dedup,
-        "scc_reply_hist": _q_scc_reply_hist,
-        "landmark_distances_user": _q_landmark_distances_user,
+        "vertex_degrees_keys": _q_vertex_degrees_keys,
+        "media_resize": _q_media_resize,
+        "docs_redact": _q_docs_redact,
         "extract_edges_keys": _q_extract_edges_keys,
-        "events_asof_purchase": _q_events_asof_purchase,
-        "egonet_user": _q_egonet_user,
-        "hits_user": _q_hits_user,
-        "hyperball_engine_user": _q_hyperball_engine_user,
-        "katz_user": _q_katz_user,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "convert_edges_roundtrip": _q_convert_edges_roundtrip,
-        "docs_tfidf": _q_docs_tfidf,
-        "docs_bm25": _q_docs_bm25,
-        "docs_top_bigrams": _q_docs_top_bigrams,
+        "docs_repetition": _q_docs_repetition,
+        "media_features": _q_media_features,
+        "docs_langid": _q_docs_langid,
+        "docs_quality": _q_docs_quality,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_quality_filter": _q_docs_quality_filter,
+        "kcore_reply_hist": _q_kcore_reply_hist,
+        "embeddings_knn": _q_embeddings_knn,
+        "docs_chunks": _q_docs_chunks,
         "docs_quality_percentile": _q_docs_quality_percentile,
+        "clustering_user_graph": _q_clustering_user_graph,
+        "wcc_full": _q_wcc_full,
+        "bfs_reply_depth": _q_bfs_reply_depth,
+        "docs_hash_split": _q_docs_hash_split,
+        "events_tumbling_1h": _q_events_tumbling,
+        "wcc_reply_sizes": _q_wcc_reply_sizes,
+        "pagerank_push": _q_pagerank_push,
+        "docs_pack_sequences": _q_docs_pack_sequences,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "katz_user": _q_katz_user,
+        "label_propagation": _q_label_propagation,
+        "scc_reply_hist": _q_scc_reply_hist,
+        "subgraph_convs": _q_subgraph_convs,
+        "skipgram_pairs_user": _q_skipgram_pairs_user,
+        "betweenness_sampled": _q_betweenness_sampled,
+        "triangles_tool_cooccur": _q_triangles_tool_cooccur,
+        "docs_fingerprints": _q_docs_fingerprints,
         "embeddings_kmeans": _q_embeddings_kmeans,
-        "assortativity_user": _q_assortativity_user,
-        "link_prediction_user": _q_link_prediction_user,
-        "docs_line_dedup": _q_docs_line_dedup,
+        "scan_topk": _q_scan_topk,
+        "triangles_transcript": _q_triangles_transcript,
         "simhash_pairs": _q_simhash_pairs,
-        "pagerank_weighted": _q_pagerank_weighted,
-        "spmv_user": _q_spmv_user,
+        "lpa_communities_user": _q_lpa_communities_user,
+        "convert_transcripts_roundtrip": _q_convert_transcripts_roundtrip,
+        "egonet_user": _q_egonet_user,
+        "coloring_user": _q_coloring_user,
+        "link_prediction_user": _q_link_prediction_user,
         "pagerank": _q_pagerank,
         "pagerank_personalized": _q_pagerank_personalized,
-        "sssp_user": _q_sssp_user,
-        "transcripts_passthrough": _q_transcripts_passthrough,
-        "minhash_dup_groups": _q_minhash_dup_groups,
-        "triangles_transcript": _q_triangles_transcript,
-        "lpa_communities_user": _q_lpa_communities_user,
-        "modularity_user_mod5": _q_modularity_user,
-        "triangles_tool_cooccur": _q_triangles_tool_cooccur,
         "random_walks_user": _q_random_walks_user,
-        "edge_support_tool_cooccur": _q_edge_support_tool_cooccur,
-        "incremental_degrees_user": _q_incremental_degrees_user,
-        "scan_topk": _q_scan_topk,
-        "node2vec_walks_user": _q_node2vec_walks_user,
-        "clustering_tool_cooccur": _q_clustering_tool_cooccur,
-        "skipgram_pairs_user": _q_skipgram_pairs_user,
-        "clustering_user_graph": _q_clustering_user_graph,
         "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
         "hyperball_user_graph": _q_hyperball_user_graph,
-        "ktruss_user": _q_ktruss_user,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "pagerank_weighted": _q_pagerank_weighted,
+        "landmark_distances_user": _q_landmark_distances_user,
+        "butterflies_user": _q_butterflies_user,
+        "tool_cooccurrence": _q_tool_cooccurrence,
+        "hyperball_engine_user": _q_hyperball_engine_user,
+        "spmv_user": _q_spmv_user,
+        "convert_edges_roundtrip": _q_convert_edges_roundtrip,
+        "hits_user": _q_hits_user,
+        "node2vec_walks_user": _q_node2vec_walks_user,
+        "eigenvector_user": _q_eigenvector_user,
+        "modularity_user_mod5": _q_modularity_user,
+        "events_sliding_1h_15m": _q_events_sliding,
+        "incremental_degrees_user": _q_incremental_degrees_user,
+        "sssp_user": _q_sssp_user,
+        "minhash_dup_groups": _q_minhash_dup_groups,
     }
 
 

@@ -1642,33 +1642,36 @@ def _q_sssp_user(sf_dir: str):
     vertex have different costs, so min-over-paths is actually exercised.
     Oracle: recursive CTE enumerating (vertex, path-cost) pairs, MIN per
     vertex; -1 = unreachable."""
-    import tempfile
+    import shutil
 
     from flashray import algorithms
     from flashray.build import build_graph
     from flashray.convert import to_edge_schema
 
-    edges = _user_succession_edges_cached(sf_dir)
+    key = f"userweighted_{_tier(sf_dir)}"
+    if key not in _GRAPH_CACHE:
+        edges = _user_succession_edges_cached(sf_dir)
 
-    def add_w(b: pa.Table) -> pa.Table:
-        s = b["src"].to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "weight", pa.array(1.0 + (s % 3).astype(np.float64))
-        )
+        def add_w(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "weight", pa.array(1.0 + (s % 3).astype(np.float64))
+            )
 
-    wedges = edges.map_batches(add_w, batch_format="pyarrow")
-    with tempfile.TemporaryDirectory(prefix="sssp_") as scratch:
-        g = build_graph(
-            to_edge_schema(wedges),
-            os.path.join(scratch, "g"),
-            num_partitions=8,
+        path = os.path.join(_CACHE_ROOT, "graphs", key)
+        shutil.rmtree(path, ignore_errors=True)
+        _GRAPH_CACHE[key] = build_graph(
+            to_edge_schema(edges.map_batches(add_w, batch_format="pyarrow")),
+            path,
+            num_partitions=4,
         )
-        lm = int(
-            g.vertices_dataset(columns=["vertex_id"])
-            .to_pandas()["vertex_id"]
-            .min()
-        )
-        df = algorithms.sssp(g, [lm])
+    g = _GRAPH_CACHE[key]
+    lm = int(
+        g.vertices_dataset(columns=["vertex_id"])
+        .to_pandas()["vertex_id"]
+        .min()
+    )
+    df = algorithms.sssp(g, [lm])
     out = df.rename(columns={"vertex_id": "user_id"})
     out["dist"] = out["value"].astype(np.int64)  # integer costs; -1 unreached
     out["user_id"] = out["user_id"].astype(np.int64)

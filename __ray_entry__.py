@@ -1100,6 +1100,38 @@ def _q_docs_quality_percentile(sf_dir: str):
     )
 
 
+def _q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 50 == 0 form the
+    "benchmark"; every other doc is scored by how many of its distinct
+    word 5-grams appear anywhere in the benchmark (n_hits = 0 means keep).
+    Oracle replays the n-gram expansion + distinct + join in SQL."""
+    import pyarrow.compute as pc
+
+    from flashray.datapipe.dedup import decontaminate
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).materialize()
+
+    def is_bench(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 50 == 0))
+
+    def not_bench(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 50 != 0))
+
+    bench = ds.map_batches(is_bench, batch_format="pyarrow")
+    cand = ds.map_batches(not_bench, batch_format="pyarrow")
+    out = (
+        decontaminate(cand, bench, n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def _q_docs_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -2348,6 +2380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn": _q_embeddings_knn,
         "docs_chunks": _q_docs_chunks,
         "docs_quality_percentile": _q_docs_quality_percentile,
+        "docs_decontaminate": _q_docs_decontaminate,
         "clustering_user_graph": _q_clustering_user_graph,
         "wcc_full": _q_wcc_full,
         "bfs_reply_depth": _q_bfs_reply_depth,
@@ -2903,6 +2936,24 @@ SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
        CAST(v AS BIGINT) AS vertex_id
 FROM r""",
         # TF-IDF top-3 per doc: same tf/df/N, same ROUND-then-rank rule
+        # n-gram decontamination replay: same tokenizer, 5-gram windows,
+        # DISTINCT per side, join + count, zero-fill for clean docs
+        "docs_decontaminate": """
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '') AS ws
+           FROM documents),
+g AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM t),
+ng AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                      || ws[i+3] || ' ' || ws[i+4] AS ngram
+       FROM g),
+bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 50 = 0),
+cand AS (SELECT DISTINCT doc_id, ngram FROM ng WHERE doc_id % 50 <> 0),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits
+         FROM cand JOIN bench USING (ngram) GROUP BY 1)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 50 <> 0""",
         # exact-quantile gate: same avg_token_len formula as docs_quality,
         # quantile_disc(0.25) cut, >= filter on the exact float64 values
         "docs_quality_percentile": """

@@ -775,3 +775,99 @@ def line_dedup(
         .groupby("__dbucket")
         .map_groups(assemble, batch_format="pandas")
     )
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Benchmark decontamination (the Dolma/Llama training-data step):
+    count, per candidate document, how many of its distinct word n-grams
+    appear ANYWHERE in the benchmark corpus. Returns (doc_id, n_hits) for
+    every candidate doc — filter ``n_hits == 0`` to keep, or threshold for
+    a softer policy; docs shorter than n words have no n-grams (0 hits).
+
+    Dataflow (100-TB shape): both sides explode to DISTINCT n-grams
+    map-side (one row per distinct (doc, ngram) — repeated n-grams inside
+    a doc never leave the batch), the benchmark set dedupes through one
+    bucket aggregate, one hash-partitioned join on the n-gram string
+    scores hits, one bucket aggregate counts per doc, and a left join
+    restores zero-hit docs. No broadcast assumption: a huge benchmark
+    set costs one extra shuffle, never driver memory."""
+    I64 = pa.int64()
+
+    def doc_ngrams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split()
+        ids = df[id_col].to_numpy()
+        out_id, out_ng = [], []
+        for d, ws in zip(ids, toks):
+            if len(ws) < n:
+                continue
+            grams = {
+                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            }
+            out_id.extend([int(d)] * len(grams))
+            out_ng.extend(sorted(grams))
+        return pd.DataFrame(
+            {"doc_id": pd.Series(out_id, dtype=np.int64),
+             "ngram": pd.Series(out_ng, dtype=str)}
+        )
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    bench_ng = bucket_group_agg(
+        benchmark.map_batches(doc_ngrams, batch_format="pandas").map_batches(
+            lambda b: b.select(["ngram"]), batch_format="pyarrow"
+        ),
+        ["ngram"],
+        None,
+        num_buckets=num_buckets,
+    )
+    cand_ng = docs.map_batches(doc_ngrams, batch_format="pandas")
+    hits = bucket_hash_join(
+        cand_ng,
+        bench_ng,
+        ["ngram"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("doc_id", I64), ("ngram", pa.string())]),
+        right_schema=pa.schema([("ngram", pa.string())]),
+    )
+    per_doc = bucket_group_agg(
+        hits.map_batches(
+            lambda b: b.select(["doc_id"]).append_column(
+                "n_hits", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+        {"n_hits": ("n_hits", "sum")},
+        num_buckets=num_buckets,
+    )
+    all_ids = docs.map_batches(
+        lambda b: pa.table({"doc_id": b[id_col].cast(I64)}),
+        batch_format="pyarrow",
+    )
+    j = bucket_hash_join(
+        all_ids,
+        per_doc,
+        ["doc_id"],
+        how="left",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("doc_id", I64)]),
+        right_schema=pa.schema([("doc_id", I64), ("n_hits", I64)]),
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "n_hits": df["n_hits"].fillna(0).to_numpy().astype(np.int64),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pandas")

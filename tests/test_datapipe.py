@@ -579,3 +579,35 @@ def test_embedding_moments_and_pca_match_numpy():
     assert np.allclose(P, want, atol=1e-10)
     # projected variances equal the eigenvalues
     assert np.allclose(P.var(axis=0), vals, atol=1e-8)
+
+
+def test_decontaminate_matches_python():
+    from flashray.datapipe.dedup import decontaminate
+
+    rng = np.random.default_rng(21)
+    vocab = ["a", "b", "c", "d", "e"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 25)))
+        for _ in range(60)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+    bench = df[df["doc_id"] % 10 == 0]
+    cand = df[df["doc_id"] % 10 != 0]
+    got = (
+        decontaminate(rd.from_pandas(cand), rd.from_pandas(bench), n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def grams(t, n=3):
+        ws = t.split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    bench_set = set().union(*(grams(t) for t in bench["text"]))
+    want = {
+        int(r.doc_id): len(grams(r.text) & bench_set)
+        for r in cand.itertuples()
+    }
+    assert dict(zip(got["doc_id"], got["n_hits"])) == want
+    assert got["n_hits"].sum() > 0  # fixture actually contaminates

@@ -2126,6 +2126,33 @@ def _q_docs_hash_split(sf_dir: str):
     return out[["doc_id", "split"]]
 
 
+def _q_reciprocity_user(sf_dir: str):
+    """Edge reciprocity over a MIXED-direction user graph: the base
+    succession edges u->v (u < v) plus reverse edges v->u wherever
+    (u + v) % 3 == 0 — the base DAG has reciprocity 0, the planted
+    reverses make the statistic nontrivial. One bucket aggregate ORs
+    direction flags per unordered pair; oracle replays in SQL."""
+    from flashray import algorithms
+
+    edges = _user_succession_edges_cached(sf_dir)
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        m = (s + d) % 3 == 0
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d[m]])),
+                "dst": pa.array(np.concatenate([d, s[m]])),
+            }
+        )
+
+    r = algorithms.reciprocity(
+        edges.map_batches(add_rev, batch_format="pyarrow")
+    )
+    return pd.DataFrame({"reciprocity": [round(float(r), 6)]})
+
+
 def _q_assortativity_user(sf_dir: str):
     """Degree assortativity (Newman 2002) of the user-succession DAG:
     Pearson correlation of (out-degree(src), in-degree(dst)) over edges,
@@ -2357,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support_tool_cooccur": _q_edge_support_tool_cooccur,
         "events_range_purchases": _q_events_range_purchases,
         "assortativity_user": _q_assortativity_user,
+        "reciprocity_user": _q_reciprocity_user,
         "docs_tfidf": _q_docs_tfidf,
         "docs_line_dedup": _q_docs_line_dedup,
         "events_asof_purchase": _q_events_asof_purchase,
@@ -3027,6 +3055,25 @@ FROM (SELECT doc_id,
              CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))
                   AS UBIGINT) AS h
       FROM documents)""",
+        # reciprocity over the mixed-direction graph: distinct directed
+        # edges (base u->v plus reverse where (u+v)%3=0), fraction with a
+        # reverse partner
+        "reciprocity_user": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e0 AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+e AS (SELECT src, dst FROM e0
+      UNION
+      SELECT dst, src FROM e0 WHERE (src + dst) % 3 = 0),
+r AS (SELECT e.src, e.dst,
+             EXISTS (SELECT 1 FROM e x
+                     WHERE x.src = e.dst AND x.dst = e.src) AS has_rev
+      FROM e WHERE e.src <> e.dst)
+SELECT ROUND(SUM(CASE WHEN has_rev THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS reciprocity
+FROM r""",
         # degree assortativity: corr() over (out-deg(src), in-deg(dst))
         # per edge, 6 dp
         "assortativity_user": """

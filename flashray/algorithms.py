@@ -570,6 +570,69 @@ def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
     return float(e_in) / m - sq / (4.0 * m * m)
 
 
+def reciprocity(
+    edges,
+    *,
+    num_buckets: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> float:
+    """Edge reciprocity of a directed graph: the fraction of distinct
+    directed edges (u,v), u != v, whose reverse (v,u) also exists —
+    the standard directed-network statistic (A15 family).
+
+    Dataflow: each edge maps to its unordered pair (lo, hi) carrying
+    has_fwd/has_bwd flags; ONE bucket aggregate ORs the flags per pair
+    (duplicates collapse map-side); a streaming partial-sum pass folds
+    (reciprocated, total) — two numbers on the driver, never the edge
+    set."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from flashray.joins import bucket_group_agg
+
+    def tag(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        fwd = s < d
+        return pa.table(
+            {
+                "lo": np.where(fwd, s, d),
+                "hi": np.where(fwd, d, s),
+                "has_fwd": fwd.astype(np.int64),
+                "has_bwd": (~fwd).astype(np.int64),
+            }
+        )
+
+    pairs = bucket_group_agg(
+        edges.map_batches(tag, batch_format="pyarrow"),
+        ["lo", "hi"],
+        {"has_fwd": ("has_fwd", "max"), "has_bwd": ("has_bwd", "max")},
+        num_buckets=num_buckets,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b["has_fwd"].to_numpy(zero_copy_only=False)
+        w = b["has_bwd"].to_numpy(zero_copy_only=False)
+        both = int(((f == 1) & (w == 1)).sum())
+        return pa.table(
+            {
+                "recip": pa.array([2 * both], pa.int64()),
+                "total": pa.array([int(f.sum() + w.sum())], pa.int64()),
+            }
+        )
+
+    agg = pairs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["recip", "total"])
+    total = int(agg["sum(total)"] or 0)
+    if total == 0:
+        return 0.0
+    return float(int(agg["sum(recip)"] or 0)) / total
+
+
 def degree_assortativity(
     edges,
     *,

@@ -493,3 +493,23 @@ def test_modularity_matches_bruteforce(tmp_graphs):
     want2 = _brute_modularity(s2, d2, comp)
     assert abs(got2 - want2) < 1e-12
     assert got2 > 0.3  # components are a genuinely modular partition
+
+
+def test_reciprocity_matches_python():
+    import ray.data as rd
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    n, m = 40, 300
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    got = algorithms.reciprocity(rd.from_pandas(df))
+    E = {(int(s), int(d)) for s, d in zip(src, dst) if s != d}
+    recip = sum(1 for (s, d) in E if (d, s) in E)
+    assert got == pytest.approx(recip / len(E), abs=1e-12)
+    # pure DAG -> 0; fully symmetric -> 1
+    dag = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    assert algorithms.reciprocity(rd.from_pandas(dag)) == 0.0
+    sym = pd.DataFrame({"src": [0, 1, 1, 2], "dst": [1, 0, 2, 1]})
+    assert algorithms.reciprocity(rd.from_pandas(sym)) == 1.0

@@ -2107,6 +2107,28 @@ def _q_docs_tfidf(sf_dir: str):
     return out
 
 
+def _q_docs_lm_logprob(sf_dir: str):
+    """Per-doc mean log-likelihood under a corpus-self-trained bigram MLE
+    LM (CCNet-style in-domain LM quality signal) — 4-dp rounded so the
+    hundreds-of-ln-terms per-doc sum stays outside fp reassociation
+    noise; n_ngrams is the exact-integer anchor."""
+    from flashray.datapipe.textstats import ngram_lm_logprob
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = (
+        ngram_lm_logprob(docs, n=2, num_buckets=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_ngrams"] = out["n_ngrams"].astype(np.int64)
+    return out
+
+
 def _q_docs_hash_split(sf_dir: str):
     """Deterministic leakage-safe train/val/test assignment: split =
     which cumulative band sha256(doc_id) falls in — exact integer band
@@ -2413,6 +2435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc_full": _q_wcc_full,
         "bfs_reply_depth": _q_bfs_reply_depth,
         "docs_hash_split": _q_docs_hash_split,
+        "docs_lm_logprob": _q_docs_lm_logprob,
         "events_tumbling_1h": _q_events_tumbling,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "pagerank_push": _q_pagerank_push,
@@ -3029,6 +3052,25 @@ s AS (SELECT tfq.doc_id,
 SELECT doc_id, ROUND(score, 6) AS score FROM s
 WHERE ROUND(score, 6) > 0
 ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""",
+        # bigram MLE LM self-scored on the corpus: parallel unnest of the
+        # two shifted token slices keeps (ctx, next-word) aligned; 4-dp
+        # rounding (sum of ~100s of ln terms — see ngram_lm_logprob doc)
+        "docs_lm_logprob": """
+WITH w AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+p AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS ctx,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM w WHERE len(toks) >= 2),
+c12 AS (SELECT ctx, w2, COUNT(*) AS c12 FROM p GROUP BY 1, 2),
+c1 AS (SELECT ctx, COUNT(*) AS c1 FROM p GROUP BY 1)
+SELECT p.doc_id, COUNT(*) AS n_ngrams,
+       ROUND(SUM(ln(CAST(c12.c12 AS DOUBLE) / c1.c1)) / COUNT(*), 4)
+           AS lm_logprob
+FROM p JOIN c12 ON p.ctx = c12.ctx AND p.w2 = c12.w2
+       JOIN c1 ON p.ctx = c1.ctx
+GROUP BY p.doc_id""",
         "docs_tfidf": """
 WITH w AS (SELECT doc_id,
                   unnest(list_filter(regexp_split_to_array(text, '\\s+'),

@@ -689,3 +689,187 @@ def top_ngrams(
         num_buckets=num_buckets,
     )
     return counts.sort(["count", "ngram"], descending=[True, False]).limit(k)
+
+
+def ngram_lm_logprob(
+    docs,
+    *,
+    n: int = 2,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document mean log-likelihood under an order-``n`` word MLE
+    language model trained on the SAME corpus — the CCNet-style in-domain
+    LM quality signal (Wenzek et al. 2020 §4.3), self-trained so no
+    smoothing is needed: every scored n-gram occurs in training, hence
+    P > 0 by construction.
+
+        lm_logprob(doc) = ROUND( (1/B) · Σ ln( C(ctx,w) / C(ctx,·) ), 4 )
+
+    over the doc's B n-grams, where ``ctx`` is the n−1 preceding
+    whitespace tokens joined by one space and C are corpus-wide counts;
+    ``n_ngrams`` = B is the exact-integer anchor column. Docs with fewer
+    than n tokens have no n-grams and are dropped. 4-dp rounding (not
+    the house 6) because the per-doc sum accumulates hundreds of libm
+    ``ln`` terms whose reassociation noise (~1e-12 abs) would land
+    inside a 6-dp rounding boundary often enough to flake a bit-exact
+    SQL replay; at 4 dp the boundary window is 100× wider than the
+    noise.
+
+    Dataflow — ~5 bucket shuffles, each O(distinct corpus n-grams); no
+    broadcast (the model IS the two count tables, which can exceed any
+    single heap at web scale): one map-side explode emits EXACT per-doc
+    n-gram counts (a doc is one row, so its counts complete inside its
+    batch — no tf shuffle, same shape as tfidf_top_terms); corpus n-gram
+    counts and context counts reduce via joins.bucket_group_agg; scoring
+    is two hash-partitioned joins (n-gram count, then context count)
+    plus one per-doc bucket aggregate. Intermediates are materialized
+    only where reused twice (object-store blocks, spillable — never the
+    driver heap). Returns Dataset (doc_id, n_ngrams, lm_logprob)."""
+    import pyarrow as pa
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    def doc_grams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split()
+        if n == 2:
+            ctx = toks.map(lambda ws: ws[:-1])
+            nxt = toks.map(lambda ws: ws[1:])
+        else:
+            ctx = toks.map(
+                lambda ws: [
+                    " ".join(ws[i : i + n - 1])
+                    for i in range(len(ws) - n + 1)
+                ]
+            )
+            nxt = toks.map(lambda ws: ws[n - 1 :])
+        d = pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy().astype(np.int64),
+                "ctx": ctx,
+                "w": nxt,
+            }
+        ).explode(["ctx", "w"])
+        d = d[d["ctx"].notna()]
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "ctx": pd.Series(dtype=str),
+                    "w": pd.Series(dtype=str),
+                    "k": pd.Series(dtype=np.int64),
+                }
+            )
+        return d.groupby(["doc_id", "ctx", "w"], as_index=False).agg(
+            k=("w", "size")
+        )
+
+    perdoc = docs.map_batches(doc_grams, batch_format="pandas").materialize()
+
+    gram_schema = pa.schema(
+        [("ctx", pa.string()), ("w", pa.string()), ("cgram", pa.int64())]
+    )
+    cgram = bucket_group_agg(
+        perdoc.map_batches(
+            lambda df: df.groupby(["ctx", "w"], as_index=False).agg(
+                cgram=("k", "sum")
+            ),
+            batch_format="pandas",
+        ),
+        ["ctx", "w"],
+        {"cgram": ("cgram", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()
+    cctx = bucket_group_agg(
+        cgram.map_batches(
+            lambda df: df.groupby("ctx", as_index=False).agg(
+                cctx=("cgram", "sum")
+            ),
+            batch_format="pandas",
+        ),
+        ["ctx"],
+        {"cctx": ("cctx", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    perdoc_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("ctx", pa.string()),
+            ("w", pa.string()),
+            ("k", pa.int64()),
+        ]
+    )
+    j1 = bucket_hash_join(
+        perdoc,
+        cgram,
+        ["ctx", "w"],
+        num_buckets=num_buckets,
+        left_schema=perdoc_schema,
+        right_schema=gram_schema,
+    )
+    j2 = bucket_hash_join(
+        j1,
+        cctx,
+        ["ctx"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("ctx", pa.string()),
+                ("w", pa.string()),
+                ("k", pa.int64()),
+                ("cgram", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("ctx", pa.string()), ("cctx", pa.int64())]),
+    )
+
+    def partial_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "sum_lp": pd.Series(dtype=np.float64),
+                    "n_ngrams": pd.Series(dtype=np.int64),
+                }
+            )
+        k = df["k"].to_numpy(dtype=np.float64)
+        # ln(cgram/cctx), division first — matches a SQL ln(a/b) replay
+        lp = k * np.log(
+            df["cgram"].to_numpy(dtype=np.float64)
+            / df["cctx"].to_numpy(dtype=np.float64)
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "sum_lp": lp,
+                "n_ngrams": df["k"].to_numpy(dtype=np.int64),
+            }
+        )
+        return out.groupby("doc_id", as_index=False).agg(
+            sum_lp=("sum_lp", "sum"), n_ngrams=("n_ngrams", "sum")
+        )
+
+    agg = bucket_group_agg(
+        j2.map_batches(partial_doc, batch_format="pandas"),
+        ["doc_id"],
+        {"sum_lp": ("sum_lp", "sum"), "n_ngrams": ("n_ngrams", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_ngrams": df["n_ngrams"].to_numpy(dtype=np.int64),
+                "lm_logprob": np.round(
+                    df["sum_lp"].to_numpy(dtype=np.float64)
+                    / df["n_ngrams"].to_numpy(dtype=np.float64),
+                    4,
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

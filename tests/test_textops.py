@@ -161,3 +161,46 @@ def test_top_ngrams_matches_python():
         cnt.update(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(zip(got["ngram"], got["count"])) == want
+
+
+def test_ngram_lm_logprob_matches_python():
+    from collections import Counter
+
+    from flashray.datapipe.textstats import ngram_lm_logprob
+
+    rng = np.random.default_rng(11)
+    vocab = ["x", "y", "z", "w", "v"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 15))))
+        for _ in range(50)
+    ]
+    texts[7] = "solo"  # < n tokens at every n tested: must be dropped
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64), "text": texts})
+    for n in (2, 3):
+        got = (
+            ngram_lm_logprob(rd.from_pandas(df), n=n, num_buckets=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        cg: Counter = Counter()
+        cc: Counter = Counter()
+        grams = {}
+        for d, t in zip(df["doc_id"], texts):
+            ws = t.split()
+            gs = [
+                (" ".join(ws[i : i + n - 1]), ws[i + n - 1])
+                for i in range(len(ws) - n + 1)
+            ]
+            if gs:
+                grams[d] = gs
+                cg.update(gs)
+                cc.update(g[0] for g in gs)
+        assert list(got["doc_id"]) == sorted(grams)
+        for _, row in got.iterrows():
+            gs = grams[row["doc_id"]]
+            want = sum(np.log(cg[g] / cc[g[0]]) for g in gs) / len(gs)
+            assert row["n_ngrams"] == len(gs)
+            assert row["lm_logprob"] == pytest.approx(
+                round(want, 4), abs=1e-9
+            )

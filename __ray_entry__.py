@@ -2187,6 +2187,19 @@ def _q_assortativity_user(sf_dir: str):
     return pd.DataFrame({"assortativity": [round(float(r), 6)]})
 
 
+def _q_powerlaw_user(sf_dir: str):
+    """Clauset–Shalizi–Newman continuous-MLE power-law exponent of the
+    user-graph degree tail (d ≥ 2): one bucket degree aggregate + a
+    streaming (n, Σ ln) fold — two scalars on the driver."""
+    from flashray import algorithms
+
+    edges = _user_succession_edges_cached(sf_dir)
+    alpha, n_tail = algorithms.powerlaw_alpha(edges, d_min=2, num_buckets=32)
+    return pd.DataFrame(
+        {"alpha": [round(float(alpha), 6)], "n_tail": [np.int64(n_tail)]}
+    )
+
+
 def _q_egonet_user(sf_dir: str):
     """Ego-net sampling (A16 composition): induced subgraph on every
     vertex within 2 out-hops of the two lowest user ids — one capped
@@ -2406,6 +2419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support_tool_cooccur": _q_edge_support_tool_cooccur,
         "events_range_purchases": _q_events_range_purchases,
         "assortativity_user": _q_assortativity_user,
+        "powerlaw_user": _q_powerlaw_user,
         "reciprocity_user": _q_reciprocity_user,
         "docs_tfidf": _q_docs_tfidf,
         "docs_line_dedup": _q_docs_line_dedup,
@@ -3118,6 +3132,21 @@ SELECT ROUND(SUM(CASE WHEN has_rev THEN 1 ELSE 0 END)
 FROM r""",
         # degree assortativity: corr() over (out-deg(src), in-deg(dst))
         # per edge, 6 dp
+        # CSN09 continuous-MLE alpha over undirected degrees >= 2 of the
+        # distinct succession-edge set (d_min - 0.5 = 1.5)
+        "powerlaw_user": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+d AS (SELECT v, COUNT(*) AS deg
+      FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+      GROUP BY v),
+t AS (SELECT deg FROM d WHERE deg >= 2)
+SELECT ROUND(1 + COUNT(*) / SUM(ln(deg / 1.5)), 6) AS alpha,
+       COUNT(*) AS n_tail
+FROM t""",
         "assortativity_user": """
 WITH b AS (SELECT DISTINCT user_id, event_type,
                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),

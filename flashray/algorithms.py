@@ -718,3 +718,64 @@ def _with_lineage(result, lineage, **timings):
     except AttributeError:
         pass
     return result
+
+
+def powerlaw_alpha(
+    edges,
+    *,
+    d_min: int = 2,
+    num_buckets: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> tuple[float, int]:
+    """Power-law exponent of the undirected degree distribution by the
+    continuous MLE with the standard discrete correction (Clauset,
+    Shalizi & Newman 2009, eq. 3.7):
+
+        alpha = 1 + n / Σ_i ln( d_i / (d_min − 1/2) )
+
+    over the tail degrees d_i ≥ d_min (A15-family statistic). Returns
+    (alpha, n_tail); alpha is NaN when the tail is empty.
+
+    Dataflow: ONE bucket aggregate builds the degree table from the
+    distinct edge list (each edge contributes both endpoints map-side,
+    pre-combined per batch), then a streaming partial-sum pass folds
+    (n, Σ ln) — two scalars reach the driver, never the degree table."""
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+
+    from flashray.joins import bucket_group_agg
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v, c = np.unique(np.concatenate([s, d]), return_counts=True)
+        return pa.table({"v": v, "deg": c.astype(np.int64)})
+
+    degs = bucket_group_agg(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["v"],
+        {"deg": ("deg", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    lo = d_min - 0.5
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = d[d >= d_min]
+        # division inside the ln — matches a SQL ln(deg / lo) replay
+        return pa.table(
+            {
+                "n": pa.array([int(d.size)], pa.int64()),
+                "s": pa.array([float(np.log(d / lo).sum())], pa.float64()),
+            }
+        )
+
+    agg = degs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["n", "s"])
+    n = int(agg["sum(n)"] or 0)
+    if n == 0:
+        return float("nan"), 0
+    return 1.0 + n / float(agg["sum(s)"]), n

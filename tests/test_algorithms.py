@@ -513,3 +513,27 @@ def test_reciprocity_matches_python():
     assert algorithms.reciprocity(rd.from_pandas(dag)) == 0.0
     sym = pd.DataFrame({"src": [0, 1, 1, 2], "dst": [1, 0, 2, 1]})
     assert algorithms.reciprocity(rd.from_pandas(sym)) == 1.0
+
+
+def test_powerlaw_alpha_matches_numpy():
+    import pandas as pd
+    import ray.data as rd
+
+    from flashray.algorithms import powerlaw_alpha
+
+    rng = np.random.default_rng(5)
+    # Zipf-ish multigraph flattened to distinct edges
+    src = rng.zipf(2.0, size=800) % 60
+    dst = (src + 1 + (rng.zipf(2.0, size=800) % 40)).astype(np.int64)
+    e = pd.DataFrame({"src": src.astype(np.int64), "dst": dst})
+    e = e.drop_duplicates().reset_index(drop=True)
+    got_a, got_n = powerlaw_alpha(rd.from_pandas(e), d_min=2, num_buckets=8)
+    deg = pd.concat([e["src"], e["dst"]]).value_counts().to_numpy()
+    tail = deg[deg >= 2].astype(np.float64)
+    want = 1.0 + tail.size / np.log(tail / 1.5).sum()
+    assert got_n == tail.size
+    assert got_a == pytest.approx(want, rel=1e-12)
+    # empty tail: every vertex degree 1
+    iso = pd.DataFrame({"src": [1, 3], "dst": [2, 4]})
+    a, n = powerlaw_alpha(rd.from_pandas(iso), d_min=2, num_buckets=4)
+    assert n == 0 and np.isnan(a)

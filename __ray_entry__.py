@@ -2107,6 +2107,27 @@ def _q_docs_tfidf(sf_dir: str):
     return out
 
 
+def _q_docs_dedup_keep_best(sf_dir: str):
+    """Quality-aware dedup: group by normalized text (ASCII-whitespace
+    collapse + lowercase), keep the (max n_chars, min doc_id) row per
+    group — one packed-int64 bucket aggregate, no argmax self-join."""
+    from flashray.datapipe.dedup import dedup_keep_best
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    out = (
+        dedup_keep_best(docs, num_buckets=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_dups"] = out["n_dups"].astype(np.int64)
+    return out
+
+
 def _q_docs_lm_logprob(sf_dir: str):
     """Per-doc mean log-likelihood under a corpus-self-trained bigram MLE
     LM (CCNet-style in-domain LM quality signal) — 4-dp rounded so the
@@ -2450,6 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_reply_depth": _q_bfs_reply_depth,
         "docs_hash_split": _q_docs_hash_split,
         "docs_lm_logprob": _q_docs_lm_logprob,
+        "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "events_tumbling_1h": _q_events_tumbling,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "pagerank_push": _q_pagerank_push,
@@ -3066,6 +3088,20 @@ s AS (SELECT tfq.doc_id,
 SELECT doc_id, ROUND(score, 6) AS score FROM s
 WHERE ROUND(score, 6) > 0
 ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""",
+        # normalized-text dedup keeping the (max n_chars, min doc_id) row
+        # per group; the ASCII whitespace class matches the Ray side's
+        # RE2-compatible normalization exactly
+        "docs_dedup_keep_best": """
+WITH k AS (SELECT doc_id, n_chars,
+                  lower(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))
+                      AS norm
+           FROM documents),
+r AS (SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY norm
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY norm) AS n_dups
+      FROM k)
+SELECT doc_id, n_dups FROM r WHERE rk = 1""",
         # bigram MLE LM self-scored on the corpus: parallel unnest of the
         # two shifted token slices keeps (ctx, next-word) aligned; 4-dp
         # rounding (sum of ~100s of ln terms — see ngram_lm_logprob doc)

@@ -871,3 +871,81 @@ def decontaminate(
         )
 
     return j.map_batches(fill, batch_format="pandas")
+
+
+def dedup_keep_best(
+    ds: ray.data.Dataset,
+    *,
+    quality_col: str = "n_chars",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Quality-aware dedup representative selection: rows are grouped by
+    NORMALIZED text (lowercased, runs of ASCII whitespace collapsed to
+    one space — catches the trivial reformat copies exact_dedup's raw
+    hash misses) and each group keeps the row maximizing
+    (quality_col, then LOWEST id) — the "keep best, not first" policy
+    training pipelines apply after clustering. Returns Dataset
+    (doc_id, n_dups), one row per group.
+
+    Dataflow: per-batch normalize, then pack (quality, id) into ONE
+    int64 whose numeric max realizes the lexicographic (max quality,
+    min id) rule — so the whole selection is a single bucket aggregate
+    keyed on the normalized string (map-side pre-combined), never an
+    argmax-by-self-join. Packing bound: quality and id must each fit
+    31/32 bits (checked); web-scale ids beyond that should pre-shard.
+
+    The whitespace class is explicitly ASCII ([ \\t\\n\\f\\r]) so a SQL
+    RE2 replay ('\\s' in RE2 is ASCII-only) normalizes identically —
+    Python's unicode \\s would silently diverge on NBSP et al."""
+    from flashray.joins import bucket_group_agg
+
+    _WS = "[ \t\n\f\r]+"
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            df[text_col]
+            .astype(str)
+            .str.replace(_WS, " ", regex=True)
+            .str.lower()
+        )
+        q = df[quality_col].to_numpy().astype(np.int64)
+        i = df[id_col].to_numpy().astype(np.int64)
+        if len(q) and (
+            q.min() < 0 or q.max() >= 2**31 or i.min() < 0 or i.max() >= 2**32
+        ):
+            raise ValueError(
+                "dedup_keep_best packing needs 0 <= quality < 2^31 and "
+                "0 <= id < 2^32"
+            )
+        d = pd.DataFrame(
+            {
+                "norm": norm,
+                "packed": q * 2**32 + (2**32 - 1 - i),
+                "n_dups": np.ones(len(q), dtype=np.int64),
+            }
+        )
+        return d.groupby("norm", as_index=False).agg(
+            packed=("packed", "max"), n_dups=("n_dups", "sum")
+        )
+
+    agg = bucket_group_agg(
+        ds.select_columns([id_col, text_col, quality_col]).map_batches(
+            pack, batch_format="pandas"
+        ),
+        ["norm"],
+        {"packed": ("packed", "max"), "n_dups": ("n_dups", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        packed = df["packed"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: (2**32 - 1) - (packed & (2**32 - 1)),
+                "n_dups": df["n_dups"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -611,3 +611,34 @@ def test_decontaminate_matches_python():
     }
     assert dict(zip(got["doc_id"], got["n_hits"])) == want
     assert got["n_hits"].sum() > 0  # fixture actually contaminates
+
+
+def test_dedup_keep_best_picks_max_quality_min_id():
+    from flashray.datapipe.dedup import dedup_keep_best
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "Hello  World",      # group A (reformat copies)
+                "hello world",       # group A
+                "hello\tWORLD",      # group A
+                "unique doc",        # group B
+                "Another one",       # group C (tie on quality)
+                "another  ONE",      # group C
+            ],
+            "n_chars": np.array([12, 11, 11, 10, 11, 11], dtype=np.int64),
+        }
+    )
+    got = (
+        dedup_keep_best(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # A: doc 0 wins on n_chars; B: singleton; C: quality tie -> min id 4
+    assert list(got["doc_id"]) == [0, 3, 4]
+    assert list(got["n_dups"]) == [3, 1, 2]
+    bad = df.assign(n_chars=np.array([2**31, 1, 1, 1, 1, 1]))
+    with pytest.raises(Exception, match="packing needs"):
+        dedup_keep_best(rd.from_pandas(bad), num_buckets=2).to_pandas()

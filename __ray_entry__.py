@@ -2107,6 +2107,26 @@ def _q_docs_tfidf(sf_dir: str):
     return out
 
 
+def _q_docs_frequent_terms(sf_dir: str):
+    """Exact corpus heavy hitters (count ≥ ceil(0.003 · total tokens))
+    via the two-pass Misra–Gries scheme: per-batch top-k summaries →
+    guaranteed candidate superset → broadcast exact recount."""
+    from flashray.datapipe.sketches import frequent_terms
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = (
+        frequent_terms(docs, threshold=0.003, num_buckets=32)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
 def _q_docs_dedup_keep_best(sf_dir: str):
     """Quality-aware dedup: group by normalized text (ASCII-whitespace
     collapse + lowercase), keep the (max n_chars, min doc_id) row per
@@ -2472,6 +2492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": _q_docs_hash_split,
         "docs_lm_logprob": _q_docs_lm_logprob,
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
+        "docs_frequent_terms": _q_docs_frequent_terms,
         "events_tumbling_1h": _q_events_tumbling,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "pagerank_push": _q_pagerank_push,
@@ -3088,6 +3109,15 @@ s AS (SELECT tfq.doc_id,
 SELECT doc_id, ROUND(score, 6) AS score FROM s
 WHERE ROUND(score, 6) > 0
 ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""",
+        # exact heavy hitters: integer cutoff ceil(0.003 * total tokens)
+        "docs_frequent_terms": """
+WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+n AS (SELECT COUNT(*) AS n FROM w)
+SELECT term, COUNT(*) AS cnt
+FROM w, n GROUP BY term, n.n
+HAVING COUNT(*) >= CAST(ceil(0.003 * n.n) AS BIGINT)""",
         # normalized-text dedup keeping the (max n_chars, min doc_id) row
         # per group; the ASCII whitespace class matches the Ray side's
         # RE2-compatible normalization exactly

@@ -545,3 +545,153 @@ def pack_sequences(
         return b.drop(columns="__before")
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def frequent_terms(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.01,
+    k: int | None = None,
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT corpus heavy hitters via a Misra–Gries candidate pass plus an
+    exactness-restoring recount: every term whose corpus count is
+    ≥ ceil(threshold · total_tokens), with its exact count — the
+    two-pass frequent-items scheme (Misra & Gries 1982; Cormode &
+    Hadjieleftheriou, VLDB 2008 survey §2).
+
+    Pass 1 computes exact per-batch term counts map-side and keeps only
+    each batch's top ``k`` (k defaults to ceil(2/threshold)); a dropped
+    term's in-batch count is at most N_b/(k+1), so summing kept counts
+    undercounts any term by < N/(k+1) ≤ threshold·N/2 globally. One
+    bucket aggregate then yields lower bounds; terms with
+    lb ≥ required − floor(N/(k+1)) form a GUARANTEED superset of the
+    answer with at most ~2/threshold members (each carries ≥
+    threshold·N/2 of the N-token mass) — small enough to broadcast.
+    Pass 2 recounts exactly the candidate set (broadcast membership
+    filter inside map_batches, one bucket aggregate) and applies the
+    exact integer cutoff. The shuffles carry per-batch summaries (≤ k
+    rows each) and candidate counts — never raw token rows.
+
+    Returns Dataset (term, cnt). Deterministic: exact integer counts,
+    an integer cutoff, no hashing, no RNG. Consumer note: when NO term
+    reaches the cutoff, Ray's ``to_pandas()`` on the (fully-empty)
+    result drops the column labels — check ``len`` before column
+    access."""
+    import math
+
+    import ray
+
+    from flashray.joins import bucket_group_agg
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    kk = int(k) if k is not None else math.ceil(2.0 / threshold)
+
+    def summary(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split()
+        d = pd.DataFrame({"term": toks}).explode("term").dropna()
+        d = d[d["term"] != ""]
+        n_b = len(d)
+        c = d.groupby("term").size().sort_values(
+            ascending=False, kind="stable"
+        )
+        kept = c.iloc[:kk]
+        out = pd.DataFrame(
+            {
+                "term": kept.index.astype(str),
+                "cnt": kept.to_numpy(dtype=np.int64),
+                "is_total": np.zeros(len(kept), dtype=np.int64),
+            }
+        )
+        total_row = pd.DataFrame(
+            {"term": [""], "cnt": [np.int64(n_b)], "is_total": [np.int64(1)]}
+        )
+        return pd.concat([out, total_row], ignore_index=True)
+
+    summ = bucket_group_agg(
+        docs.map_batches(summary, batch_format="pandas"),
+        ["term", "is_total"],
+        {"cnt": ("cnt", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    ntot = summ.map_batches(
+        lambda df: pd.DataFrame(
+            {"n": [df.loc[df["is_total"] == 1, "cnt"].sum()]}
+        ),
+        batch_format="pandas",
+    ).sum("n")
+    n_total = int(ntot or 0)
+    if n_total == 0:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(
+            pa.table({"term": _pa.array([], pa.string()),
+                      "cnt": _pa.array([], pa.int64())})
+        )
+    required = math.ceil(threshold * n_total)
+    cut = required - n_total // (kk + 1)
+    if cut < 1:
+        # a term below the cut can have been dropped from EVERY batch
+        # summary, so cut < 1 voids the superset guarantee — the k the
+        # caller picked is too small for this threshold at this corpus
+        # size (need k+1 > total_tokens / required, default k = 2/θ
+        # always satisfies it)
+        raise ValueError(
+            f"frequent_terms: k={kk} is too small for "
+            f"threshold={threshold} at {n_total} tokens "
+            f"(need k+1 > {n_total}/{required}); use k >= "
+            f"{math.ceil(n_total / required)}"
+        )
+
+    cand = (
+        summ.map_batches(
+            lambda df: df[(df["is_total"] == 0) & (df["cnt"] >= cut)][
+                ["term"]
+            ],
+            batch_format="pandas",
+        )
+        .to_pandas()["term"]
+        .tolist()
+    )
+    if not cand:
+        return ray.data.from_arrow(
+            pa.table({"term": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+        )
+    cand_ref = ray.put(frozenset(cand))
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        members = ray.get(cand_ref)
+        toks = df[text_col].astype(str).str.split()
+        d = pd.DataFrame({"term": toks}).explode("term").dropna()
+        d = d[d["term"].isin(members)]
+        if not len(d):
+            return pd.DataFrame(
+                {"term": pd.Series(dtype=str),
+                 "cnt": pd.Series(dtype=np.int64)}
+            )
+        return d.groupby("term", as_index=False).agg(cnt=("term", "size"))
+
+    exact = bucket_group_agg(
+        docs.map_batches(recount, batch_format="pandas"),
+        ["term"],
+        {"cnt": ("cnt", "sum")},
+        num_buckets=num_buckets,
+    )
+    def cutoff(df: pd.DataFrame) -> pd.DataFrame:
+        # typed construction so an all-filtered block still carries the
+        # (term, cnt) schema — a bare boolean mask would return a
+        # schema-less empty frame and the Dataset would lose its schema
+        # when every block filters out
+        out = df[df["cnt"] >= required]
+        return pd.DataFrame(
+            {
+                "term": out["term"].astype(str),
+                "cnt": out["cnt"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return exact.map_batches(cutoff, batch_format="pandas")

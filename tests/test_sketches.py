@@ -260,3 +260,56 @@ def test_global_rank_and_cumsum_tiny_many_partitions():
     cum = sketches.global_cumsum(ds, ["id"], "v").to_pandas()
     cum = cum.sort_values("id").reset_index(drop=True)
     assert list(cum["cumsum_before"]) == [0, 20, 50]
+
+
+def test_frequent_terms_exact_two_pass():
+    from collections import Counter
+
+    from flashray.datapipe.sketches import frequent_terms
+
+    rng = np.random.default_rng(9)
+    vocab = [f"t{i}" for i in range(40)]
+    probs = np.arange(40, 0, -1, dtype=np.float64)
+    probs /= probs.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 30)), p=probs))
+        for _ in range(120)
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(120, dtype=np.int64), "text": texts}
+    )
+    cnt = Counter(w for t in texts for w in t.split())
+    n = sum(cnt.values())
+    import math
+
+    for th in (0.02, 0.05):
+        got = frequent_terms(
+            rd.from_pandas(df), threshold=th, num_buckets=8
+        ).to_pandas()
+        req = math.ceil(th * n)
+        want = sorted((t, c) for t, c in cnt.items() if c >= req)
+        if not want:
+            # 0.05 exercises the empty-answer edge (top term ~0.049 of
+            # mass); Ray's to_pandas() drops columns on a fully-empty
+            # Dataset, so only the row count is assertable
+            assert len(got) == 0
+            continue
+        got = got.sort_values("term").reset_index(drop=True)
+        assert list(zip(got["term"], got["cnt"])) == want
+    # k in [1/th, 2/th): wider candidate set, result must stay exact
+    th = 0.02
+    req = math.ceil(th * n)
+    k_mid = math.ceil(n / req) + 1
+    got = (
+        frequent_terms(rd.from_pandas(df), threshold=th, k=k_mid,
+                       num_buckets=8)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    want = sorted((t, c) for t, c in cnt.items() if c >= req)
+    assert list(zip(got["term"], got["cnt"])) == want
+    # a k that voids the superset guarantee is rejected, never silent
+    with pytest.raises(Exception, match="too small"):
+        frequent_terms(rd.from_pandas(df), threshold=th, k=2,
+                       num_buckets=8).to_pandas()

@@ -2107,6 +2107,22 @@ def _q_docs_tfidf(sf_dir: str):
     return out
 
 
+def _q_docs_zipf_alpha(sf_dir: str):
+    """Zipf exponent of the corpus unigram distribution (CSN09 MLE over
+    term counts ≥ 2): one bucket count aggregate + a streaming
+    (n, Σ ln) fold."""
+    from flashray.datapipe.textstats import zipf_alpha
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    alpha, n_tail = zipf_alpha(docs, c_min=2, num_buckets=32)
+    return pd.DataFrame(
+        {"alpha": [round(float(alpha), 6)], "n_tail": [np.int64(n_tail)]}
+    )
+
+
 def _q_docs_frequent_terms(sf_dir: str):
     """Exact corpus heavy hitters (count ≥ ceil(0.003 · total tokens))
     via the two-pass Misra–Gries scheme: per-batch top-k summaries →
@@ -2493,6 +2509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_logprob": _q_docs_lm_logprob,
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "docs_frequent_terms": _q_docs_frequent_terms,
+        "docs_zipf_alpha": _q_docs_zipf_alpha,
         "events_tumbling_1h": _q_events_tumbling,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "pagerank_push": _q_pagerank_push,
@@ -3109,6 +3126,16 @@ s AS (SELECT tfq.doc_id,
 SELECT doc_id, ROUND(score, 6) AS score FROM s
 WHERE ROUND(score, 6) > 0
 ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""",
+        # Zipf MLE over unigram counts >= 2 (c_min - 0.5 = 1.5)
+        "docs_zipf_alpha": """
+WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+c AS (SELECT term, COUNT(*) AS cnt FROM w GROUP BY 1),
+t AS (SELECT cnt FROM c WHERE cnt >= 2)
+SELECT ROUND(1 + COUNT(*) / SUM(ln(cnt / 1.5)), 6) AS alpha,
+       COUNT(*) AS n_tail
+FROM t""",
         # exact heavy hitters: integer cutoff ceil(0.003 * total tokens)
         "docs_frequent_terms": """
 WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),

@@ -759,12 +759,22 @@ def powerlaw_alpha(
         num_buckets=num_buckets,
     )
 
-    lo = d_min - 0.5
+    return mle_tail_alpha(degs, "deg", x_min=d_min)
+
+
+def mle_tail_alpha(values, col: str, *, x_min: int = 2) -> tuple[float, int]:
+    """CSN09 continuous-MLE tail exponent over any integer-valued column
+    (degree, term frequency, …): alpha = 1 + n / Σ ln(x_i / (x_min−½))
+    for x_i ≥ x_min. One streaming (n, Σ ln) fold — two scalars reach
+    the driver. Returns (alpha, n_tail); alpha is NaN on an empty tail."""
+    import pyarrow as pa
+
+    lo = x_min - 0.5
 
     def partial(b: pa.Table) -> pa.Table:
-        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
-        d = d[d >= d_min]
-        # division inside the ln — matches a SQL ln(deg / lo) replay
+        d = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = d[d >= x_min]
+        # division inside the ln — matches a SQL ln(x / lo) replay
         return pa.table(
             {
                 "n": pa.array([int(d.size)], pa.int64()),
@@ -772,7 +782,7 @@ def powerlaw_alpha(
             }
         )
 
-    agg = degs.map_batches(
+    agg = values.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).sum(["n", "s"])
     n = int(agg["sum(n)"] or 0)

@@ -873,3 +873,44 @@ def ngram_lm_logprob(
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def zipf_alpha(
+    docs,
+    *,
+    c_min: int = 2,
+    num_buckets: int = 64,
+    text_col: str = "text",
+):
+    """Zipf exponent of the corpus unigram frequency distribution — the
+    CSN09 continuous-MLE tail fit applied to term counts ≥ ``c_min``
+    (the vocabulary analogue of the degree power-law fit; a healthy
+    natural-language corpus sits near alpha ≈ 2, so a drifting fit is a
+    cheap whole-corpus quality alarm). Returns (alpha, n_tail).
+
+    Dataflow: per-batch term-count partials (map-side combine, one row
+    per distinct (batch, term) — the top_ngrams shape at n=1), one
+    bucket aggregate, then algorithms.mle_tail_alpha's streaming
+    (n, Σ ln) fold — two scalars reach the driver."""
+    from flashray.algorithms import mle_tail_alpha
+    from flashray.joins import bucket_group_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"term": df[text_col].astype(str).str.split()}
+        ).explode("term")
+        d = d[d["term"].notna() & (d["term"] != "")]
+        if not len(d):
+            return pd.DataFrame(
+                {"term": pd.Series(dtype=str),
+                 "cnt": pd.Series(dtype=np.int64)}
+            )
+        return d.groupby("term", as_index=False).agg(cnt=("term", "size"))
+
+    counts = bucket_group_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["term"],
+        {"cnt": ("cnt", "sum")},
+        num_buckets=num_buckets,
+    )
+    return mle_tail_alpha(counts, "cnt", x_min=c_min)

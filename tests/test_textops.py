@@ -204,3 +204,25 @@ def test_ngram_lm_logprob_matches_python():
             assert row["lm_logprob"] == pytest.approx(
                 round(want, 4), abs=1e-9
             )
+
+
+def test_zipf_alpha_matches_python():
+    from collections import Counter
+
+    from flashray.datapipe.textstats import zipf_alpha
+
+    rng = np.random.default_rng(13)
+    vocab = [f"v{i}" for i in range(30)]
+    probs = 1.0 / np.arange(1, 31)
+    probs /= probs.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(2, 20)), p=probs))
+        for _ in range(80)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+    alpha, n_tail = zipf_alpha(rd.from_pandas(df), c_min=2, num_buckets=8)
+    cnt = Counter(w for t in texts for w in t.split())
+    tail = np.array([c for c in cnt.values() if c >= 2], dtype=np.float64)
+    want = 1.0 + tail.size / np.log(tail / 1.5).sum()
+    assert n_tail == tail.size
+    assert alpha == pytest.approx(want, rel=1e-12)

@@ -2107,6 +2107,22 @@ def _q_docs_tfidf(sf_dir: str):
     return out
 
 
+_CMS_PROBES = ["batch", "hash", "join", "nosuchword", "row", "scan"]
+
+
+def _q_docs_cms_counts(sf_dir: str):
+    """Count-Min sketch term-count estimates for a fixed probe set —
+    SHA-derived registers merged as 32 KB partials; the oracle rebuilds
+    every register cell in SQL (HLL-oracle pattern)."""
+    from flashray.datapipe.sketches import cms_term_estimates
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return cms_term_estimates(docs, _CMS_PROBES, w=1024, d=4)
+
+
 def _q_docs_zipf_alpha(sf_dir: str):
     """Zipf exponent of the corpus unigram distribution (CSN09 MLE over
     term counts ≥ 2): one bucket count aggregate + a streaming
@@ -2510,6 +2526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "docs_frequent_terms": _q_docs_frequent_terms,
         "docs_zipf_alpha": _q_docs_zipf_alpha,
+        "docs_cms_counts": _q_docs_cms_counts,
         "events_tumbling_1h": _q_events_tumbling,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "pagerank_push": _q_pagerank_push,
@@ -3126,6 +3143,31 @@ s AS (SELECT tfq.doc_id,
 SELECT doc_id, ROUND(score, 6) AS score FROM s
 WHERE ROUND(score, 6) > 0
 ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""",
+        # full Count-Min register rebuild: every (row j, cell) gets the
+        # summed count of ALL terms hashing there, probes take min_j of
+        # their cells (LEFT JOIN: an untouched cell is register 0)
+        "docs_cms_counts": """
+WITH w_tok AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                         x -> x <> '')) AS term
+               FROM documents),
+cnt AS (SELECT term, COUNT(*) AS c FROM w_tok GROUP BY 1),
+rows_j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (SELECT rows_j.j,
+                 CAST(concat('0x', substr(sha256(concat(rows_j.j, '|',
+                                                        cnt.term)), 1, 16))
+                      AS UBIGINT) % 1024 AS cell,
+                 SUM(cnt.c) AS tot
+          FROM cnt, rows_j GROUP BY 1, 2),
+probes AS (SELECT unnest(['batch', 'hash', 'join', 'nosuchword', 'row',
+                          'scan']) AS term),
+ph AS (SELECT probes.term, rows_j.j,
+              CAST(concat('0x', substr(sha256(concat(rows_j.j, '|',
+                                               probes.term)), 1, 16))
+                   AS UBIGINT) % 1024 AS cell
+       FROM probes, rows_j)
+SELECT ph.term, CAST(MIN(COALESCE(cells.tot, 0)) AS BIGINT) AS est
+FROM ph LEFT JOIN cells ON cells.j = ph.j AND cells.cell = ph.cell
+GROUP BY ph.term""",
         # Zipf MLE over unigram counts >= 2 (c_min - 0.5 = 1.5)
         "docs_zipf_alpha": """
 WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),

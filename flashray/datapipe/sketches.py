@@ -695,3 +695,65 @@ def frequent_terms(
         )
 
     return exact.map_batches(cutoff, batch_format="pandas")
+
+
+def cms_term_estimates(
+    docs: ray.data.Dataset,
+    probes: list[str],
+    *,
+    w: int = 1024,
+    d: int = 4,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Count-Min sketch over corpus whitespace tokens, with point
+    estimates for a fixed probe set (Cormode & Muthukrishnan 2005):
+    estimate(p) = min_j M[j, h_j(p)], an upper bound on p's true count
+    with overcount ≤ e/w · total_tokens at confidence 1 − e^-d.
+
+    Hashes are SHA-256-derived (``h_j(t) = first-8-bytes of
+    sha256(f"{j}|{t}") mod w``) — no RNG, bit-reproducible across runs
+    and partitionings, and exactly recomputable in SQL (the
+    ``docs_cms_counts`` oracle rebuilds every register cell in DuckDB
+    and takes the same min — the HLL-oracle pattern).
+
+    Per-batch partial: exact in-batch term counts, each distinct term
+    adding its count to d cells; the d×w int64 matrix (32 KB at the
+    defaults) is the ONLY thing shipped per block, partials merge by
+    elementwise SUM on the driver — O(blocks · d · w) bytes, like the
+    HLL register merge, never token rows. Returns pd.DataFrame
+    (term, est) over the probes (est is int64; absent probes estimate
+    to their cells' collision mass, possibly 0)."""
+    m = np.zeros((d, w), dtype=np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"term": df[text_col].astype(str).str.split()}
+        ).explode("term")
+        t = t[t["term"].notna() & (t["term"] != "")]
+        mb = np.zeros((d, w), dtype=np.int64)
+        if len(t):
+            c = t.groupby("term").size()
+            terms = c.index.to_numpy(dtype=object)
+            cnts = c.to_numpy(dtype=np.int64)
+            for j in range(d):
+                idx = (
+                    _sha_u64([f"{j}|{s}" for s in terms]) % np.uint64(w)
+                ).astype(np.int64)
+                np.add.at(mb[j], idx, cnts)
+        return pd.DataFrame({"regs": [mb.tobytes()]})
+
+    parts = docs.map_batches(partial, batch_format="pandas")
+    for batch in parts.iter_batches(batch_format="pyarrow", batch_size=256):
+        for blob in batch["regs"].to_pylist():
+            m += np.frombuffer(blob, dtype=np.int64).reshape(d, w)
+
+    out = []
+    for p in probes:
+        cells = [
+            int(m[j, int(_sha_u64([f"{j}|{p}"])[0] % np.uint64(w))])
+            for j in range(d)
+        ]
+        out.append((p, min(cells)))
+    res = pd.DataFrame(out, columns=["term", "est"]).sort_values("term")
+    res["est"] = res["est"].astype(np.int64)
+    return res.reset_index(drop=True)

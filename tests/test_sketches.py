@@ -313,3 +313,49 @@ def test_frequent_terms_exact_two_pass():
     with pytest.raises(Exception, match="too small"):
         frequent_terms(rd.from_pandas(df), threshold=th, k=2,
                        num_buckets=8).to_pandas()
+
+
+def test_cms_term_estimates_upper_bound_and_sql_semantics():
+    from collections import Counter
+
+    from flashray.datapipe.sketches import cms_term_estimates
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 25))))
+        for _ in range(100)
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(100, dtype=np.int64), "text": texts}
+    )
+    cnt = Counter(t for s in texts for t in s.split())
+    probes = ["w0", "w7", "w49", "absent"]
+    got = cms_term_estimates(
+        rd.from_pandas(df), probes, w=256, d=4, text_col="text"
+    )
+    assert list(got["term"]) == sorted(probes)
+    est = dict(zip(got["term"], got["est"]))
+    n = sum(cnt.values())
+    for p in probes:
+        true = cnt.get(p, 0)
+        assert est[p] >= true          # CMS never under-counts
+        assert est[p] <= true + n      # sane upper bound
+    # python replay of the register matrix agrees exactly
+    import hashlib
+
+    m = np.zeros((4, 256), dtype=np.int64)
+    for t, c in cnt.items():
+        for j in range(4):
+            h = int.from_bytes(
+                hashlib.sha256(f"{j}|{t}".encode()).digest()[:8], "big"
+            )
+            m[j, h % 256] += c
+    for p in probes:
+        cells = [
+            m[j, int.from_bytes(
+                hashlib.sha256(f"{j}|{p}".encode()).digest()[:8], "big"
+            ) % 256]
+            for j in range(4)
+        ]
+        assert est[p] == min(cells)

@@ -2107,6 +2107,21 @@ def _q_docs_tfidf(sf_dir: str):
     return out
 
 
+def _q_events_funnel(sf_dir: str):
+    """view→click→purchase ordered funnel (greedy earliest-completion):
+    per step one type-sliced hash join against the previous completion
+    table + one bucket min-aggregate."""
+    from flashray.datapipe.temporal import funnel_counts
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], num_buckets=32
+    )
+
+
 _CMS_PROBES = ["batch", "hash", "join", "nosuchword", "row", "scan"]
 
 
@@ -2527,6 +2542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_frequent_terms": _q_docs_frequent_terms,
         "docs_zipf_alpha": _q_docs_zipf_alpha,
         "docs_cms_counts": _q_docs_cms_counts,
+        "events_funnel": _q_events_funnel,
         "events_tumbling_1h": _q_events_tumbling,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "pagerank_push": _q_pagerank_push,
@@ -3143,6 +3159,20 @@ s AS (SELECT tfq.doc_id,
 SELECT doc_id, ROUND(score, 6) AS score FROM s
 WHERE ROUND(score, 6) > 0
 ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""",
+        # greedy earliest-completion funnel: step i's completion time is
+        # the earliest step-i event STRICTLY after step i-1's
+        "events_funnel": """
+WITH a AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+b AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN a USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN b USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS step, (SELECT COUNT(*) FROM a) AS users
+UNION ALL
+SELECT CAST(2 AS BIGINT), (SELECT COUNT(*) FROM b)
+UNION ALL
+SELECT CAST(3 AS BIGINT), (SELECT COUNT(*) FROM c)""",
         # full Count-Min register rebuild: every (row j, cell) gets the
         # summed count of ALL terms hashing there, probes take min_j of
         # their cells (LEFT JOIN: an untouched cell is register 0)

@@ -265,3 +265,104 @@ def range_join(
         return _restore_int_dtypes(out, all_cols)[out_cols]
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def funnel_counts(
+    events: ray.data.Dataset,
+    steps: list[str],
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Ordered-funnel completion counts over an event stream: a user
+    completes step i when an event of type ``steps[i]`` exists STRICTLY
+    after their step-(i−1) completion time, completion time being the
+    EARLIEST such event — the greedy earliest-completion rule (the
+    standard product-analytics funnel semantics, and deterministic:
+    ties on the completion time itself don't matter because only the
+    min timestamp survives). Returns pd.DataFrame (step 1..K int64,
+    users int64) — K driver scalars.
+
+    Dataflow: per step, ONE hash-partitioned join of that step's
+    single-type event subset against the previous completion table
+    (one row per surviving user) + ONE bucket min-aggregate with
+    map-side partial mins — O(K) shuffles, each over a type-filtered
+    slice; nothing user-level ever reaches the driver."""
+    import pyarrow.compute as pc
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    comp_schema = pa.schema(
+        [(user_col, pa.int64()), ("t_prev", pa.timestamp("us"))]
+    )
+
+    def type_slice(step: str) -> ray.data.Dataset:
+        def f(b: pa.Table) -> pa.Table:
+            out = b.filter(pc.equal(b[type_col], step))
+            return pa.table(
+                {
+                    user_col: out[user_col].cast(pa.int64()),
+                    ts_col: out[ts_col].cast(pa.timestamp("us")),
+                }
+            )
+
+        return events.map_batches(f, batch_format="pyarrow")
+
+    def premin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(user_col, as_index=False).agg(
+            t_prev=(ts_col, "min")
+        )
+
+    counts: list[int] = []
+    cur = None
+    for step in steps:
+        sl = type_slice(step)
+        if cur is None:
+            nxt = bucket_group_agg(
+                sl.map_batches(premin, batch_format="pandas"),
+                [user_col],
+                {"t_prev": ("t_prev", "min")},
+                num_buckets=num_buckets,
+            )
+        else:
+            j = bucket_hash_join(
+                sl,
+                cur,
+                [user_col],
+                num_buckets=num_buckets,
+                left_schema=pa.schema(
+                    [(user_col, pa.int64()), (ts_col, pa.timestamp("us"))]
+                ),
+                right_schema=comp_schema,
+            )
+
+            def after_prev(df: pd.DataFrame) -> pd.DataFrame:
+                out = df[df[ts_col] > df["t_prev"]]
+                if not len(out):
+                    return _typed_empty(
+                        [(user_col, pa.int64()),
+                         ("t_prev", pa.timestamp("us"))]
+                    )
+                return (
+                    out.groupby(user_col, as_index=False)
+                    .agg(t_new=(ts_col, "min"))
+                    .rename(columns={"t_new": "t_prev"})
+                )
+
+            nxt = bucket_group_agg(
+                j.map_batches(after_prev, batch_format="pandas"),
+                [user_col],
+                {"t_prev": ("t_prev", "min")},
+                num_buckets=num_buckets,
+            )
+        cur = nxt.materialize()
+        counts.append(cur.count())
+
+    return pd.DataFrame(
+        {
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "users": np.array(counts, dtype=np.int64),
+        }
+    )

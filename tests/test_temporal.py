@@ -287,3 +287,30 @@ def test_range_join_timestamps_vs_duckdb():
     assert len(g) == len(w) > 0
     for c in cols + ["value"]:
         assert (g[c].to_numpy() == w[c].to_numpy()).all(), c
+
+
+def test_funnel_counts_greedy_earliest():
+    from flashray.datapipe.temporal import funnel_counts
+
+    # u1 completes all 3; u2 has purchase BEFORE click (stops at 2);
+    # u3 view only; u4 click-first (never enters step 1... no view)
+    rows = [
+        (1, "view", "2024-01-01 00:00"),
+        (1, "click", "2024-01-01 01:00"),
+        (1, "purchase", "2024-01-01 02:00"),
+        (2, "view", "2024-01-01 00:00"),
+        (2, "purchase", "2024-01-01 00:30"),
+        (2, "click", "2024-01-01 01:00"),
+        (3, "view", "2024-01-01 00:00"),
+        (4, "click", "2024-01-01 00:00"),
+        # u5: click tie with view ts (strict > excludes it)
+        (5, "view", "2024-01-01 00:00"),
+        (5, "click", "2024-01-01 00:00"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    got = funnel_counts(
+        rd.from_pandas(df), ["view", "click", "purchase"], num_buckets=4
+    )
+    assert list(got["step"]) == [1, 2, 3]
+    assert list(got["users"]) == [4, 2, 1]

@@ -2107,6 +2107,27 @@ def _q_docs_tfidf(sf_dir: str):
     return out
 
 
+def _q_events_cohorts(sf_dir: str):
+    """Weekly cohort-retention matrix: cohort = integer-microsecond week
+    of a user's first event; cells count cohort members active at each
+    later week offset. Two bucket aggregates + one hash join."""
+    from flashray.datapipe.temporal import cohort_retention
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    out = (
+        cohort_retention(ev, num_buckets=32)
+        .to_pandas()
+        .sort_values(["cohort", "week_offset"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def _q_events_funnel(sf_dir: str):
     """view→click→purchase ordered funnel (greedy earliest-completion):
     per step one type-sliced hash join against the previous completion
@@ -2543,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf_alpha": _q_docs_zipf_alpha,
         "docs_cms_counts": _q_docs_cms_counts,
         "events_funnel": _q_events_funnel,
+        "events_cohorts": _q_events_cohorts,
         "events_tumbling_1h": _q_events_tumbling,
         "wcc_reply_sizes": _q_wcc_reply_sizes,
         "pagerank_push": _q_pagerank_push,
@@ -3159,6 +3181,19 @@ s AS (SELECT tfq.doc_id,
 SELECT doc_id, ROUND(score, 6) AS score FROM s
 WHERE ROUND(score, 6) > 0
 ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""",
+        # weekly cohort retention on integer-microsecond week ids
+        # (epoch_us // 604800e6 — float epoch() can flip a boundary)
+        "events_cohorts": """
+WITH f AS (SELECT user_id,
+                  MIN(epoch_us(ts)) // 604800000000 AS cohort
+           FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 604800000000 AS wk
+      FROM events)
+SELECT f.cohort, a.wk - f.cohort AS week_offset,
+       COUNT(*) AS users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2""",
         # greedy earliest-completion funnel: step i's completion time is
         # the earliest step-i event STRICTLY after step i-1's
         "events_funnel": """

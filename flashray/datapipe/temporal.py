@@ -366,3 +366,112 @@ def funnel_counts(
             "users": np.array(counts, dtype=np.int64),
         }
     )
+
+
+def cohort_retention(
+    events: ray.data.Dataset,
+    *,
+    period_us: int = 7 * 24 * 3600 * 1_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cohort retention matrix: users are cohorted by the period (week by
+    default) of their FIRST event; for every (cohort, week_offset ≥ 0)
+    cell, the number of cohort members active in that later period.
+    Returns Dataset (cohort, week_offset, users) — cells, not users.
+
+    Period ids are integer-microsecond floor divisions
+    (``epoch_us // period_us``), so a SQL replay using ``epoch_us`` is
+    bit-identical — float ``epoch()`` seconds can flip a user across a
+    period boundary at the 100 ns scale.
+
+    Dataflow: one bucket min-aggregate for first-events (map-side
+    per-batch mins), one bucket dedup of (user, active-period) pairs
+    (map-side distinct per batch), one hash join + a final (cohort,
+    offset) bucket aggregate over map-side partial counts — the output
+    is O(periods²) cells regardless of user count."""
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                user_col: df[user_col].to_numpy().astype(np.int64),
+                # unit-explicit: a datetime64[ns] input (e.g. from_pandas)
+                # must land on the same microsecond ids as parquet's [us]
+                "first_us": df[ts_col]
+                .to_numpy(dtype="datetime64[us]")
+                .astype(np.int64),
+            }
+        )
+        return d.groupby(user_col, as_index=False).agg(
+            first_us=("first_us", "min")
+        )
+
+    firsts = bucket_group_agg(
+        events.map_batches(first_partial, batch_format="pandas"),
+        [user_col],
+        {"first_us": ("first_us", "min")},
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                user_col: df[user_col].to_numpy(dtype=np.int64),
+                "cohort": df["first_us"].to_numpy(dtype=np.int64)
+                // period_us,
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def active_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                user_col: df[user_col].to_numpy().astype(np.int64),
+                "wk": df[ts_col]
+                .to_numpy(dtype="datetime64[us]")
+                .astype(np.int64)
+                // period_us,
+            }
+        )
+        return d.drop_duplicates()
+
+    active = bucket_group_agg(
+        events.map_batches(active_partial, batch_format="pandas"),
+        [user_col, "wk"],
+        {"n": ("wk", "size")},
+        num_buckets=num_buckets,
+    )
+
+    j = bucket_hash_join(
+        active,
+        firsts,
+        [user_col],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [(user_col, pa.int64()), ("wk", pa.int64()), ("n", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [(user_col, pa.int64()), ("cohort", pa.int64())]
+        ),
+    )
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "cohort": df["cohort"].to_numpy(dtype=np.int64),
+                "week_offset": df["wk"].to_numpy(dtype=np.int64)
+                - df["cohort"].to_numpy(dtype=np.int64),
+                "users": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return d.groupby(["cohort", "week_offset"], as_index=False).agg(
+            users=("users", "sum")
+        )
+
+    return bucket_group_agg(
+        j.map_batches(cell_partial, batch_format="pandas"),
+        ["cohort", "week_offset"],
+        {"users": ("users", "sum")},
+        num_buckets=num_buckets,
+    )

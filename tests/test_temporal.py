@@ -314,3 +314,37 @@ def test_funnel_counts_greedy_earliest():
     )
     assert list(got["step"]) == [1, 2, 3]
     assert list(got["users"]) == [4, 2, 1]
+
+
+def test_cohort_retention_matrix():
+    from flashray.datapipe.temporal import cohort_retention
+
+    wk = 7 * 24 * 3600 * 1_000_000
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    # u1 first in wk0, active wk0+wk2; u2 first wk0 only; u3 first wk1,
+    # active wk1+wk2 (two events same week dedupe)
+    rows = [
+        (1, base + 100),
+        (1, base + 2 * wk + 5),
+        (2, base + 50),
+        (3, base + wk + 1),
+        (3, base + wk + 2),
+        (3, base + 2 * wk + 9),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    got = (
+        cohort_retention(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values(["cohort", "week_offset"])
+        .reset_index(drop=True)
+    )
+    c0 = base // wk
+    want = pd.DataFrame(
+        {
+            "cohort": [c0, c0, c0 + 1, c0 + 1],
+            "week_offset": [0, 2, 0, 1],
+            "users": [2, 1, 1, 1],
+        }
+    )
+    assert got.astype("int64").values.tolist() == want.values.tolist()

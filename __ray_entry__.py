@@ -2296,6 +2296,15 @@ def _q_assortativity_user(sf_dir: str):
     return pd.DataFrame({"assortativity": [round(float(r), 6)]})
 
 
+def _q_richclub_user(sf_dir: str):
+    """Rich-club coefficients φ(k) at k ∈ {1,2,4} on the user graph:
+    one degree aggregate + two hash joins + O(ks) driver scalars."""
+    from flashray import algorithms
+
+    edges = _user_succession_edges_cached(sf_dir)
+    return algorithms.rich_club(edges, [1, 2, 4], num_buckets=32)
+
+
 def _q_powerlaw_user(sf_dir: str):
     """Clauset–Shalizi–Newman continuous-MLE power-law exponent of the
     user-graph degree tail (d ≥ 2): one bucket degree aggregate + a
@@ -2529,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_purchases": _q_events_range_purchases,
         "assortativity_user": _q_assortativity_user,
         "powerlaw_user": _q_powerlaw_user,
+        "richclub_user": _q_richclub_user,
         "reciprocity_user": _q_reciprocity_user,
         "docs_tfidf": _q_docs_tfidf,
         "docs_line_dedup": _q_docs_line_dedup,
@@ -3332,6 +3342,30 @@ SELECT ROUND(SUM(CASE WHEN has_rev THEN 1 ELSE 0 END)
 FROM r""",
         # degree assortativity: corr() over (out-deg(src), in-deg(dst))
         # per edge, 6 dp
+        # rich-club phi(k) = 2 E_k / (N_k (N_k - 1)) over degree > k
+        "richclub_user": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+d AS (SELECT v, COUNT(*) AS deg
+      FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+      GROUP BY v),
+ks AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS k),
+n AS (SELECT ks.k, COUNT(*) AS n_rich FROM d CROSS JOIN ks
+      WHERE d.deg > ks.k GROUP BY 1),
+ee AS (SELECT ks.k, COUNT(*) AS e_rich
+       FROM e JOIN d s ON s.v = e.src JOIN d t ON t.v = e.dst
+            CROSS JOIN ks
+       WHERE s.deg > ks.k AND t.deg > ks.k GROUP BY 1)
+SELECT ks.k, COALESCE(n.n_rich, 0) AS n_rich,
+       COALESCE(ee.e_rich, 0) AS e_rich,
+       ROUND(CASE WHEN COALESCE(n.n_rich, 0) >= 2
+                  THEN 2.0 * COALESCE(ee.e_rich, 0)
+                       / (n.n_rich * (n.n_rich - 1.0))
+                  ELSE 0.0 END, 6) AS phi
+FROM ks LEFT JOIN n ON n.k = ks.k LEFT JOIN ee ON ee.k = ks.k""",
         # CSN09 continuous-MLE alpha over undirected degrees >= 2 of the
         # distinct succession-edge set (d_min - 0.5 = 1.5)
         "powerlaw_user": """

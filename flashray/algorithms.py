@@ -789,3 +789,138 @@ def mle_tail_alpha(values, col: str, *, x_min: int = 2) -> tuple[float, int]:
     if n == 0:
         return float("nan"), 0
     return 1.0 + n / float(agg["sum(s)"]), n
+
+
+def rich_club(
+    edges,
+    ks: list[int],
+    *,
+    num_buckets: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+):
+    """Rich-club coefficients φ(k) = 2·E_k / (N_k·(N_k−1)) of an
+    undirected distinct edge list (Zhou & Mondragón 2004): N_k = nodes
+    of degree > k, E_k = edges with BOTH endpoints of degree > k; φ = 0
+    when N_k < 2. Returns pd.DataFrame (k, n_rich, e_rich, phi) —
+    exact-integer counts, φ rounded to 6 dp.
+
+    Dataflow: one bucket aggregate builds the degree table, two
+    hash-partitioned joins attach endpoint degrees to edges, then ONE
+    per-batch partial emits len(ks) counter rows — the driver folds
+    O(ks) scalars, never nodes or edges."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v, c = np.unique(np.concatenate([s, d]), return_counts=True)
+        return pa.table({"v": v, "deg": c.astype(np.int64)})
+
+    degs = bucket_group_agg(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["v"],
+        {"deg": ("deg", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    karr = np.asarray(sorted(ks), dtype=np.int64)
+
+    def n_partial(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": karr,
+                "n_rich": np.array(
+                    [(d > k).sum() for k in karr], dtype=np.int64
+                ),
+            }
+        )
+
+    n_tab = (
+        bucket_group_agg(
+            degs.map_batches(
+                n_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["k"],
+            {"n_rich": ("n_rich", "sum")},
+            num_buckets=1,
+        )
+        .to_pandas()
+        .set_index("k")["n_rich"]
+    )
+
+    pairs = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b[src_col].cast(pa.int64()),
+                "dst": b[dst_col].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sdeg = degs.map_batches(
+        lambda b: pa.table({"src": b["v"], "sdeg": b["deg"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ddeg = degs.map_batches(
+        lambda b: pa.table({"dst": b["v"], "ddeg": b["deg"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j1 = bucket_hash_join(
+        pairs,
+        sdeg,
+        ["src"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        right_schema=pa.schema([("src", pa.int64()), ("sdeg", pa.int64())]),
+    )
+    j2 = bucket_hash_join(
+        j1,
+        ddeg,
+        ["dst"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()), ("sdeg", pa.int64())]
+        ),
+        right_schema=pa.schema([("dst", pa.int64()), ("ddeg", pa.int64())]),
+    )
+
+    def e_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["sdeg"].to_numpy(dtype=np.int64)
+        d = df["ddeg"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "k": karr,
+                "e_rich": np.array(
+                    [int(((s > k) & (d > k)).sum()) for k in karr],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    e_tab = (
+        bucket_group_agg(
+            j2.map_batches(e_partial, batch_format="pandas"),
+            ["k"],
+            {"e_rich": ("e_rich", "sum")},
+            num_buckets=1,
+        )
+        .to_pandas()
+        .set_index("k")["e_rich"]
+    )
+
+    n = n_tab.reindex(karr, fill_value=0).to_numpy(dtype=np.int64)
+    e = e_tab.reindex(karr, fill_value=0).to_numpy(dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.where(
+            n >= 2, np.round(2.0 * e / (n * (n - 1.0)), 6), 0.0
+        )
+    return pd.DataFrame(
+        {"k": karr, "n_rich": n, "e_rich": e, "phi": phi}
+    )

@@ -537,3 +537,27 @@ def test_powerlaw_alpha_matches_numpy():
     iso = pd.DataFrame({"src": [1, 3], "dst": [2, 4]})
     a, n = powerlaw_alpha(rd.from_pandas(iso), d_min=2, num_buckets=4)
     assert n == 0 and np.isnan(a)
+
+
+def test_rich_club_matches_numpy():
+    import pandas as pd
+    import ray.data as rd
+
+    from flashray.algorithms import rich_club
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, size=300).astype(np.int64)
+    dst = rng.integers(0, 40, size=300).astype(np.int64)
+    e = pd.DataFrame({"src": np.minimum(src, dst), "dst": np.maximum(src, dst)})
+    e = e[e.src != e.dst].drop_duplicates().reset_index(drop=True)
+    ks = [1, 3, 6]
+    got = rich_club(rd.from_pandas(e), ks, num_buckets=8)
+    deg = pd.concat([e["src"], e["dst"]]).value_counts()
+    for _, row in got.iterrows():
+        k = row["k"]
+        rich = set(deg[deg > k].index)
+        ek = int(((e["src"].isin(rich)) & (e["dst"].isin(rich))).sum())
+        nk = len(rich)
+        phi = round(2.0 * ek / (nk * (nk - 1.0)), 6) if nk >= 2 else 0.0
+        assert (row["n_rich"], row["e_rich"]) == (nk, ek)
+        assert row["phi"] == pytest.approx(phi, abs=1e-12)

@@ -2514,6 +2514,68 @@ def _q_pagerank_weighted(sf_dir: str):
     return out[["vertex_key", "rank_x_n"]]
 
 
+def _q_docs_ngram_jaccard(sf_dir: str):
+    """EXACT word-trigram Jaccard near-dup pairs (threshold 0.5) via the
+    shingle inverted index — no LSH false negatives; the oracle recomputes
+    Jaccard over distinct trigram STRINGS (hash-collision-free by
+    construction after the positional shingle-chain fix)."""
+    from flashray.datapipe import dedup
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _round_col(
+        dedup.exact_jaccard_pairs(ds, threshold=0.5), "jaccard"
+    )
+
+
+def _q_embeddings_silhouette(sf_dir: str):
+    """Mean silhouette of the embeddings table under its ground-truth
+    label column (Euclidean): broadcast reference + per-batch partials,
+    no shuffle. One row (silhouette)."""
+    from flashray.datapipe import similarity
+
+    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    s = similarity.silhouette(ds)
+    return pd.DataFrame({"silhouette": [round(s, 6)]})
+
+
+def _q_events_markov(sf_dir: str):
+    """First-order Markov transition counts of event_type per user stream,
+    ordered by (ts, event_id). Output (prev_state, next_state, n)."""
+    from flashray.datapipe import windows
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"))
+    out = windows.transition_counts(ds)
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prev_state": b["prev_state"],
+                "next_state": b["next_state"],
+                "n": b["n"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_two_hop_user(sf_dir: str):
+    """Distinct ≤2-hop neighborhood size per vertex of the user graph
+    (wedge-pair dedup dataflow). Output (user_id, n1, n2)."""
+    from flashray import triangles as tri
+
+    g = _user_graph(sf_dir, symmetrize=True)
+    df = tri.two_hop_sizes(g).to_pandas()
+    return pd.DataFrame(
+        {
+            "user_id": df["vertex_id"].astype(np.int64),
+            "n1": df["n1"].astype(np.int64),
+            "n2": df["n2"].astype(np.int64),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # CHEAPEST-FIRST (measured sf0.01 sweep cost, tools/sweep_guard.py
     # --out): the driver walks this dict in order under a wall-clock
@@ -2533,6 +2595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_edges": _q_events_user_edges,
         "events_quantiles": _q_events_quantiles,
         "events_sessions": _q_events_sessions,
+        "events_markov": _q_events_markov,
+        "embeddings_silhouette": _q_embeddings_silhouette,
         "docs_top_bigrams": _q_docs_top_bigrams,
         "edge_support_tool_cooccur": _q_edge_support_tool_cooccur,
         "events_range_purchases": _q_events_range_purchases,
@@ -2542,6 +2606,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity_user": _q_reciprocity_user,
         "docs_tfidf": _q_docs_tfidf,
         "docs_line_dedup": _q_docs_line_dedup,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "two_hop_user": _q_two_hop_user,
         "events_asof_purchase": _q_events_asof_purchase,
         "ktruss_user": _q_ktruss_user,
         "clustering_tool_cooccur": _q_clustering_tool_cooccur,
@@ -3897,6 +3963,57 @@ reach(x, lbl) AS (
   SELECT e.y, r.lbl FROM reach r JOIN ed e ON e.x = r.x
 )
 SELECT x AS doc_id, MIN(lbl) AS "group" FROM reach GROUP BY 1""",
+        "docs_ngram_jaccard": """
+WITH tok AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w)-2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM tok WHERE len(w) >= 3)),
+n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT inter.a, inter.b,
+       ROUND(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) AS jaccard
+FROM inter JOIN n na ON na.doc_id = inter.a
+           JOIN n nb ON nb.doc_id = inter.b
+WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.5""",
+        "embeddings_silhouette": """
+WITH d AS (SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+                  list_distance(a.embedding, b.embedding) AS dist
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+m AS (SELECT i, li, lj, AVG(dist) AS md FROM d GROUP BY 1, 2, 3),
+ab AS (SELECT i, MAX(CASE WHEN li = lj THEN md END) AS a_i,
+              MIN(CASE WHEN li <> lj THEN md END) AS b_i FROM m GROUP BY 1)
+SELECT ROUND(AVG(CASE WHEN a_i IS NULL OR b_i IS NULL THEN 0
+                 ELSE (b_i - a_i) / GREATEST(a_i, b_i) END), 6) AS silhouette
+FROM ab""",
+        "events_markov": """
+WITH o AS (SELECT event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS prev_state, nxt AS next_state,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2""",
+        "two_hop_user": """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+e AS (SELECT src AS a, dst AS bb FROM eu UNION ALL SELECT dst, src FROM eu),
+p2 AS (SELECT e1.a AS v, e2.bb AS u FROM e e1 JOIN e e2 ON e1.bb = e2.a
+       WHERE e2.bb <> e1.a),
+allp AS (SELECT v, u FROM p2 UNION SELECT a, bb FROM e),
+n2 AS (SELECT v, COUNT(*) AS n2 FROM allp GROUP BY 1),
+n1 AS (SELECT a AS v, COUNT(*) AS n1 FROM e GROUP BY 1)
+SELECT CAST(n1.v AS BIGINT) AS user_id, CAST(n1.n1 AS BIGINT) AS n1,
+       CAST(n2.n2 AS BIGINT) AS n2
+FROM n1 JOIN n2 ON n1.v = n2.v""",
         "simhash_pairs": f"""
 WITH {_simhash_sql().lstrip()}
 SELECT x.doc_id AS a, y.doc_id AS b,

@@ -80,16 +80,24 @@ def _word_codes(tokens: list[str]) -> np.ndarray:
 
 def _shingle_hashes(codes: np.ndarray, n: int) -> np.ndarray:
     """Hashes of word n-grams: splitmix-combine of n consecutive word codes
-    (vectorized sliding window)."""
+    (vectorized sliding window). The FIRST code is hashed before any XOR
+    combine — seeding the chain with the raw code made the first two
+    positions order-insensitive (``sm(a^b) == sm(b^a)``), a structural
+    collision between shingles like "data stream data" / "stream data
+    data" observed in the wild at sf0.001. The recurrence
+    ``h_0 = sm(c_0); h_i = sm(h_{i-1} ^ c_i)`` is shared with the
+    degenerate short-doc path below (identical for len == n)."""
     if len(codes) < n:
         # degenerate doc: hash the whole token sequence as one shingle
-        h = np.uint64(0)
+        if len(codes) == 0:
+            return np.asarray([_splitmix64(np.zeros(1, dtype=np.uint64))[0]])
+        h = _splitmix64(codes[:1])
         with np.errstate(over="ignore"):
-            for c in codes:
-                h = _splitmix64(np.asarray([h ^ c]))[0]
-        return np.asarray([h], dtype=np.uint64)
+            for c in codes[1:]:
+                h = _splitmix64(h ^ c)
+        return h.astype(np.uint64)
     with np.errstate(over="ignore"):
-        acc = codes[: len(codes) - n + 1].copy()
+        acc = _splitmix64(codes[: len(codes) - n + 1])
         for i in range(1, n):
             acc = _splitmix64(acc ^ codes[i : len(codes) - n + 1 + i])
     return np.unique(acc)
@@ -613,6 +621,117 @@ def candidate_pairs_ngram_jaccard(
         .map_groups(verify, batch_format="pandas")
     )
     return bucket_group_agg(pairs, ["a", "b"], {"jaccard": ("jaccard", "max")})
+
+
+def exact_jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard near-duplicate pairs via a shingle inverted
+    index — no LSH, hence no false negatives (contrast with
+    :func:`candidate_pairs_ngram_jaccard`, whose MinHash bands are
+    probabilistic). Jaccard is computed over each document's set of
+    DISTINCT word ``shingle_n``-gram hashes; a hash collision among
+    distinct shingles is the only approximation (negligible at 64 bits).
+
+    Dataflow (two bucket shuffles, both O(total postings)):
+      1. explode each doc into its distinct shingle hashes, each posting
+         row carrying the doc's shingle-set size ``ns``;
+      2. bucket shuffle on the shingle hash groups postings per shingle;
+         every posting list of size c emits its C(c,2) doc pairs fully
+         vectorized (:func:`flashray.joins.pairs_within_groups`);
+      3. a second bucket aggregate counts each pair's shared shingles
+         = |A∩B|; |A∪B| = nsA + nsB − |A∩B| needs no further join.
+
+    ``max_df`` is the scale knob: drop shingles appearing in more than
+    ``max_df`` documents. Boilerplate shingles generate O(df²) pair rows
+    while contributing the same +1 to every true near-dup's intersection
+    AND union; with the cap set, the reported Jaccard is exact over the
+    restricted shingle vocabulary (documented approximation). ``None`` =
+    fully exact (safe when the corpus has been boilerplate-stripped or
+    when near-dup groups are known to be small)."""
+    from flashray.joins import bucket_group_agg, pairs_within_groups
+
+    B = int(num_buckets)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        sh_parts: list[np.ndarray] = []
+        counts = np.empty(len(ids), dtype=np.int64)
+        for k, t in enumerate(texts):
+            sh = _shingle_hashes(_word_codes((t or "").split()), shingle_n)
+            sh_parts.append(sh)
+            counts[k] = len(sh)
+        sh_all = (
+            np.concatenate(sh_parts) if sh_parts else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                "shingle": pa.array(sh_all.view(np.int64)),
+                "doc": pa.array(np.repeat(ids, counts)),
+                "ns": pa.array(np.repeat(counts, counts)),
+                "__bucket": pa.array(
+                    (sh_all % np.uint64(B)).astype(np.int64)
+                ),
+            }
+        )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["shingle", "doc"], kind="mergesort")
+        sh = d["shingle"].to_numpy()
+        if max_df is not None:
+            _, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
+            keep = cnt[inv] <= int(max_df)
+            d = d.iloc[keep]
+            sh = sh[keep]
+        idx = np.arange(len(d))
+        i, j, _ = pairs_within_groups(sh, idx)
+        doc = d["doc"].to_numpy()
+        ns = d["ns"].to_numpy()
+        return pd.DataFrame(
+            {"a": doc[i], "b": doc[j], "nsa": ns[i], "nsb": ns[j]}
+        )
+
+    posts = ds.select_columns([id_col, text_col]).map_batches(
+        postings, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pair_rows = posts.groupby("__bucket").map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+    counted = bucket_group_agg(
+        pair_rows,
+        ["a", "b"],
+        {"inter": ("a", "size"), "nsa": ("nsa", "first"), "nsb": ("nsb", "first")},
+        num_buckets=B,
+    )
+
+    thr = float(threshold)
+
+    def score(b: pa.Table) -> pa.Table:
+        inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (
+            b["nsa"].to_numpy(zero_copy_only=False)
+            + b["nsb"].to_numpy(zero_copy_only=False)
+            - inter
+        ).astype(np.float64)
+        jac = np.divide(inter, union, out=np.zeros_like(inter), where=union > 0)
+        keep = jac >= thr
+        return pa.table(
+            {
+                "a": b["a"].filter(pa.array(keep)),
+                "b": b["b"].filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return counted.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def line_dedup(

@@ -445,3 +445,91 @@ def pca_project(
         return out
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+def silhouette(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    sample_n: int | None = None,
+) -> float:
+    """Mean silhouette coefficient (Rousseeuw 1987) of a labeled embedding
+    set under Euclidean distance: a(i) = mean distance to i's own cluster
+    (excluding i), b(i) = min over other clusters of the mean distance,
+    s(i) = (b−a)/max(a,b); singleton-cluster points score 0 (sklearn
+    convention). The cluster-quality check for any labeling — k-means
+    output, LSH buckets, or a provided ground-truth column.
+
+    Distributed shape: the REFERENCE side (all points, or a deterministic
+    ``sample_n``-subset chosen by splitmix64(id) — the scale knob: exact
+    silhouette is inherently all-pairs) is broadcast once via ``ray.put``;
+    each batch computes its rows' per-cluster distance sums against the
+    reference with one f64 matmul and emits a single partial (Σs, n) row.
+    No shuffle; O(batch × reference) flops, O(d·reference) broadcast
+    bytes."""
+    import pandas as pd
+
+    from flashray.ids import _splitmix64
+
+    cols = ds.select_columns([id_col, vec_col, label_col]).to_pandas()
+    ids_all = cols[id_col].to_numpy().astype(np.int64)
+    if sample_n is not None and sample_n < len(cols):
+        order = np.argsort(
+            _splitmix64(ids_all.view(np.uint64)), kind="stable"
+        )[: int(sample_n)]
+        cols = cols.iloc[np.sort(order)]
+        ids_all = cols[id_col].to_numpy().astype(np.int64)
+    # sort the reference by id: the per-batch self-column lookup uses
+    # searchsorted against this array
+    srt = np.argsort(ids_all, kind="stable")
+    cols = cols.iloc[srt]
+    ids_all = ids_all[srt]
+    R = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in cols[vec_col]]
+    )  # (m, d) reference matrix
+    rlab = cols[label_col].to_numpy().astype(np.int64)
+    labs, rlab_codes = np.unique(rlab, return_inverse=True)
+    onehot = np.zeros((len(R), len(labs)))
+    onehot[np.arange(len(R)), rlab_codes] = 1.0
+    csize = onehot.sum(axis=0)  # (k,)
+    ref = ray.put((R, (R * R).sum(axis=1), onehot, csize, ids_all))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        Rm, rsq, oh, cs, rid = ray.get(ref)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        xid = b[id_col].to_numpy().astype(np.int64)
+        xlab = b[label_col].to_numpy().astype(np.int64)
+        xcode = np.clip(np.searchsorted(labs, xlab), 0, len(labs) - 1)
+        own_in_ref = labs[xcode] == xlab  # sampled ref may miss a cluster
+        D = np.sqrt(
+            np.maximum(
+                (X * X).sum(axis=1)[:, None] + rsq[None, :] - 2.0 * (X @ Rm.T),
+                0.0,
+            )
+        )  # (n, m)
+        # zero the self column for rows present in the reference
+        pos = np.searchsorted(rid, xid)
+        pos_valid = (pos < len(rid)) & (rid[np.minimum(pos, len(rid) - 1)] == xid)
+        D[np.flatnonzero(pos_valid), pos[pos_valid]] = 0.0
+        sums = D @ oh  # (n, k) per-cluster distance sums
+        own_n = cs[xcode] - pos_valid  # exclude self from own-cluster mean
+        with np.errstate(invalid="ignore", divide="ignore"):
+            a = sums[np.arange(len(X)), xcode] / own_n
+            means = sums / cs[None, :]
+            means[np.arange(len(X)), xcode] = np.inf
+            means[:, cs == 0] = np.inf
+            bmin = means.min(axis=1)
+            s = np.where(
+                (own_n <= 0) | ~own_in_ref | ~np.isfinite(bmin),
+                0.0,
+                (bmin - a) / np.maximum(np.maximum(a, bmin), 1e-300),
+            )
+        return pd.DataFrame({"s_sum": [float(s.sum())], "n": [len(X)]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    if n == 0:
+        raise ValueError("silhouette: empty dataset")
+    return float(parts["s_sum"].sum() / n)

@@ -156,3 +156,70 @@ def session_window(
         return pd.DataFrame(out)
 
     return events.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def transition_counts(
+    events: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """First-order Markov transition counts over per-key event streams:
+    order each key's events by ``(ts, id)`` (a TOTAL order — the id column
+    breaks timestamp ties deterministically), pair each event with its
+    successor, and count ``(prev_state, next_state)`` over the whole log.
+    Divide by the per-prev_state row sums for transition probabilities.
+
+    Distributed shape: keys are hash-bucketed (``splitmix64(key) % B``) so
+    one shuffle co-locates each key's events while millions of tiny
+    per-key groups never become per-group Ray tasks; inside a bucket the
+    sort + shift + boundary mask is fully vectorized, and each bucket
+    emits PARTIAL (prev,next,n) counts — the final aggregate moves at most
+    ``B × |states|²`` rows."""
+    from flashray.ids import _splitmix64
+    from flashray.joins import bucket_group_agg
+
+    B = int(num_buckets)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "k": b[key_col],
+                "t": b[ts_col],
+                "i": b[id_col],
+                "s": b[state_col],
+                "__bucket": pa.array(
+                    (_splitmix64(keys) % np.uint64(B)).astype(np.int64)
+                ),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "t", "i"], kind="mergesort")
+        k = g["k"].to_numpy()
+        s = g["s"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        if len(g):
+            same[:-1] = k[:-1] == k[1:]
+            same[-1] = False
+        prev = s[:-1][same[:-1]] if len(g) else s[:0]
+        nxt = s[1:][same[:-1]] if len(g) else s[:0]
+        out = pd.DataFrame({"prev_state": prev, "next_state": nxt})
+        return out.groupby(
+            ["prev_state", "next_state"], as_index=False, sort=False
+        ).agg(n=("prev_state", "size"))
+
+    parts = (
+        events.select_columns([key_col, ts_col, state_col, id_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return bucket_group_agg(
+        parts, ["prev_state", "next_state"], {"n": ("n", "sum")},
+        num_buckets=min(B, 16),
+    )

@@ -999,3 +999,82 @@ def transitivity(graph: Graph, *, num_buckets: int | None = None) -> float:
         return 0.0
     tri3 = 3 * _closed_wedges(graph, B).count()
     return tri3 / wedges
+
+
+def two_hop_sizes(
+    graph: Graph, *, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Distinct 2-hop neighborhood size per vertex: ``n1`` = |N(v)| and
+    ``n2`` = |{u ≠ v : dist(v,u) ≤ 2}| on the undirected (canonical,
+    cross-etype-deduped) edge set. The local ball-size statistic behind
+    friend-of-friend features and HyperBall's r=2 truth.
+
+    Dataflow (wedge-shaped, same cost envelope as clustering_coefficient):
+    adjacency grouped by CENTER vertex emits every in-group pair — all
+    (a, b) with a common neighbor — vectorized via pairs_within_groups;
+    direct edges union in; ONE bucket dedup on (lo, hi) makes pairs
+    distinct; per-vertex counts fold both endpoints. Pair volume is
+    Σ_m deg(m)², so super-hub centers dominate — the same split/salt
+    limits as the wedge family apply (SURVEY §2.2 A7)."""
+    from flashray.joins import bucket_group_agg, pairs_within_groups
+
+    B = num_buckets or max(16, graph.num_partitions)
+    und = _canonical_undirected(graph).materialize()
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        center = np.concatenate([lo, hi])
+        leaf = np.concatenate([hi, lo])
+        return pa.table(
+            {
+                "center": center,
+                "leaf": leaf,
+                "__bucket": (center % B).astype(np.int64),
+            }
+        )
+
+    adj = und.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["center", "leaf"], kind="mergesort")
+        a, b2, _ = pairs_within_groups(
+            d["center"].to_numpy(), d["leaf"].to_numpy()
+        )
+        return pd.DataFrame({"lo": a, "hi": b2})
+
+    pairs2 = adj.groupby("__bucket").map_groups(wedge_pairs, batch_format="pandas")
+    allpairs = pairs2.union(und)
+    distinct = bucket_group_agg(allpairs, ["lo", "hi"], None, num_buckets=B)
+
+    def per_vertex(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vertex_id": np.concatenate([lo, hi]),
+                "n2": np.ones(2 * len(lo), dtype=np.int64),
+            }
+        )
+
+    n2 = bucket_group_agg(
+        distinct.map_batches(per_vertex, batch_format="pyarrow", zero_copy_batch=True),
+        ["vertex_id"],
+        {"n2": ("n2", "sum")},
+        num_buckets=B,
+    )
+    deg = _deg_from_und(und)
+    from flashray.joins import bucket_hash_join
+
+    out = bucket_hash_join(
+        n2, deg.map_batches(
+            lambda b: b.rename_columns(
+                ["vertex_id", "n1"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on=["vertex_id"],
+        num_buckets=B,
+    )
+    return out

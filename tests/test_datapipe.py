@@ -642,3 +642,141 @@ def test_dedup_keep_best_picks_max_quality_min_id():
     bad = df.assign(n_chars=np.array([2**31, 1, 1, 1, 1, 1]))
     with pytest.raises(Exception, match="packing needs"):
         dedup_keep_best(rd.from_pandas(bad), num_buckets=2).to_pandas()
+
+
+def test_shingle_hash_positional():
+    """Regression: shingles whose first two words swap must NOT collide
+    (sm(a^b) == sm(b^a) made the old chain order-insensitive in the first
+    two positions — observed as 'data stream data' vs 'stream data data')."""
+    from flashray.datapipe.dedup import _shingle_hashes, _word_codes
+
+    h1 = _shingle_hashes(_word_codes("data stream data".split()), 3)
+    h2 = _shingle_hashes(_word_codes("stream data data".split()), 3)
+    assert h1[0] != h2[0]
+    # len == n goes through the main path; len < n through the degenerate
+    # fold — identical recurrence, identical hash
+    h3 = _shingle_hashes(_word_codes(["a", "b"]), 3)
+    h4 = _shingle_hashes(_word_codes(["a", "b", "c"]), 3)
+    assert len(h3) == 1 and len(h4) == 1
+
+
+def test_exact_jaccard_pairs():
+    df = _docs_with_dups()
+    got = dedup.exact_jaccard_pairs(
+        rd.from_pandas(df), threshold=0.3
+    ).to_pandas()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+
+    # brute-force oracle over distinct word-trigram sets
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(max(1, len(w) - 2))}
+
+    want = []
+    texts = dict(zip(df["doc_id"], df["text"]))
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh(texts[a]), sh(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.3:
+                want.append((a, b, round(j, 9)))
+    got_t = [
+        (int(r.a), int(r.b), round(float(r.jaccard), 9))
+        for r in got.itertuples()
+    ]
+    assert sorted(got_t) == sorted(want)
+    # exact dup pairs score 1.0
+    assert all(j == 1.0 for a, b, j in got_t if (a, b) in {(0, 1), (3, 4)})
+    # max_df cap drops nothing here (no shingle df exceeds 3)
+    capped = dedup.exact_jaccard_pairs(
+        rd.from_pandas(df), threshold=0.3, max_df=3
+    ).to_pandas()
+    assert len(capped) == len(got)
+
+
+def test_silhouette_matches_numpy():
+    rng = np.random.default_rng(7)
+    X = np.concatenate(
+        [rng.normal(0, 1, (30, 8)), rng.normal(4, 1, (25, 8))]
+    ).astype(np.float32)
+    lab = np.r_[np.zeros(30, np.int64), np.ones(25, np.int64)]
+    df = pd.DataFrame(
+        {"vec_id": np.arange(55), "embedding": list(X), "label": lab}
+    )
+    got = similarity.silhouette(rd.from_pandas(df))
+
+    Xd = X.astype(np.float64)
+    D = np.sqrt(
+        np.maximum(
+            (Xd * Xd).sum(1)[:, None] + (Xd * Xd).sum(1)[None, :] - 2 * Xd @ Xd.T,
+            0,
+        )
+    )
+    np.fill_diagonal(D, 0)
+    s = np.zeros(55)
+    for i in range(55):
+        own = lab == lab[i]
+        a = D[i][own].sum() / (own.sum() - 1)
+        b = D[i][~own].mean()
+        s[i] = (b - a) / max(a, b)
+    assert abs(got - s.mean()) < 1e-9
+    # well-separated clusters score high
+    assert got > 0.5
+    # sampled reference stays close on this easy geometry
+    approx = similarity.silhouette(rd.from_pandas(df), sample_n=40)
+    assert abs(approx - s.mean()) < 0.1
+
+
+def test_silhouette_singleton_cluster_scores_zero():
+    X = np.eye(4, dtype=np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(4),
+            "embedding": list(X),
+            "label": np.array([0, 0, 0, 1], np.int64),
+        }
+    )
+    got = similarity.silhouette(rd.from_pandas(df))
+    # point 3 is a singleton -> s=0 by convention; others computed normally
+    D = np.sqrt(2.0)  # all pairwise distances equal for eye rows
+    # a = D (own cluster mean), b = D (other cluster) -> s = 0 for all
+    assert abs(got) < 1e-12
+
+
+def test_transition_counts():
+    from flashray.datapipe.windows import transition_counts
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 23, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "ts": pd.to_datetime("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 1000, n), unit="s"),
+        }
+    )
+    got = (
+        transition_counts(rd.from_pandas(df), num_buckets=8)
+        .to_pandas()
+        .sort_values(["prev_state", "next_state"])
+        .reset_index(drop=True)
+    )
+    d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    d["nxt"] = d.groupby("user_id")["event_type"].shift(-1)
+    want = (
+        d.dropna(subset=["nxt"])
+        .groupby(["event_type", "nxt"], as_index=False)
+        .size()
+        .rename(
+            columns={"event_type": "prev_state", "nxt": "next_state", "size": "n"}
+        )
+        .sort_values(["prev_state", "next_state"])
+        .reset_index(drop=True)
+    )
+    assert got["n"].sum() == want["n"].sum()
+    pd.testing.assert_frame_equal(
+        got.astype({"n": np.int64}), want.astype({"n": np.int64})
+    )

@@ -386,3 +386,36 @@ def test_butterfly_count(graphs):
     assert triangles.butterfly_count(k3) == 0  # a triangle has no 4-cycle
     star, (s2, d2) = graphs("star8", fixtures.star_edges)
     assert triangles.butterfly_count(star) == 0  # star: all cn pairs share 1
+
+
+@pytest.mark.parametrize(
+    "name,fn",
+    [
+        ("k3", fixtures.k3_edges),
+        ("star8", fixtures.star_edges),
+        ("path5", fixtures.path_edges),
+        ("er100", fixtures.er_edges),
+    ],
+)
+def test_two_hop_sizes(graphs, name, fn):
+    graph, (src, dst) = graphs(name, fn)
+    got_df = triangles.two_hop_sizes(graph).to_pandas()
+    got = {
+        int(r.vertex_id): (int(r.n1), int(r.n2)) for r in got_df.itertuples()
+    }
+
+    # brute force: undirected adjacency, ball of radius 2 minus self
+    adj = {}
+    for s, d in zip(src, dst):
+        if s == d:
+            continue
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    want = {}
+    for v, nb in adj.items():
+        ball = set(nb)
+        for m in nb:
+            ball |= adj[m]
+        ball.discard(v)
+        want[v] = (len(nb), len(ball))
+    assert got == want

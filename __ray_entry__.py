@@ -2577,19 +2577,69 @@ def _q_two_hop_user(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # CHEAPEST-FIRST (measured sf0.01 sweep cost, tools/sweep_guard.py
-    # --out): the driver walks this dict in order under a wall-clock
-    # budget — round 3 recorded only the first 50 entries before the
-    # cutoff, so expensive queries go LAST to maximize recorded rows
-    # under any budget. Re-sort when adding entries.
+    # IMPORTANCE-FIRST then cheapest-first: round-3's driver sweep
+    # recorded exactly the FIRST 50 dict entries (count/time budget),
+    # so the north-rule flagship set (pagerank/wcc/label-prop/
+    # triangles + engine algorithms + dedup core) occupies the first
+    # ~50 slots; cheap relational/event/media entries follow. Keep
+    # new entries AFTER the flagship block unless they are flagship.
     return {
+        "transcripts_passthrough": _q_transcripts_passthrough,
+        "extract_edges_keys": _q_extract_edges_keys,
+        "reply_edges_keys": _q_reply_edges_keys,
+        "vertex_degrees_keys": _q_vertex_degrees_keys,
+        "pagerank": _q_pagerank,
+        "pagerank_push": _q_pagerank_push,
+        "pagerank_personalized": _q_pagerank_personalized,
+        "pagerank_weighted": _q_pagerank_weighted,
+        "wcc_full": _q_wcc_full,
+        "wcc_reply_sizes": _q_wcc_reply_sizes,
+        "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
+        "label_propagation": _q_label_propagation,
+        "lpa_communities_user": _q_lpa_communities_user,
+        "triangles_transcript": _q_triangles_transcript,
+        "triangles_tool_cooccur": _q_triangles_tool_cooccur,
+        "bfs_reply_depth": _q_bfs_reply_depth,
+        "kcore_reply_hist": _q_kcore_reply_hist,
+        "scc_reply_hist": _q_scc_reply_hist,
+        "scan_topk": _q_scan_topk,
+        "clustering_tool_cooccur": _q_clustering_tool_cooccur,
+        "clustering_user_graph": _q_clustering_user_graph,
+        "betweenness_sampled": _q_betweenness_sampled,
+        "katz_user": _q_katz_user,
+        "hits_user": _q_hits_user,
+        "eigenvector_user": _q_eigenvector_user,
+        "sssp_user": _q_sssp_user,
+        "ktruss_user": _q_ktruss_user,
+        "mis_user": _q_mis_user,
+        "coloring_user": _q_coloring_user,
+        "modularity_user_mod5": _q_modularity_user,
+        "link_prediction_user": _q_link_prediction_user,
+        "butterflies_user": _q_butterflies_user,
+        "hyperball_user_graph": _q_hyperball_user_graph,
+        "spmv_user": _q_spmv_user,
+        "incremental_degrees_user": _q_incremental_degrees_user,
+        "subgraph_convs": _q_subgraph_convs,
+        "egonet_user": _q_egonet_user,
+        "two_hop_user": _q_two_hop_user,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "minhash_dup_groups": _q_minhash_dup_groups,
+        "simhash_pairs": _q_simhash_pairs,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "embeddings_knn": _q_embeddings_knn,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_langid": _q_docs_langid,
+        "docs_quality": _q_docs_quality,
+        "docs_fingerprints": _q_docs_fingerprints,
+        "docs_line_dedup": _q_docs_line_dedup,
+        "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "embeddings_covariance": _q_embeddings_covariance,
         "docs_distinct_words_hll": _q_docs_distinct_words_hll,
         "events_bottomk_sample": _q_events_bottomk_sample,
         "docs_top3_per_lang": _q_docs_top3_per_lang,
         "events_value_rank": _q_events_value_rank,
         "docs_stratified_sample": _q_docs_stratified_sample,
-        "transcripts_passthrough": _q_transcripts_passthrough,
         "events_clicks_anti_purchasers": _q_events_clicks_anti_purchasers,
         "docs_bm25": _q_docs_bm25,
         "events_user_edges": _q_events_user_edges,
@@ -2605,85 +2655,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "richclub_user": _q_richclub_user,
         "reciprocity_user": _q_reciprocity_user,
         "docs_tfidf": _q_docs_tfidf,
-        "docs_line_dedup": _q_docs_line_dedup,
-        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
-        "two_hop_user": _q_two_hop_user,
         "events_asof_purchase": _q_events_asof_purchase,
-        "ktruss_user": _q_ktruss_user,
-        "clustering_tool_cooccur": _q_clustering_tool_cooccur,
-        "mis_user": _q_mis_user,
         "media_resample": _q_media_resample,
         "frame_samples": _q_frame_samples,
-        "reply_edges_keys": _q_reply_edges_keys,
-        "vertex_degrees_keys": _q_vertex_degrees_keys,
         "media_resize": _q_media_resize,
         "docs_redact": _q_docs_redact,
-        "extract_edges_keys": _q_extract_edges_keys,
         "docs_repetition": _q_docs_repetition,
         "media_features": _q_media_features,
-        "docs_langid": _q_docs_langid,
-        "docs_quality": _q_docs_quality,
-        "docs_token_stats": _q_docs_token_stats,
         "docs_quality_filter": _q_docs_quality_filter,
-        "kcore_reply_hist": _q_kcore_reply_hist,
-        "embeddings_knn": _q_embeddings_knn,
         "docs_chunks": _q_docs_chunks,
         "docs_quality_percentile": _q_docs_quality_percentile,
         "docs_decontaminate": _q_docs_decontaminate,
-        "clustering_user_graph": _q_clustering_user_graph,
-        "wcc_full": _q_wcc_full,
-        "bfs_reply_depth": _q_bfs_reply_depth,
         "docs_hash_split": _q_docs_hash_split,
         "docs_lm_logprob": _q_docs_lm_logprob,
-        "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "docs_frequent_terms": _q_docs_frequent_terms,
         "docs_zipf_alpha": _q_docs_zipf_alpha,
         "docs_cms_counts": _q_docs_cms_counts,
         "events_funnel": _q_events_funnel,
         "events_cohorts": _q_events_cohorts,
         "events_tumbling_1h": _q_events_tumbling,
-        "wcc_reply_sizes": _q_wcc_reply_sizes,
-        "pagerank_push": _q_pagerank_push,
         "docs_pack_sequences": _q_docs_pack_sequences,
-        "docs_exact_dedup": _q_docs_exact_dedup,
-        "katz_user": _q_katz_user,
-        "label_propagation": _q_label_propagation,
-        "scc_reply_hist": _q_scc_reply_hist,
-        "subgraph_convs": _q_subgraph_convs,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
-        "betweenness_sampled": _q_betweenness_sampled,
-        "triangles_tool_cooccur": _q_triangles_tool_cooccur,
-        "docs_fingerprints": _q_docs_fingerprints,
         "embeddings_kmeans": _q_embeddings_kmeans,
-        "scan_topk": _q_scan_topk,
-        "triangles_transcript": _q_triangles_transcript,
-        "simhash_pairs": _q_simhash_pairs,
-        "lpa_communities_user": _q_lpa_communities_user,
         "convert_transcripts_roundtrip": _q_convert_transcripts_roundtrip,
-        "egonet_user": _q_egonet_user,
-        "coloring_user": _q_coloring_user,
-        "link_prediction_user": _q_link_prediction_user,
-        "pagerank": _q_pagerank,
-        "pagerank_personalized": _q_pagerank_personalized,
         "random_walks_user": _q_random_walks_user,
-        "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
-        "hyperball_user_graph": _q_hyperball_user_graph,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "pagerank_weighted": _q_pagerank_weighted,
         "landmark_distances_user": _q_landmark_distances_user,
-        "butterflies_user": _q_butterflies_user,
         "tool_cooccurrence": _q_tool_cooccurrence,
         "hyperball_engine_user": _q_hyperball_engine_user,
-        "spmv_user": _q_spmv_user,
         "convert_edges_roundtrip": _q_convert_edges_roundtrip,
-        "hits_user": _q_hits_user,
         "node2vec_walks_user": _q_node2vec_walks_user,
-        "eigenvector_user": _q_eigenvector_user,
-        "modularity_user_mod5": _q_modularity_user,
         "events_sliding_1h_15m": _q_events_sliding,
-        "incremental_degrees_user": _q_incremental_degrees_user,
-        "sssp_user": _q_sssp_user,
-        "minhash_dup_groups": _q_minhash_dup_groups,
     }
 
 

@@ -1317,6 +1317,36 @@ def _q_embeddings_kmeans(sf_dir: str):
     return out[["vec_id", "cluster"]]
 
 
+def _q_embeddings_semdedup(sf_dir: str):
+    """SemDeDup (kmeans clusters + within-cluster cosine prune, lowest-id
+    keep rule) over the embeddings table: same k=4 one-Lloyd-round
+    lowest-id quantizer as ``embeddings_kmeans`` so the SQL oracle replays
+    the clustering, then EXISTS-a-lower-id-neighbor at rounded cosine ≥
+    0.35 (fixture margin to the threshold is 7e-5 ≫ fp noise). Output
+    (vec_id, cluster, is_dup), exact."""
+    import ray.data as rd
+
+    from flashray.datapipe import kmeans, similarity
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    cents, _ = kmeans.kmeans(
+        ds, k=4, max_iters=1, tol=0.0, init="lowest_ids", concurrency=4
+    )
+    out = (
+        similarity.semdedup(ds, threshold=0.35, centroids=cents)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["cluster"] = out["cluster"].astype(np.int64)
+    out["is_dup"] = out["is_dup"].astype(np.int64)
+    return out[["vec_id", "cluster", "is_dup"]]
+
+
 def _q_docs_repetition(sf_dir: str):
     """Gopher-style repetition quality signals per document (duplicate-word
     fraction, top word/2-gram/3-gram share) — SQL oracle rebuilds the
@@ -2627,6 +2657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embeddings_semdedup": _q_embeddings_semdedup,
         "embeddings_knn": _q_embeddings_knn,
         "docs_token_stats": _q_docs_token_stats,
         "docs_langid": _q_docs_langid,
@@ -4252,6 +4283,37 @@ a2 AS (SELECT e.vec_id,
        FROM emb e)
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster
 FROM a2""",
+        # SemDeDup = the embeddings_kmeans replay (identical CTE prefix)
+        # + EXISTS-a-lower-id same-cluster neighbor at rounded cosine >= thr
+        "embeddings_semdedup": """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cl, v
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)),
+a1 AS (SELECT e.vec_id, e.v,
+              (SELECT s.cl FROM seeds s
+               ORDER BY list_distance(e.v, s.v), s.cl LIMIT 1) AS cl
+       FROM emb e),
+m AS (SELECT cl, pos, AVG(val) AS mv FROM (
+        SELECT cl, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM a1
+      ) GROUP BY 1, 2),
+c1 AS (SELECT cl, list(mv ORDER BY pos) AS v FROM m GROUP BY 1),
+cents AS (SELECT s.cl, COALESCE(c1.v, s.v) AS v
+          FROM seeds s LEFT JOIN c1 ON c1.cl = s.cl),
+a2 AS (SELECT e.vec_id, e.v,
+              (SELECT c.cl FROM cents c
+               ORDER BY list_distance(e.v, c.v), c.cl LIMIT 1) AS cl
+       FROM emb e),
+dup AS (SELECT b.vec_id
+        FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+        GROUP BY 1)
+SELECT CAST(a2.vec_id AS BIGINT) AS vec_id, CAST(a2.cl AS BIGINT) AS cluster,
+       CAST(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_dup
+FROM a2 LEFT JOIN dup ON dup.vec_id = a2.vec_id""",
         "docs_fingerprints": f"""
 WITH RECURSIVE pw(k, p) AS (
   SELECT 0, CAST(1 AS HUGEINT)

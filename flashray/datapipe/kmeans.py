@@ -64,6 +64,10 @@ def _seed_rows(
         )
 
     parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        # an empty dataset yields a schema-less empty frame — fail with the
+        # same message the k_eff<k check gives, not a KeyError on 'pri'
+        raise ValueError(f"k={k} but only 0 rows")
     parts = parts.sort_values("pri", kind="stable").head(k)
     return np.stack([np.asarray(v, dtype=np.float64) for v in parts["vec"]])
 

@@ -533,3 +533,125 @@ def silhouette(
     if n == 0:
         raise ValueError("silhouette: empty dataset")
     return float(parts["s_sum"].sum() / n)
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 64,
+    threshold: float = 0.95,
+    max_iters: int = 1,
+    init: str = "hash",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+    num_buckets: int | None = None,
+    chunk_rows: int = 2048,
+    round_dp: int = 6,
+    centroids: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means over the embedding space, then exact pairwise
+    cosine INSIDE each cluster only — the clustering bounds the O(n²)
+    pairwise stage to O(Σ n_c²) without an all-pairs shuffle.
+
+    Keep rule: within a cluster, a vector is a duplicate iff some LOWER-id
+    member has ``round(cosine, round_dp) ≥ threshold`` (the paper keeps the
+    point farthest from the centroid; lowest-id is this repo's
+    deterministic, SQL-replayable convention — same rule as
+    ``dedup.exact_dedup``). Marking is independent per vector (EXISTS
+    semantics, not transitive chaining), so the result is
+    partition-invariant and exactly expressible in SQL.
+
+    Distributed shape: clustering reuses :func:`flashray.datapipe.kmeans`
+    (broadcast centroids, per-batch partial sums — no shuffle); one
+    assignment pass tags each vector with its cluster; ONE bucket shuffle
+    groups clusters (bucket = cluster % num_buckets so millions of clusters
+    never become millions of Ray groups); per bucket a C groupby walks its
+    clusters, each pruned by a CHUNKED normalized matmul (``chunk_rows`` ×
+    n_c slabs) so a hot cluster never materializes an n_c² float matrix.
+    At 100 TB the knob that matters is k: SemDeDup runs with k ≈ √N or
+    larger, keeping E[n_c²] bounded; pass ``centroids=`` to reuse a
+    pre-trained quantizer (e.g. from :func:`train_centroids`).
+    """
+    from flashray.datapipe import kmeans as km
+
+    if centroids is None:
+        centroids, _ = km.kmeans(
+            ds,
+            k=k,
+            max_iters=max_iters,
+            tol=0.0,
+            vec_col=vec_col,
+            id_col=id_col,
+            init=init,
+            concurrency=concurrency,
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
+    nb = int(num_buckets) if num_buckets else min(len(cents), 64)
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "vec": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        c = ray.get(ref)
+        x = _stack(batch[vec_col]).astype(np.float64)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cl = np.argmin(d2, axis=1).astype(np.int64)
+        xn = _normalize(x)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "cluster": pa.array(cl),
+                "bucket": pa.array(cl % nb),
+                "vec": pa.array(list(xn)),
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for cl, sub in g.groupby("cluster", sort=False):
+            sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            n = len(ids)
+            dup = np.zeros(n, dtype=bool)
+            if n > 1:
+                X = np.stack([np.asarray(v) for v in sub["vec"]])
+                cols = np.arange(n)[None, :]
+                for a in range(0, n, chunk_rows):
+                    b = min(a + chunk_rows, n)
+                    S = np.round(X[a:b] @ X.T, round_dp)
+                    hit = (S >= threshold) & (cols > np.arange(a, b)[:, None])
+                    dup |= hit.any(axis=0)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "cluster": np.full(n, cl, dtype=np.int64),
+                        "is_dup": dup,
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "cluster": pd.Series(dtype="int64"),
+                    "is_dup": pd.Series(dtype="bool"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(prune, batch_format="pandas")
+    )

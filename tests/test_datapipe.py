@@ -780,3 +780,71 @@ def test_transition_counts():
     pd.testing.assert_frame_equal(
         got.astype({"n": np.int64}), want.astype({"n": np.int64})
     )
+
+
+def _semdedup_oracle(V, cents, threshold, round_dp=6):
+    """Independent python replay of the SemDeDup rule."""
+    X = V.astype(np.float64)
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cl = np.argmin(d2, axis=1)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n = len(X)
+    dup = np.zeros(n, dtype=bool)
+    for j in range(n):
+        for i in range(j):
+            if cl[i] == cl[j] and round(float(Xn[i] @ Xn[j]), round_dp) >= threshold:
+                dup[j] = True
+                break
+    return cl, dup
+
+
+def test_semdedup_matches_replay():
+    # plant near-duplicates: rows 40..47 are tiny perturbations of 0..7
+    t, V = _emb_table(n=48, d=8, seed=7)
+    V = V.copy()
+    V[40:48] = V[0:8] + 1e-4
+    t = pa.table({"vec_id": np.arange(48, dtype=np.int64), "embedding": list(V)})
+    from flashray.datapipe import kmeans as km
+
+    ds = rd.from_arrow(t)
+    cents, _ = km.kmeans(ds, k=3, max_iters=2, tol=0.0, init="lowest_ids")
+    out = (
+        similarity.semdedup(ds, threshold=0.98, centroids=cents, num_buckets=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    cl, dup = _semdedup_oracle(V, cents, 0.98)
+    assert out["cluster"].to_numpy().tolist() == cl.tolist()
+    assert out["is_dup"].to_numpy().tolist() == dup.tolist()
+    assert out["is_dup"].sum() >= 8  # every planted twin is caught
+
+
+def test_semdedup_partition_and_chunk_invariance():
+    t, V = _emb_table(n=60, d=8, seed=11)
+    V = V.copy()
+    V[50:60] = V[10:20] * 1.7  # scaled copies: cosine exactly 1
+    t = pa.table({"vec_id": np.arange(60, dtype=np.int64), "embedding": list(V)})
+    from flashray.datapipe import kmeans as km
+
+    ds1 = rd.from_arrow(t)
+    cents, _ = km.kmeans(ds1, k=4, max_iters=1, tol=0.0, init="lowest_ids")
+    base = (
+        similarity.semdedup(ds1, threshold=0.95, centroids=cents)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ds2 = rd.from_arrow(t).repartition(7)
+    alt = (
+        similarity.semdedup(
+            ds2, threshold=0.95, centroids=cents, chunk_rows=3, num_buckets=3
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, alt)
+    # a scaled copy has cosine 1 with its source -> always duplicate when
+    # the pair lands in one cluster; at minimum the marking is consistent:
+    assert base["is_dup"].dtype == bool

@@ -1697,6 +1697,31 @@ def _q_landmark_distances_user(sf_dir: str):
     return out
 
 
+def _q_closeness_user(sf_dir: str):
+    """Sampled closeness + harmonic centrality (3 landmarks = the 3
+    smallest user ids) over the user-succession DAG — ONE MultiSourceBFS
+    sweep + per-vertex fold. Oracle: recursive-CTE BFS per landmark,
+    aggregated; 6-dp floats (fixture margins to rounding boundaries
+    verified ≫ fp noise)."""
+    from flashray import algorithms
+
+    g = _user_graph(sf_dir, symmetrize=False)
+    lms = (
+        g.vertices_dataset(columns=["vertex_id"])
+        .to_pandas()["vertex_id"]
+        .nsmallest(3)
+        .astype(np.int64)
+        .tolist()
+    )
+    out = algorithms.closeness_centrality(g, landmarks=sorted(lms))
+    out = out.rename(columns={"vertex_id": "user_id"})
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["reached"] = out["reached"].astype(np.int64)
+    out["closeness"] = out["closeness"].round(6)
+    out["harmonic"] = out["harmonic"].round(6)
+    return out[["user_id", "reached", "closeness", "harmonic"]]
+
+
 def _q_sssp_user(sf_dir: str):
     """Weighted shortest distance (tropical min-plus SSSP) from the
     smallest user id over the user-succession DAG with path-dependent
@@ -2711,6 +2736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_transcripts_roundtrip": _q_convert_transcripts_roundtrip,
         "random_walks_user": _q_random_walks_user,
         "landmark_distances_user": _q_landmark_distances_user,
+        "closeness_user": _q_closeness_user,
         "tool_cooccurrence": _q_tool_cooccurrence,
         "hyperball_engine_user": _q_hyperball_engine_user,
         "convert_edges_roundtrip": _q_convert_edges_roundtrip,
@@ -3663,6 +3689,34 @@ FROM verts
 LEFT JOIN m m0 ON m0.v = verts.u AND m0.rk = 0
 LEFT JOIN m m1 ON m1.v = verts.u AND m1.rk = 1
 LEFT JOIN m m2 ON m2.v = verts.u AND m2.rk = 2""",
+        # closeness_user reuses the landmark BFS closure, folded per vertex
+        "closeness_user": """
+WITH RECURSIVE
+b AS (SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+lms AS (SELECT u FROM verts ORDER BY u LIMIT 3),
+r(s, v, d) AS (
+  SELECT u, u, 0 FROM lms
+  UNION
+  SELECT r.s, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 400
+),
+m AS (SELECT s, v, MIN(d) AS dist FROM r GROUP BY 1, 2),
+agg AS (SELECT v, COUNT(*) AS reached,
+               COUNT(*) FILTER (WHERE dist > 0) AS rpos,
+               SUM(dist) FILTER (WHERE dist > 0) AS sumd,
+               SUM(1.0 / dist) FILTER (WHERE dist > 0) AS har
+        FROM m GROUP BY 1)
+SELECT CAST(verts.u AS BIGINT) AS user_id,
+       CAST(COALESCE(a.reached, 0) AS BIGINT) AS reached,
+       ROUND(CASE WHEN COALESCE(a.sumd, 0) > 0
+                  THEN a.rpos * 1.0 / a.sumd ELSE 0.0 END, 6) AS closeness,
+       ROUND(COALESCE(a.har, 0.0), 6) AS harmonic
+FROM verts LEFT JOIN agg a ON a.v = verts.u""",
         "convert_edges_roundtrip": f"""
 WITH e AS ({_edges_keys_sql()}),
 d AS (SELECT src_key, COUNT(*) AS out_degree FROM e GROUP BY 1)

@@ -363,6 +363,87 @@ def landmark_distances(graph: Graph, landmarks, *, weighted: bool = False,
     return out.sort_values("vertex_id").reset_index(drop=True)
 
 
+def closeness_centrality(graph: Graph, *, landmarks=None, k: int = 8,
+                         weighted: bool = False, out_dir: str | None = None,
+                         actor_cpus=None, max_iters: int = 10_000):
+    """Sampled closeness + harmonic centrality (Eppstein–Wang style
+    estimation over a landmark sample, Boldi–Vigna's harmonic variant
+    included): ONE :class:`programs.MultiSourceBFS` sweep floods hop (or
+    weighted) distances from the K landmarks, then a pure per-vertex fold —
+    no extra shuffle.
+
+    Definitions over the sample S (exact, SQL-replayable, well-defined on
+    directed/disconnected graphs):
+
+    - ``reached``   = #{s ∈ S : s reaches v}           (includes d = 0)
+    - ``closeness`` = r⁺ / Σ_{s: d(s,v)>0} d(s,v)      (0.0 if r⁺ = 0)
+      with r⁺ = #{s : d(s,v) > 0} — the mean-inverse-distance estimator;
+      multiply by (n−1)·K/n for the classic asymptotic scale.
+    - ``harmonic``  = Σ_{s: d(s,v)>0} 1/d(s,v)
+
+    ``landmarks=None`` samples the K smallest vertex ids (deterministic);
+    at 100 TB pass hash-sampled ids instead. ``out_dir=`` streams the fold
+    over the engine's per-partition value dump as a Dataset (scale path);
+    default returns pandas (V × 4 driver rows — explicit small-output
+    collector, same contract as :func:`landmark_distances`)."""
+    import pandas as pd
+
+    from flashray.programs import MultiSourceBFS
+
+    if landmarks is None:
+        landmarks = (
+            graph.vertices_dataset(columns=["vertex_id"])
+            .sort("vertex_id")
+            .limit(k)
+            .to_pandas()["vertex_id"]
+            .astype(np.int64)
+            .tolist()
+        )
+    prog = MultiSourceBFS(sorted(landmarks), weighted=weighted)
+
+    def fold(ids: np.ndarray, mat: np.ndarray) -> pd.DataFrame:
+        unre = np.isinf(mat) if weighted else mat >= INT_IDENTITY
+        d = mat.astype(np.float64)
+        pos = (~unre) & (d > 0)
+        reached = (~unre).sum(axis=1).astype(np.int64)
+        rpos = pos.sum(axis=1).astype(np.int64)
+        sumd = np.where(pos, d, 0.0).sum(axis=1)
+        clo = np.divide(rpos, sumd, out=np.zeros(len(ids)), where=sumd > 0)
+        har = np.where(pos, np.divide(1.0, d, out=np.zeros_like(d),
+                                      where=pos), 0.0).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "vertex_id": ids.astype(np.int64),
+                "reached": reached,
+                "closeness": clo,
+                "harmonic": har,
+            }
+        )
+
+    with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
+        eng.run(lambda m: m["changed"] == 0, max_iters=max_iters)
+        if out_dir is not None:
+            # dump per-partition values, then CLOSE the engine before
+            # read_parquet: its metadata-fetch tasks cannot schedule while
+            # the shard actors hold every CPU (deadlock on small clusters)
+            eng.write_values(out_dir)
+        else:
+            df = eng.values_pandas()
+    if out_dir is not None:
+        import ray.data
+
+        def batch_fold(b):
+            m = np.stack(b["value"].to_numpy())
+            return fold(b["vertex_id"].to_numpy(), m)
+
+        return ray.data.read_parquet(out_dir).map_batches(
+            batch_fold, batch_format="pandas"
+        )
+    mat = np.stack(df["value"].to_numpy())
+    out = fold(df["vertex_id"].to_numpy(), mat)
+    return out.sort_values("vertex_id").reset_index(drop=True)
+
+
 def kcore(graph: Graph, *, out_dir=None, checkpoint_dir=None,
           checkpoint_interval: int = 10, resume: bool = False, actor_cpus=None,
           max_supersteps: int = 100_000):

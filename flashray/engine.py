@@ -1008,6 +1008,11 @@ class Engine:
         return out_dir
 
     def values_dataset(self, out_dir: str):
+        """CAUTION: read_parquet schedules metadata-fetch TASKS — if the
+        shard actors hold every CPU in the cluster (e.g. 4 actors on a
+        4-CPU test session) those tasks never schedule and this deadlocks.
+        Prefer ``write_values`` + ``ray.data.read_parquet`` AFTER the
+        engine is closed when the value Dataset outlives the engine."""
         self.write_values(out_dir)
         return ray.data.read_parquet(out_dir)
 

@@ -1,6 +1,7 @@
 """Algorithm correctness on closed-form fixtures (FIXTURES.md §4)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from flashray import algorithms, fixtures
@@ -561,3 +562,49 @@ def test_rich_club_matches_numpy():
         phi = round(2.0 * ek / (nk * (nk - 1.0)), 6) if nk >= 2 else 0.0
         assert (row["n_rich"], row["e_rich"]) == (nk, ek)
         assert row["phi"] == pytest.approx(phi, abs=1e-12)
+
+
+def test_closeness_matches_bfs_fold(tmp_graphs):
+    """closeness/harmonic over a 3-landmark sample == per-source BFS +
+    python fold, including unreachable handling and the reached count."""
+    graph, (src, dst) = tmp_graphs("er100", FIXES["er100"])
+    landmarks = [0, 7, 23]
+    out = algorithms.closeness_centrality(graph, landmarks=landmarks)
+    dist = {s: oracles.bfs_dist(src, dst, [s]) for s in landmarks}
+    for _, row in out.iterrows():
+        v = int(row["vertex_id"])
+        ds = [dist[s][v] for s in landmarks]
+        reach = [d for d in ds if d >= 0]
+        pos = [d for d in reach if d > 0]
+        assert int(row["reached"]) == len(reach)
+        want_clo = len(pos) / sum(pos) if pos else 0.0
+        want_har = sum(1.0 / d for d in pos)
+        assert abs(row["closeness"] - want_clo) < 1e-12
+        assert abs(row["harmonic"] - want_har) < 1e-12
+
+
+def test_closeness_default_landmarks_and_dataset_path(tmp_path, tmp_graphs):
+    """landmarks=None -> k smallest ids; out_dir= returns the same values
+    as the pandas path, as a streamed Dataset."""
+    graph, _ = tmp_graphs("er100", FIXES["er100"])
+    base = algorithms.closeness_centrality(graph, k=4)
+    via_ds = (
+        algorithms.closeness_centrality(
+            graph, k=4, out_dir=str(tmp_path / "vals")
+        )
+        .to_pandas()
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, via_ds)
+
+
+def test_closeness_disconnected(tmp_graphs):
+    graph, _ = tmp_graphs("two_components", FIXES["two_components"])
+    out = algorithms.closeness_centrality(graph, landmarks=[0, 10])
+    got = out.set_index("vertex_id")
+    # vertex 1 is reached only by landmark 0 at distance 1
+    assert got.loc[1, "reached"] == 1
+    assert got.loc[1, "closeness"] == 1.0 and got.loc[1, "harmonic"] == 1.0
+    # each landmark reaches itself at d=0: counted in reached, not in sums
+    assert got.loc[0, "reached"] >= 1

@@ -648,6 +648,34 @@ def _q_modularity_user(sf_dir: str):
     return pd.DataFrame({"q": [round(q, 6)]})
 
 
+def _q_conductance_user(sf_dir: str):
+    """Per-community conductance of the {user_id % 5} partition over the
+    symmetrized user graph: φ(c) = cut_c / min(vol_c, 2m − vol_c).
+    Integer cut/volume sufficient statistics, one float division —
+    exactly replayed in SQL."""
+    from flashray import algorithms
+
+    g = _user_graph(sf_dir, symmetrize=True)
+    verts = g.vertices_dataset(columns=["vertex_id"]).to_pandas()
+    labels = pd.DataFrame(
+        {
+            "vertex_id": verts["vertex_id"].astype(np.int64),
+            "label": (verts["vertex_id"] % 5).astype(np.int64),
+        }
+    )
+    out = (
+        algorithms.conductance(g, labels)
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    out["label"] = out["label"].astype(np.int64)
+    out["cut_edges"] = out["cut_edges"].astype(np.int64)
+    out["volume"] = out["volume"].astype(np.int64)
+    out["conductance"] = out["conductance"].round(6)
+    return out[["label", "cut_edges", "volume", "conductance"]]
+
+
 def _q_mis_user(sf_dir: str):
     """Deterministic Luby maximal independent set of the symmetrized
     user-succession graph (sha priorities); output = MIS member ids,
@@ -2669,6 +2697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_user": _q_mis_user,
         "coloring_user": _q_coloring_user,
         "modularity_user_mod5": _q_modularity_user,
+        "conductance_user": _q_conductance_user,
         "link_prediction_user": _q_link_prediction_user,
         "butterflies_user": _q_butterflies_user,
         "hyperball_user_graph": _q_hyperball_user_graph,
@@ -3852,6 +3881,31 @@ degc AS (SELECT v % 5 AS lab, SUM(d) AS dc FROM deg GROUP BY 1),
 sq AS (SELECT SUM(dc * dc) AS s FROM degc)
 SELECT ROUND(ein.c * 1.0 / m.m - sq.s / (4.0 * m.m * m.m), 6) AS q
 FROM ein, m, sq""",
+        # conductance_user: same canonical user edge set, per-community
+        # cut/volume integers, one float division
+        "conductance_user": """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+sym AS (SELECT src AS a, dst AS bb FROM eu UNION ALL SELECT dst, src FROM eu),
+deg AS (SELECT a AS v, COUNT(*) AS d FROM sym GROUP BY 1),
+m AS (SELECT COUNT(*) AS m FROM eu),
+cuts AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS cut_edges FROM (
+           SELECT src % 5 AS lab FROM eu WHERE src % 5 <> dst % 5
+           UNION ALL
+           SELECT dst % 5 FROM eu WHERE src % 5 <> dst % 5
+         ) GROUP BY 1),
+vols AS (SELECT v % 5 AS lab, CAST(SUM(d) AS BIGINT) AS volume
+         FROM deg GROUP BY 1)
+SELECT CAST(vols.lab AS BIGINT) AS label,
+       COALESCE(cuts.cut_edges, 0) AS cut_edges, vols.volume,
+       ROUND(CASE WHEN LEAST(vols.volume, 2 * m.m - vols.volume) > 0
+                  THEN COALESCE(cuts.cut_edges, 0) * 1.0
+                       / LEAST(vols.volume, 2 * m.m - vols.volume)
+                  ELSE 0.0 END, 6) AS conductance
+FROM vols LEFT JOIN cuts ON cuts.lab = vols.lab, m""",
         "mis_user": _mis_sql(12),
         # incremental ingest equivalence: degrees over the FULL union
         "incremental_degrees_user": """

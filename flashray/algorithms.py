@@ -506,30 +506,18 @@ def degrees(graph: Graph):
     return graph.vertices_dataset()
 
 
-def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
-    """Newman modularity Q of ANY vertex labeling over the undirected
-    (canonical, cross-etype-deduped) edge set:
-    ``Q = Σ_c e_c/m − Σ_c (deg_c / 2m)²`` with e_c = within-community
-    edges, deg_c = total degree of community c, m = undirected edges.
-
-    ``labels`` is a Dataset or pandas DataFrame (vertex_id, label); the
-    label column may be any int type or string (the label only enters
-    through equality and grouping). Labels must cover every NON-ISOLATED
-    graph vertex — a vertex missing from ``labels`` drops out of both
-    e_c and Σdeg_c² while m still counts its edges, silently skewing Q;
-    by default a coverage mismatch raises. ``allow_partial=True`` skips
-    the check and scores edges at unlabeled vertices as cut (documented
-    partial-labeling semantics).
-
-    Distributed shape: two bucket joins attach both endpoint labels to
-    each edge; e_c and deg_c reduce through bucketed sums; the final fold
-    over communities streams one partial row per block. The quality
-    metric for any community detection / partitioning output."""
+def _prep_partition_labels(und, labels, allow_partial: bool):
+    """Shared label-input normalization + coverage validation for the
+    partition-quality metrics (:func:`modularity`, :func:`conductance`):
+    pandas→Dataset with strict int/string dtype rules, reject duplicate
+    vertex_id rows, and (unless ``allow_partial``) require every
+    non-isolated vertex of the undirected edge set to carry a label.
+    Returns ``(labels_dataset, label_arrow_type, label_schema)``."""
     import pandas as pd
     import pyarrow as pa
 
-    from flashray.joins import bucket_group_agg, bucket_hash_join
-    from flashray.triangles import _canonical_undirected, _deg_from_und
+    from flashray.joins import _arrow_schema, bucket_group_agg, bucket_hash_join
+    from flashray.triangles import _deg_from_und
 
     if isinstance(labels, pd.DataFrame):
         import ray.data as rd
@@ -547,13 +535,7 @@ def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
             )
         lpd["vertex_id"] = lpd["vertex_id"].astype(np.int64)
         labels = rd.from_pandas(lpd)
-    und = _canonical_undirected(graph).materialize()
-    m = und.count()
-    if m == 0:
-        return 0.0
     I64 = pa.int64()
-    from flashray.joins import _arrow_schema
-
     lab_f = _arrow_schema(labels).field("label")
     lab_t = pa.string() if pa.types.is_string(lab_f.type) else I64
     if not (pa.types.is_string(lab_f.type) or pa.types.is_integer(lab_f.type)):
@@ -591,7 +573,7 @@ def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
             raise ValueError(
                 "labels contain duplicate vertex_id rows — each vertex "
                 "must carry exactly one label (duplicates would "
-                "double-count edges in e_c/deg_c)"
+                "double-count rows in the per-community sums)"
             )
         n_covered = bucket_hash_join(
             deg_full.map_batches(
@@ -608,7 +590,17 @@ def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
                 "vertices — pass allow_partial=True to score anyway "
                 "(edges at unlabeled vertices count as cut)"
             )
+    return labels, lab_t, lsch
 
+
+def _edge_labels(und, labels, lab_t, lsch):
+    """Attach BOTH endpoint labels to each canonical undirected edge:
+    two bucket hash joins → (lo, hi, label_lo, label)."""
+    import pyarrow as pa
+
+    from flashray.joins import bucket_hash_join
+
+    I64 = pa.int64()
     j = bucket_hash_join(
         und, labels, ["lo"], right_on=["vertex_id"],
         left_schema=pa.schema([("lo", I64), ("hi", I64)]),
@@ -619,11 +611,44 @@ def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
         ),
         batch_format="pyarrow",
     )
-    j = bucket_hash_join(
+    return bucket_hash_join(
         j, labels, ["hi"], right_on=["vertex_id"],
         left_schema=pa.schema([("lo", I64), ("hi", I64), ("label_lo", lab_t)]),
         right_schema=lsch,
     )
+
+
+def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
+    """Newman modularity Q of ANY vertex labeling over the undirected
+    (canonical, cross-etype-deduped) edge set:
+    ``Q = Σ_c e_c/m − Σ_c (deg_c / 2m)²`` with e_c = within-community
+    edges, deg_c = total degree of community c, m = undirected edges.
+
+    ``labels`` is a Dataset or pandas DataFrame (vertex_id, label); the
+    label column may be any int type or string (the label only enters
+    through equality and grouping). Labels must cover every NON-ISOLATED
+    graph vertex — a vertex missing from ``labels`` drops out of both
+    e_c and Σdeg_c² while m still counts its edges, silently skewing Q;
+    by default a coverage mismatch raises. ``allow_partial=True`` skips
+    the check and scores edges at unlabeled vertices as cut (documented
+    partial-labeling semantics).
+
+    Distributed shape: two bucket joins attach both endpoint labels to
+    each edge; e_c and deg_c reduce through bucketed sums; the final fold
+    over communities streams one partial row per block. The quality
+    metric for any community detection / partitioning output."""
+    import pyarrow as pa
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+    from flashray.triangles import _canonical_undirected, _deg_from_und
+
+    und = _canonical_undirected(graph).materialize()
+    m = und.count()
+    if m == 0:
+        return 0.0
+    I64 = pa.int64()
+    labels, lab_t, lsch = _prep_partition_labels(und, labels, allow_partial)
+    j = _edge_labels(und, labels, lab_t, lsch)
 
     def within(b: pa.Table) -> pa.Table:
         # elementwise equality holds for int64 and (object) string arrays
@@ -649,6 +674,92 @@ def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
 
     sq = deg_c.map_batches(fold, batch_format="pyarrow").sum("sq") or 0.0
     return float(e_in) / m - sq / (4.0 * m * m)
+
+
+def conductance(graph: Graph, labels, *, allow_partial: bool = False):
+    """Per-community conductance over the canonical undirected edge set:
+    ``φ(c) = cut_c / min(vol_c, 2m − vol_c)`` with cut_c = edges with
+    exactly one endpoint labeled c, vol_c = Σ degree over c, m =
+    undirected edges — the standard cluster-quality score (lower =
+    better-separated). φ is 0.0 when the denominator is 0 (a community
+    that IS the whole graph, or — under ``allow_partial`` — an empty one).
+
+    Same label contract and coverage validation as :func:`modularity`
+    (shared ``_prep_partition_labels``). Under ``allow_partial`` an edge
+    with an unlabeled endpoint counts toward the labeled endpoint's cut.
+
+    Distributed shape: two bucket joins attach endpoint labels, per-batch
+    pandas ``value_counts`` pre-aggregates cut partials map-side, one
+    bucket aggregate per (cut, vol) table, one bucket join aligns them —
+    never a driver-side community table. Returns a Dataset
+    (label, cut_edges, volume, conductance)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+    from flashray.triangles import _canonical_undirected, _deg_from_und
+
+    und = _canonical_undirected(graph).materialize()
+    m = und.count()
+    I64 = pa.int64()
+    labels, lab_t, lsch = _prep_partition_labels(und, labels, allow_partial)
+    j = _edge_labels(und, labels, lab_t, lsch)
+
+    def cut_partials(b: pd.DataFrame) -> pd.DataFrame:
+        # a cross edge contributes 1 to BOTH endpoint communities; under
+        # allow_partial a missing endpoint label is NaN != other label
+        cross = b["label_lo"] != b["label"]
+        sides = pd.concat(
+            [b.loc[cross, "label_lo"], b.loc[cross, "label"]],
+            ignore_index=True,
+        ).dropna()
+        vc = sides.value_counts()
+        out = pd.DataFrame(
+            {"label": vc.index.to_numpy(), "cut_edges": vc.to_numpy()}
+        )
+        if lab_t == pa.int64():
+            out["label"] = out["label"].astype(np.int64)
+        out["cut_edges"] = out["cut_edges"].astype(np.int64)
+        return out
+
+    cuts = bucket_group_agg(
+        j.map_batches(cut_partials, batch_format="pandas"),
+        ["label"],
+        {"cut_edges": ("cut_edges", "sum")},
+    )
+
+    deg = _deg_from_und(und)
+    dl = bucket_hash_join(
+        deg, labels, ["vertex_id"],
+        left_schema=pa.schema([("vertex_id", I64), ("deg", I64)]),
+        right_schema=lsch,
+    )
+    vols = bucket_group_agg(dl, ["label"], {"volume": ("deg", "sum")})
+
+    vsch = pa.schema([("label", lab_t), ("volume", I64)])
+    csch = pa.schema([("label", lab_t), ("cut_edges", I64)])
+    joined = bucket_hash_join(
+        vols, cuts, ["label"], left_schema=vsch, right_schema=csch,
+        how="left",
+    )
+
+    def phi(b: pd.DataFrame) -> pd.DataFrame:
+        cut = b["cut_edges"].fillna(0).to_numpy(dtype=np.int64)
+        vol = b["volume"].to_numpy(dtype=np.int64)
+        den = np.minimum(vol, 2 * m - vol)
+        out = pd.DataFrame(
+            {
+                "label": b["label"].to_numpy(),
+                "cut_edges": cut,
+                "volume": vol,
+                "conductance": np.divide(
+                    cut, den, out=np.zeros(len(b)), where=den > 0
+                ),
+            }
+        )
+        return out
+
+    return joined.map_batches(phi, batch_format="pandas")
 
 
 def reciprocity(

@@ -608,3 +608,75 @@ def test_closeness_disconnected(tmp_graphs):
     assert got.loc[1, "closeness"] == 1.0 and got.loc[1, "harmonic"] == 1.0
     # each landmark reaches itself at d=0: counted in reached, not in sums
     assert got.loc[0, "reached"] >= 1
+
+
+def test_conductance_matches_bruteforce(tmp_graphs):
+    """Per-community conductance vs a python fold over the canonical
+    undirected edge set, arbitrary 3-way labeling of er100."""
+    graph, (src, dst) = tmp_graphs("er100", FIXES["er100"])
+    und = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    verts = sorted({v for e in und for v in e})
+    lab = {v: v % 3 for v in verts}
+    labels = pd.DataFrame(
+        {"vertex_id": np.array(verts, dtype=np.int64),
+         "label": np.array([lab[v] for v in verts], dtype=np.int64)}
+    )
+    got = (
+        algorithms.conductance(graph, labels)
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    m = len(und)
+    deg = {v: 0 for v in verts}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    for c in (0, 1, 2):
+        cut = sum(1 for a, b in und if (lab[a] == c) != (lab[b] == c))
+        vol = sum(d for v, d in deg.items() if lab[v] == c)
+        den = min(vol, 2 * m - vol)
+        want = cut / den if den > 0 else 0.0
+        row = got[got["label"] == c].iloc[0]
+        assert int(row["cut_edges"]) == cut
+        assert int(row["volume"]) == vol
+        assert abs(row["conductance"] - want) < 1e-12
+
+
+def test_conductance_whole_graph_and_perfect_split(tmp_graphs):
+    graph, _ = tmp_graphs("two_components", FIXES["two_components"])
+    und = algorithms  # noqa: F841  (readability)
+    # one community per connected component: zero cut, conductance 0
+    out = algorithms.conductance(
+        graph,
+        pd.DataFrame(
+            {
+                "vertex_id": np.arange(20, dtype=np.int64),
+                "label": (np.arange(20) >= 10).astype(np.int64),
+            }
+        ),
+    ).to_pandas()
+    assert (out["cut_edges"] == 0).all()
+    assert (out["conductance"] == 0.0).all()
+    # everything in ONE community: denominator 0 -> defined as 0.0
+    one = algorithms.conductance(
+        graph,
+        pd.DataFrame(
+            {
+                "vertex_id": np.arange(20, dtype=np.int64),
+                "label": np.zeros(20, dtype=np.int64),
+            }
+        ),
+    ).to_pandas()
+    assert len(one) == 1 and one["conductance"].iloc[0] == 0.0
+    # modularity still works after the shared-helper refactor
+    q = algorithms.modularity(
+        graph,
+        pd.DataFrame(
+            {
+                "vertex_id": np.arange(20, dtype=np.int64),
+                "label": (np.arange(20) >= 10).astype(np.int64),
+            }
+        ),
+    )
+    assert q > 0.4

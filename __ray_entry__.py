@@ -2697,7 +2697,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_user": _q_mis_user,
         "coloring_user": _q_coloring_user,
         "modularity_user_mod5": _q_modularity_user,
-        "conductance_user": _q_conductance_user,
         "link_prediction_user": _q_link_prediction_user,
         "butterflies_user": _q_butterflies_user,
         "hyperball_user_graph": _q_hyperball_user_graph,
@@ -2738,6 +2737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_user": _q_assortativity_user,
         "powerlaw_user": _q_powerlaw_user,
         "richclub_user": _q_richclub_user,
+        "conductance_user": _q_conductance_user,
         "reciprocity_user": _q_reciprocity_user,
         "docs_tfidf": _q_docs_tfidf,
         "events_asof_purchase": _q_events_asof_purchase,

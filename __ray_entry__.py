@@ -2211,6 +2211,28 @@ def _q_events_cohorts(sf_dir: str):
     return out
 
 
+def _q_events_transitions(sf_dir: str):
+    """First-order Markov transition matrix between event types, per-user
+    sequences ordered by (ts, event_id): one per-user bucket shuffle
+    forms + pre-counts the consecutive pairs, tiny bucket aggregates
+    row-normalize the probabilities."""
+    from flashray.datapipe.temporal import event_transitions
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    out = (
+        event_transitions(ev, num_buckets=32)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["prob"] = out["prob"].round(6)
+    return out
+
+
 def _q_events_funnel(sf_dir: str):
     """view→click→purchase ordered funnel (greedy earliest-completion):
     per step one type-sliced hash join against the previous completion
@@ -2758,6 +2780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cms_counts": _q_docs_cms_counts,
         "events_funnel": _q_events_funnel,
         "events_cohorts": _q_events_cohorts,
+        "events_transitions": _q_events_transitions,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -3357,6 +3380,18 @@ SELECT f.cohort, a.wk - f.cohort AS week_offset,
        COUNT(*) AS users
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2""",
+        # first-order transitions: LEAD over (ts, event_id) replays the
+        # per-user deterministic ordering exactly
+        "events_transitions": """
+WITH seq AS (SELECT user_id, event_type AS from_type,
+                    LEAD(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS to_type
+             FROM events),
+p AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, SUM(n) AS s FROM p GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n, ROUND(p.n * 1.0 / t.s, 6) AS prob
+FROM p JOIN t USING (from_type)""",
         # greedy earliest-completion funnel: step i's completion time is
         # the earliest step-i event STRICTLY after step i-1's
         "events_funnel": """

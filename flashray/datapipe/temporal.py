@@ -475,3 +475,101 @@ def cohort_retention(
         {"users": ("users", "sum")},
         num_buckets=num_buckets,
     )
+
+
+def event_transitions(
+    events: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """First-order Markov transition counts/probabilities between event
+    types: for every user, order their events by ``(ts, id)`` (the id
+    column makes equal-timestamp ordering deterministic — SQL's
+    ``LEAD() OVER (PARTITION BY user ORDER BY ts, id)`` replays it
+    exactly), take each consecutive pair, and aggregate globally to one
+    row per observed ``(from_type, to_type)`` with the transition count
+    and row-normalized probability ``n / Σ_to n``. Returns a Dataset
+    (from_type, to_type, n int64, prob float64) — O(|types|²) rows
+    regardless of event count (the standard behavioral "what happens
+    next" matrix / Markov-chain estimate).
+
+    Dataflow: ONE hash shuffle on ``user_col`` (the per-key partitioning
+    assumption shared with every per-key operator here: one user's
+    events fit one task), per-bucket vectorized sort + shift forms the
+    pairs and pre-counts them (one partial row per distinct pair per
+    bucket — hub users never ship raw pairs), then one tiny bucket
+    aggregate over the partials and one row-sum join compute the
+    probabilities. Nothing user-level reaches the driver."""
+    from flashray.joins import _key_hash, bucket_group_agg, bucket_hash_join
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.replace_schema_metadata(None)
+        h = _key_hash(b, [user_col])
+        return pa.table(
+            {
+                user_col: b[user_col].cast(pa.int64()),
+                "__ts_us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                id_col: b[id_col].cast(pa.int64()),
+                type_col: b[type_col].cast(pa.string()),
+                "__tbucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    pair_cols = [
+        ("from_type", pa.string()),
+        ("to_type", pa.string()),
+        ("n", pa.int64()),
+    ]
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "__ts_us", id_col], kind="mergesort")
+        u = g[user_col].to_numpy()
+        t = g[type_col].to_numpy()
+        same = u[:-1] == u[1:]
+        if not same.any():
+            return _typed_empty(pair_cols)
+        d = pd.DataFrame(
+            {"from_type": t[:-1][same], "to_type": t[1:][same]}
+        )
+        vc = d.value_counts()
+        out = vc.index.to_frame(index=False)
+        out["n"] = vc.to_numpy().astype(np.int64)
+        return out
+
+    partials = (
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby("__tbucket")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+    )
+    counts = bucket_group_agg(
+        partials, ["from_type", "to_type"], {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    )
+    totals = bucket_group_agg(
+        counts, ["from_type"], {"s": ("n", "sum")}, num_buckets=num_buckets,
+    )
+    sch = pa.schema(pair_cols)
+    tot_sch = pa.schema([("from_type", pa.string()), ("s", pa.int64())])
+    j = bucket_hash_join(
+        counts, totals, ["from_type"],
+        num_buckets=num_buckets, left_schema=sch, right_schema=tot_sch,
+    )
+
+    def prob(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "from_type": df["from_type"].to_numpy(),
+                "to_type": df["to_type"].to_numpy(),
+                "n": n,
+                "prob": n / df["s"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return j.map_batches(prob, batch_format="pandas")

@@ -348,3 +348,81 @@ def test_cohort_retention_matrix():
         }
     )
     assert got.astype("int64").values.tolist() == want.values.tolist()
+
+
+def _transitions_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    rows = []
+    for _, grp in g.groupby("user_id"):
+        ts = list(grp["event_type"])
+        rows += list(zip(ts[:-1], ts[1:]))
+    pairs = pd.DataFrame(rows, columns=["from_type", "to_type"])
+    n = pairs.value_counts().rename("n").reset_index()
+    n["n"] = n["n"].astype("int64")
+    tot = n.groupby("from_type")["n"].transform("sum")
+    n["prob"] = n["n"] / tot
+    return n.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def _rand_events(seed, n=600, users=23, types=5):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, users, n).astype("int64"),
+            "event_type": np.array(list("abcdefgh"))[
+                rng.integers(0, types, n)
+            ],
+            # coarse timestamps force plenty of (user, ts) ties — the
+            # event_id tiebreak must decide those deterministically
+            "ts": pd.to_datetime(
+                rng.integers(0, 50, n) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    return df
+
+
+def test_event_transitions_matches_oracle():
+    from flashray.datapipe.temporal import event_transitions
+
+    df = _rand_events(3)
+    got = (
+        event_transitions(rd.from_pandas(df), num_buckets=8)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    want = _transitions_oracle(df)
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
+    # probabilities row-normalize
+    assert np.allclose(got.groupby("from_type")["prob"].sum(), 1.0)
+
+
+def test_event_transitions_partition_invariant():
+    from flashray.datapipe.temporal import event_transitions
+
+    df = _rand_events(11)
+    a = (
+        event_transitions(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    b = (
+        event_transitions(rd.from_pandas(df).repartition(9), num_buckets=16)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_event_transitions_single_event_users():
+    from flashray.datapipe.temporal import event_transitions
+
+    # every user has exactly one event -> no pairs at all
+    df = _rand_events(5, n=20, users=20)
+    df["user_id"] = np.arange(20, dtype="int64")
+    out = event_transitions(rd.from_pandas(df), num_buckets=4).to_pandas()
+    assert len(out) == 0

@@ -1725,6 +1725,66 @@ def _q_landmark_distances_user(sf_dir: str):
     return out
 
 
+def _q_embeddings_kcenter(sf_dir: str):
+    """Greedy k-center (farthest-point) coreset of the embeddings table,
+    k=5: squared euclidean via the inner-product identity, 6-dp-rounded
+    comparisons, ties -> lowest id — the SQL oracle replays every round
+    with list_inner_product + the same rounding."""
+    from flashray.datapipe.similarity import kcenter_coreset
+
+    emb = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = kcenter_coreset(emb, 5)
+    out["radius"] = out["radius"].round(6)
+    return out
+
+
+def _kcenter_sql(k: int) -> str:
+    """Round-unrolled greedy k-center over the embeddings table: seed =
+    lowest vec_id, then k−1 rounds of LEAST-folded 6-dp-rounded squared
+    distances (inner-product identity, GREATEST 0 duplicate clamp) and a
+    (md DESC, vec_id) LIMIT 1 argmax; a round whose max distance is 0
+    selects nothing and every later round inherits the empty set (the
+    operator's early stop)."""
+    def d2(x: str, c: str) -> str:
+        return (
+            f"GREATEST(ROUND(list_inner_product({x}, {x}) "
+            f"- 2 * list_inner_product({x}, {c}) "
+            f"+ list_inner_product({c}, {c}), 6), 0.0)"
+        )
+
+    stages = [
+        """
+e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+c0 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+m1 AS MATERIALIZED (SELECT e.vec_id, e.v, """ + d2("e.v", "c.v") + """ AS md
+                    FROM e, c0 c)"""
+    ]
+    for r in range(1, k):
+        stages.append(
+            f"c{r} AS MATERIALIZED (SELECT vec_id, v, md FROM m{r} "
+            f"WHERE md > 0 ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if r < k - 1:
+            stages.append(
+                f"m{r + 1} AS MATERIALIZED (SELECT m.vec_id, m.v, "
+                f"LEAST(m.md, " + d2("m.v", "c.v") + f") AS md "
+                f"FROM m{r} m, c{r} c)"
+            )
+    selects = ['SELECT CAST(0 AS BIGINT) AS "order", vec_id, 0.0 AS radius FROM c0']
+    selects += [
+        f"SELECT CAST({r} AS BIGINT), vec_id, md FROM c{r}"
+        for r in range(1, k)
+    ]
+    return (
+        "WITH " + ",".join(stages) + "\n"
+        + "\nUNION ALL\n".join(selects) + "\nORDER BY 1"
+    )
+
+
 def _q_closeness_user(sf_dir: str):
     """Sampled closeness + harmonic centrality (3 landmarks = the 3
     smallest user ids) over the user-succession DAG — ONE MultiSourceBFS
@@ -2789,6 +2849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_user": _q_random_walks_user,
         "landmark_distances_user": _q_landmark_distances_user,
         "closeness_user": _q_closeness_user,
+        "embeddings_kcenter": _q_embeddings_kcenter,
         "tool_cooccurrence": _q_tool_cooccurrence,
         "hyperball_engine_user": _q_hyperball_engine_user,
         "convert_edges_roundtrip": _q_convert_edges_roundtrip,
@@ -4426,6 +4487,7 @@ a2 AS (SELECT e.vec_id,
        FROM emb e)
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster
 FROM a2""",
+        "embeddings_kcenter": _kcenter_sql(5),
         # SemDeDup = the embeddings_kmeans replay (identical CTE prefix)
         # + EXISTS-a-lower-id same-cluster neighbor at rounded cosine >= thr
         "embeddings_semdedup": """

@@ -655,3 +655,130 @@ def semdedup(
         .groupby("bucket")
         .map_groups(prune, batch_format="pandas")
     )
+
+
+def kcenter_coreset(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the classic
+    2-approximation (Gonzalez 1985) used for training-data pruning /
+    active-learning acquisition (Sener & Savarese 2018): seed with the
+    LOWEST id, then k−1 times add the point farthest from the selected
+    set. Returns pd.DataFrame (order, vec_id, radius) with ``radius`` =
+    the selected point's min squared-euclidean distance to the prior
+    centers (6-dp ROUNDED — a monotone nonincreasing covering-radius
+    curve; k driver rows total). Stops early once the covering radius
+    hits 0.0 (every remaining point duplicates a center).
+
+    Determinism/SQL-parity: squared distance via the inner-product
+    identity ``⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩`` in float64, ROUNDED to 6 dp
+    BEFORE min/argmax comparisons, ties → lowest id — DuckDB replays
+    every round with ``list_inner_product`` + the same rounding (the
+    repo-wide rounded-ranking convention; an unrounded argmax can flip
+    on 1-ulp libm differences).
+
+    Distributed shape: the working set (id, vec, mind) stays in the
+    object store; each of the k rounds is ONE streaming map_batches pass
+    that (a) folds the single new center (d floats, closure-shipped)
+    into ``mind`` and (b) emits one candidate partial row per BATCH
+    (its max-mind winner + vector), so the driver reduces O(blocks)
+    rows per round and never sees the corpus. Inherently k sequential
+    passes — the greedy rule is data-dependent; that is the algorithm,
+    not an implementation shortcut."""
+    base = ds.select_columns([id_col, vec_col])
+
+    def prep(b: pa.Table) -> pa.Table:
+        vecs = _stack(b[vec_col]).astype(np.float64)
+        # fixed-size list keeps every later pass a zero-copy
+        # flatten+reshape instead of a per-row Python rebuild
+        v = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel()), vecs.shape[1] if len(vecs) else 1
+        )
+        return pa.table(
+            {
+                "vec_id": b[id_col].cast(pa.int64()),
+                "v": v,
+                "mind": pa.array(
+                    np.full(b.num_rows, np.inf, dtype=np.float64)
+                ),
+            }
+        )
+
+    cur = base.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def _vecs(col, d: int) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return np.asarray(arr.flatten(), dtype=np.float64).reshape(-1, d)
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        b = b.select(["vec_id", "v"])
+        ids = b["vec_id"].to_numpy()
+        if not len(ids):
+            return b.slice(0, 0)  # zero-row slice keeps the exact types
+        return b.slice(int(np.argmin(ids)), 1)
+
+    seeds = cur.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+    if not len(seeds):
+        return pd.DataFrame(
+            {"order": pd.Series([], dtype=np.int64),
+             "vec_id": pd.Series([], dtype=np.int64),
+             "radius": pd.Series([], dtype=np.float64)}
+        )
+    s0 = seeds.sort_values("vec_id").iloc[0]
+    center = np.asarray(s0["v"], dtype=np.float64)
+    out = [(0, int(s0["vec_id"]), 0.0)]
+
+    for r in range(1, k):
+        c = center  # rebind: closures capture the loop variable fresh
+        cc = float(c @ c)
+
+        def fold(b: pa.Table, c=c, cc=cc) -> pa.Table:
+            vecs = (
+                _vecs(b["v"], len(c)) if b.num_rows
+                else np.zeros((0, len(c)))
+            )
+            d2 = np.round(
+                np.einsum("ij,ij->i", vecs, vecs) - 2.0 * (vecs @ c) + cc, 6
+            )
+            # exact-zero clamp: the identity can go -1e-7 on a duplicate
+            mind = np.minimum(
+                b["mind"].to_numpy(), np.maximum(d2, 0.0)
+            )
+            return pa.table({"vec_id": b["vec_id"], "v": b["v"],
+                             "mind": pa.array(mind)})
+
+        cur = cur.map_batches(
+            fold, batch_format="pyarrow", batch_size=batch_size
+        ).materialize()
+
+        def cand_partial(b: pa.Table) -> pa.Table:
+            b = b.select(["vec_id", "v", "mind"])
+            if not b.num_rows:
+                return b.slice(0, 0)
+            mind = b["mind"].to_numpy()
+            best = mind.max()
+            if best <= 0.0:
+                return b.slice(0, 0)
+            ids = b["vec_id"].to_numpy()
+            tied = np.flatnonzero(mind == best)
+            return b.slice(int(tied[np.argmin(ids[tied])]), 1)
+
+        cands = cur.map_batches(
+            cand_partial, batch_format="pyarrow"
+        ).to_pandas()
+        if not len(cands):
+            break  # covering radius 0 — coreset complete
+        w = cands.sort_values(
+            ["mind", "vec_id"], ascending=[False, True]
+        ).iloc[0]
+        center = np.asarray(w["v"], dtype=np.float64)
+        out.append((r, int(w["vec_id"]), float(w["mind"])))
+
+    return pd.DataFrame(out, columns=["order", "vec_id", "radius"]).astype(
+        {"order": np.int64, "vec_id": np.int64, "radius": np.float64}
+    )

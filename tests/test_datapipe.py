@@ -848,3 +848,66 @@ def test_semdedup_partition_and_chunk_invariance():
     # a scaled copy has cosine 1 with its source -> always duplicate when
     # the pair lands in one cluster; at minimum the marking is consistent:
     assert base["is_dup"].dtype == bool
+
+
+def _kcenter_oracle(ids, V, k):
+    """Greedy k-center with the operator's exact rule: squared euclidean
+    via the inner-product identity, 6-dp rounded, ties -> lowest id."""
+    V = V.astype(np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    sel = [0]
+    out = [(0, int(ids[0]), 0.0)]
+    mind = np.full(len(ids), np.inf)
+    for r in range(1, k):
+        c = V[sel[-1]]
+        d2 = np.round(
+            np.einsum("ij,ij->i", V, V) - 2.0 * (V @ c) + float(c @ c), 6
+        )
+        mind = np.minimum(mind, np.maximum(d2, 0.0))
+        best = mind.max()
+        if best <= 0.0:
+            break
+        i = int(np.flatnonzero(mind == best)[0])  # ids sorted -> lowest id
+        sel.append(i)
+        out.append((r, int(ids[i]), float(best)))
+    return pd.DataFrame(out, columns=["order", "vec_id", "radius"])
+
+
+def _emb_frame(seed, n=120, d=16):
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, d)).astype(np.float32)
+    return pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(V)}
+    ), V
+
+
+def test_kcenter_coreset_matches_greedy_oracle():
+    df, V = _emb_frame(5)
+    got = similarity.kcenter_coreset(rd.from_pandas(df), 8)
+    want = _kcenter_oracle(df["vec_id"].to_numpy(), V, 8)
+    pd.testing.assert_frame_equal(got, want)
+    # covering radius is monotone nonincreasing after the seed row
+    r = got["radius"].to_numpy()[1:]
+    assert (np.diff(r) <= 1e-12).all()
+
+
+def test_kcenter_coreset_partition_invariant():
+    df, V = _emb_frame(9)
+    a = similarity.kcenter_coreset(rd.from_pandas(df), 6)
+    b = similarity.kcenter_coreset(
+        rd.from_pandas(df).repartition(7), 6, batch_size=13
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_kcenter_coreset_early_stop_on_duplicates():
+    # 3 distinct points, each duplicated -> radius hits 0 after 3 picks
+    base = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]], dtype=np.float32)
+    V = np.vstack([base, base])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(6, dtype=np.int64), "embedding": list(V)}
+    )
+    got = similarity.kcenter_coreset(rd.from_pandas(df), 5)
+    assert len(got) == 3
+    assert set(got["vec_id"]) == {0, 1, 2}

@@ -2293,6 +2293,30 @@ def _q_events_transitions(sf_dir: str):
     return out
 
 
+def _q_events_type_cooccur(sf_dir: str):
+    """Bipartite projection of (event_type × user) onto event types:
+    co-occurrence counts + jaccard/cosine weights — wedges bucketed by
+    the user (center) side, vectorized in-bucket pair expansion."""
+    from flashray.triangles import bipartite_project
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    out = (
+        bipartite_project(
+            ev, left_col="event_type", right_col="user_id", num_buckets=32
+        )
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    out["cn"] = out["cn"].astype(np.int64)
+    out["jaccard"] = out["jaccard"].round(6)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
 def _q_events_funnel(sf_dir: str):
     """view→click→purchase ordered funnel (greedy earliest-completion):
     per step one type-sliced hash join against the previous completion
@@ -2841,6 +2865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_cohorts": _q_events_cohorts,
         "events_transitions": _q_events_transitions,
+        "events_type_cooccur": _q_events_type_cooccur,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -3441,6 +3466,17 @@ SELECT f.cohort, a.wk - f.cohort AS week_offset,
        COUNT(*) AS users
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2""",
+        # bipartite projection onto event types: co-occurrence over
+        # shared users + degree-normalized weights
+        "events_type_cooccur": """
+WITH d AS (SELECT DISTINCT event_type AS l, user_id AS r FROM events),
+deg AS (SELECT l, COUNT(*) AS dd FROM d GROUP BY 1),
+p AS (SELECT a.l AS u, b.l AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM d a JOIN d b ON a.r = b.r AND a.l < b.l GROUP BY 1, 2)
+SELECT p.u, p.v, p.cn,
+       ROUND(p.cn * 1.0 / (du.dd + dv.dd - p.cn), 6) AS jaccard,
+       ROUND(p.cn / sqrt(du.dd * dv.dd), 6) AS cosine
+FROM p JOIN deg du ON du.l = p.u JOIN deg dv ON dv.l = p.v""",
         # first-order transitions: LEAD over (ts, event_id) replays the
         # per-user deterministic ordering exactly
         "events_transitions": """

@@ -419,3 +419,99 @@ def test_two_hop_sizes(graphs, name, fn):
         ball.discard(v)
         want[v] = (len(nb), len(ball))
     assert got == want
+
+
+def _bipartite_oracle(df, max_center_degree=None):
+    import pandas as pd
+
+    d = df.drop_duplicates(["l", "r"])
+    deg = d.groupby("l")["r"].nunique()
+    if max_center_degree is not None:
+        cdeg = d.groupby("r")["l"].nunique()
+        d = d[d["r"].map(cdeg) <= max_center_degree]
+    rows = {}
+    for _, grp in d.groupby("r"):
+        ls = sorted(grp["l"])
+        for i in range(len(ls)):
+            for j in range(i + 1, len(ls)):
+                rows[(ls[i], ls[j])] = rows.get((ls[i], ls[j]), 0) + 1
+    out = pd.DataFrame(
+        [(u, v, c) for (u, v), c in rows.items()], columns=["u", "v", "cn"]
+    )
+    out["jaccard"] = out["cn"] / (
+        out["u"].map(deg) + out["v"].map(deg) - out["cn"]
+    )
+    out["cosine"] = out["cn"] / np.sqrt(
+        out["u"].map(deg) * out["v"].map(deg)
+    )
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def _rand_bipartite(seed, n=500, nl=40, nr=25):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "l": rng.integers(0, nl, n).astype("int64"),
+            "r": rng.integers(0, nr, n).astype("int64"),
+        }
+    )
+
+
+def _run_project(df, **kw):
+    import ray.data as rd
+
+    return (
+        triangles.bipartite_project(
+            rd.from_pandas(df), left_col="l", right_col="r", **kw
+        )
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+
+
+def test_bipartite_project_matches_oracle():
+    import pandas as pd
+
+    df = _rand_bipartite(3)
+    got = _run_project(df, num_buckets=8)
+    want = _bipartite_oracle(df)
+    pd.testing.assert_frame_equal(
+        got, want, check_exact=False, rtol=1e-12
+    )
+
+
+def test_bipartite_project_string_left_and_cap():
+    import pandas as pd
+
+    df = _rand_bipartite(7, n=300, nl=8, nr=12)
+    df["l"] = df["l"].map(lambda x: f"t{x:02d}")
+    # fixture has centers at degree 7 (kept) AND 8 (pruned) under cap=7
+    degs = df.drop_duplicates().groupby("r")["l"].nunique()
+    assert (degs > 7).any() and (degs <= 7).any()
+    got = _run_project(df, num_buckets=4, max_center_degree=7)
+    want = _bipartite_oracle(df, max_center_degree=7)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got, want, check_exact=False, rtol=1e-12
+    )
+
+
+def test_bipartite_project_partition_invariant():
+    import pandas as pd
+    import ray.data as rd
+
+    df = _rand_bipartite(11)
+    a = _run_project(df, num_buckets=4)
+    b = (
+        triangles.bipartite_project(
+            rd.from_pandas(df).repartition(9),
+            left_col="l", right_col="r", num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -2293,6 +2293,20 @@ def _q_events_transitions(sf_dir: str):
     return out
 
 
+def _q_events_hist_quantiles(sf_dir: str):
+    """Approximate quantiles of events.value from the mergeable 256-bin
+    histogram sketch (the no-global-sort scale path beside
+    events_quantiles): bin counts are exact integers and every float64
+    step matches the SQL expression tree, so the oracle replays the
+    estimates bit-identically (6-dp rounded output)."""
+    from flashray.datapipe.sketches import histogram_quantiles
+
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    out = histogram_quantiles(ev, "value", [0.1, 0.5, 0.9, 0.99], bins=256)
+    out["est"] = out["est"].round(6)
+    return out
+
+
 def _q_events_type_cooccur(sf_dir: str):
     """Bipartite projection of (event_type × user) onto event types:
     co-occurrence counts + jaccard/cosine weights — wedges bucketed by
@@ -2866,6 +2880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohorts": _q_events_cohorts,
         "events_transitions": _q_events_transitions,
         "events_type_cooccur": _q_events_type_cooccur,
+        "events_hist_quantiles": _q_events_hist_quantiles,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -3466,6 +3481,25 @@ SELECT f.cohort, a.wk - f.cohort AS week_offset,
        COUNT(*) AS users
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2""",
+        # histogram-sketch quantiles: rebuild the 256 bin counts with the
+        # operator's exact float64 expression tree, window-cumsum, then
+        # interpolate inside the covering bin — bit-identical estimates
+        "events_hist_quantiles": """
+WITH v AS (SELECT value AS x FROM events),
+s AS (SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n FROM v),
+h AS (SELECT LEAST(CAST(FLOOR(((x - s.lo) * 256.0) / (s.hi - s.lo))
+                        AS BIGINT), 255) AS bin,
+             COUNT(*) AS c
+      FROM v, s GROUP BY 1),
+cs AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin) - c AS cb FROM h),
+q AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q),
+t AS (SELECT q.q, q.q * (s.n - 1) AS t FROM q, s),
+p AS (SELECT t.q, cs.bin, cs.c, cs.cb, t.t FROM t JOIN cs
+      ON cs.cb <= t.t AND t.t < cs.cb + cs.c)
+SELECT p.q,
+       ROUND(s.lo + (p.bin + (p.t - p.cb) / p.c)
+                    * ((s.hi - s.lo) / 256.0), 6) AS est
+FROM p, s ORDER BY 1""",
         # bipartite projection onto event types: co-occurrence over
         # shared users + degree-normalized weights
         "events_type_cooccur": """

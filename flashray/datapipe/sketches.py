@@ -757,3 +757,92 @@ def cms_term_estimates(
     res = pd.DataFrame(out, columns=["term", "est"]).sort_values("term")
     res["est"] = res["est"].astype(np.int64)
     return res.reset_index(drop=True)
+
+
+def histogram_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    bins: int = 4096,
+    min_max: tuple[float, float] | None = None,
+) -> pd.DataFrame:
+    """Approximate quantiles from a MERGEABLE fixed-width histogram — the
+    100-TB scale path beside :func:`exact_quantiles` (whose global
+    range-partitioned sort is the one all-to-all this sketch avoids):
+    one streaming (min, max) pass (skipped when ``min_max`` is given,
+    e.g. a known value domain), one streaming bin-count pass shipping a
+    single ``bins``-long int64 vector per BLOCK (32 KB at the default,
+    the CMS/HLL register-merge shape), driver estimates by linear
+    interpolation inside the covering bin. Error ≤ one bin width
+    ``(hi−lo)/bins`` per estimate, counts exact integers ⇒ estimates
+    identical under any partitioning.
+
+    Determinism/SQL-parity: bin = ``min(floor(((x−lo)·bins)/(hi−lo)),
+    bins−1)`` and estimate = ``lo + (bin + (t−cum_before)/c)·width``
+    with target rank ``t = q·(n−1)`` — every arithmetic step is the
+    same float64 expression tree DuckDB evaluates, so the oracle
+    replays bit-identically. Returns pd.DataFrame (q, est)."""
+    if not qs:
+        return pd.DataFrame({"q": pd.Series([], dtype=np.float64),
+                             "est": pd.Series([], dtype=np.float64)})
+    base = ds.select_columns([col])
+    if min_max is None:
+        def mm(b: pa.Table) -> pa.Table:
+            x = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            if not len(x):
+                return pa.table({"lo": pa.array([], pa.float64()),
+                                 "hi": pa.array([], pa.float64())})
+            return pa.table({"lo": [float(x.min())], "hi": [float(x.max())]})
+
+        parts = base.map_batches(mm, batch_format="pyarrow").to_pandas()
+        if not len(parts):
+            raise ValueError("histogram_quantiles over an empty dataset")
+        lo, hi = float(parts["lo"].min()), float(parts["hi"].max())
+    else:
+        lo, hi = float(min_max[0]), float(min_max[1])
+
+    n_total = 0
+    counts = np.zeros(bins, dtype=np.int64)
+    span = hi - lo
+
+    def binned(b: pa.Table) -> pa.Table:
+        x = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = np.zeros(bins, dtype=np.int64)
+        if len(x) and span > 0:
+            # same float64 expression tree as the SQL replay:
+            # multiply-before-divide, floor, clamp at the top edge
+            idx = np.floor(((x - lo) * float(bins)) / span)
+            idx = np.minimum(idx, bins - 1).astype(np.int64)
+            np.add.at(cb, idx, 1)
+        elif len(x):
+            cb[0] = len(x)  # degenerate domain: everything in bin 0
+        return pa.table({"regs": [cb.tobytes()], "n": [len(x)]})
+
+    for batch in base.map_batches(
+        binned, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=256):
+        n_total += int(np.sum(batch["n"].to_numpy()))
+        for blob in batch["regs"].to_pylist():
+            counts += np.frombuffer(blob, dtype=np.int64)
+
+    if n_total == 0:
+        raise ValueError("histogram_quantiles over an empty dataset")
+    cum_before = np.cumsum(counts) - counts
+    width = span / float(bins)
+    out = []
+    for q in qs:
+        if span == 0:
+            out.append((float(q), lo))
+            continue
+        t = float(q) * float(n_total - 1)
+        # first bin whose cumulative count exceeds t
+        b = int(np.searchsorted(cum_before + counts, t, side="right"))
+        b = min(b, bins - 1)
+        while counts[b] == 0:  # guard: land on an occupied bin
+            b -= 1
+        est = lo + (b + (t - float(cum_before[b])) / float(counts[b])) * width
+        out.append((float(q), float(est)))
+    return pd.DataFrame(out, columns=["q", "est"]).astype(
+        {"q": np.float64, "est": np.float64}
+    )

@@ -359,3 +359,44 @@ def test_cms_term_estimates_upper_bound_and_sql_semantics():
             for j in range(4)
         ]
         assert est[p] == min(cells)
+
+
+def test_histogram_quantiles_within_bin_width():
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import histogram_quantiles
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(50.0, 12.0, size=5000).round(4)
+    df = pd.DataFrame({"value": x})
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    got = histogram_quantiles(rd.from_pandas(df), "value", qs, bins=512)
+    width = (x.max() - x.min()) / 512
+    for q, est in zip(got["q"], got["est"]):
+        true = np.quantile(x, q)
+        assert abs(est - true) <= width + 1e-9, (q, est, true)
+
+
+def test_histogram_quantiles_partition_invariant_exact():
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import histogram_quantiles
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({"value": rng.uniform(-3, 7, size=2000)})
+    qs = [0.25, 0.5, 0.75]
+    a = histogram_quantiles(rd.from_pandas(df), "value", qs, bins=256)
+    b = histogram_quantiles(
+        rd.from_pandas(df).repartition(11), "value", qs, bins=256
+    )
+    pd.testing.assert_frame_equal(a, b)  # bit-identical, not approximate
+
+
+def test_histogram_quantiles_degenerate_constant():
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import histogram_quantiles
+
+    df = pd.DataFrame({"value": np.full(100, 3.25)})
+    got = histogram_quantiles(rd.from_pandas(df), "value", [0.1, 0.9])
+    assert (got["est"] == 3.25).all()

@@ -2293,6 +2293,25 @@ def _q_events_transitions(sf_dir: str):
     return out
 
 
+def _q_events_weighted_sample(sf_dir: str):
+    """Efraimidis–Spirakis weighted sample (k=64, weight=value>0) with
+    sha-derived exponential keys — local bottom-k per block, one tiny
+    sort+limit reduce; the oracle recomputes every key in SQL."""
+    from flashray.datapipe.sketches import weighted_sample
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "value"],
+    )
+    out = weighted_sample(
+        ev, 64, weight_col="value", id_col="event_id"
+    ).to_pandas()
+    out = out.rename(columns={"__key": "key"})
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["key"] = out["key"].round(6)
+    return out[["event_id", "value", "key"]]
+
+
 def _q_events_hist_quantiles(sf_dir: str):
     """Approximate quantiles of events.value from the mergeable 256-bin
     histogram sketch (the no-global-sort scale path beside
@@ -2881,6 +2900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _q_events_transitions,
         "events_type_cooccur": _q_events_type_cooccur,
         "events_hist_quantiles": _q_events_hist_quantiles,
+        "events_weighted_sample": _q_events_weighted_sample,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -3481,6 +3501,17 @@ SELECT f.cohort, a.wk - f.cohort AS week_offset,
        COUNT(*) AS users
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2""",
+        # Efraimidis–Spirakis keys recomputed cell-exactly: 63-bit sha
+        # uniform, exponential key, 6-dp round, (key, id) order
+        "events_weighted_sample": """
+WITH w AS (SELECT event_id, value FROM events WHERE value > 0),
+kys AS (SELECT event_id, value,
+               ROUND(-ln((CAST(CAST(concat('0x',
+                          substr(sha256('ws|' || event_id), 1, 16))
+                          AS UBIGINT) >> 1 AS DOUBLE) + 0.5)
+                         / 9223372036854775808.0) / value, 6) AS key
+        FROM w)
+SELECT event_id, value, key FROM kys ORDER BY key, event_id LIMIT 64""",
         # histogram-sketch quantiles: rebuild the 256 bin counts with the
         # operator's exact float64 expression tree, window-cumsum, then
         # interpolate inside the covering bin — bit-identical estimates

@@ -846,3 +846,47 @@ def histogram_quantiles(
     return pd.DataFrame(out, columns=["q", "est"]).astype(
         {"q": np.float64, "est": np.float64}
     )
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str,
+    salt: str = "ws",
+) -> pa.Table:
+    """Weighted sampling WITHOUT replacement, RNG-free (Efraimidis &
+    Spirakis 2006 exponential-key form): row i gets key
+    ``round(−ln(u_i)/w_i, 6)`` with ``u_i = (sha63(salt|id) + 0.5)/2⁶³``
+    a deterministic hash-uniform; the k SMALLEST keys are the sample —
+    inclusion probability ∝ weight, identical under any partitioning /
+    re-run, and independent samples per ``salt``. Rows with weight ≤ 0
+    are excluded. Ties (6-dp keys) break to the lower id, so a SQL
+    replay (`ORDER BY key, id LIMIT k`) selects the same rows.
+
+    Dataflow: per-block vectorized keys + local (key, id) bottom-k, so
+    ≤ k rows per block reach the ONE tiny sort+limit reduce — the
+    :func:`bottomk_sample` shape with exponential keys."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        batch = batch.replace_schema_metadata(None)
+        if batch.num_rows == 0:
+            return batch.append_column("__key", pa.array([], pa.float64()))
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch[id_col].to_pylist()
+        h63 = _sha_u64([f"{salt}|{v}" for v in ids]) >> np.uint64(1)
+        u = (h63.astype(np.float64) + 0.5) / 9223372036854775808.0
+        key = np.round(-np.log(u) / w, 6)
+        keep = w > 0
+        idx = np.flatnonzero(keep)
+        order = np.lexsort(
+            (batch[id_col].to_numpy(zero_copy_only=False)[idx], key[idx])
+        )[: min(k, len(idx))]
+        sel = idx[order]
+        out = batch.take(pa.array(sel))
+        return out.append_column("__key", pa.array(key[sel]))
+
+    cand = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    df = cand.sort(["__key", id_col]).limit(k).to_pandas()
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -400,3 +400,79 @@ def test_histogram_quantiles_degenerate_constant():
     df = pd.DataFrame({"value": np.full(100, 3.25)})
     got = histogram_quantiles(rd.from_pandas(df), "value", [0.1, 0.9])
     assert (got["est"] == 3.25).all()
+
+
+def _ws_replay(df, k, salt="ws"):
+    import hashlib
+
+    d = df[df["w"] > 0].copy()
+    h63 = np.array(
+        [
+            int.from_bytes(
+                hashlib.sha256(f"{salt}|{i}".encode()).digest()[:8], "big"
+            )
+            >> 1
+            for i in d["id"]
+        ],
+        dtype=np.uint64,
+    )
+    u = (h63.astype(np.float64) + 0.5) / 2.0**63
+    d["__key"] = np.round(-np.log(u) / d["w"].to_numpy(np.float64), 6)
+    return (
+        d.sort_values(["__key", "id"]).head(k).reset_index(drop=True)
+    )
+
+
+def test_weighted_sample_matches_replay_and_invariance():
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import weighted_sample
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(800, dtype=np.int64),
+            "w": np.r_[
+                rng.uniform(0.1, 5.0, 790), np.zeros(5), -np.ones(5)
+            ],
+        }
+    )
+    got = (
+        weighted_sample(
+            rd.from_pandas(df), 50, weight_col="w", id_col="id"
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = _ws_replay(df, 50)
+    pd.testing.assert_frame_equal(
+        got[["id", "w", "__key"]], want[["id", "w", "__key"]]
+    )
+    got2 = (
+        weighted_sample(
+            rd.from_pandas(df).repartition(13), 50,
+            weight_col="w", id_col="id",
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
+    assert (got["w"] > 0).all()
+
+
+def test_weighted_sample_bias_toward_heavy_rows():
+    import ray.data as rd
+
+    from flashray.datapipe.sketches import weighted_sample
+
+    # half the rows carry 20x the weight: they should dominate the sample
+    df = pd.DataFrame(
+        {
+            "id": np.arange(1000, dtype=np.int64),
+            "w": np.where(np.arange(1000) < 500, 20.0, 1.0),
+        }
+    )
+    got = weighted_sample(
+        rd.from_pandas(df), 100, weight_col="w", id_col="id"
+    ).to_pandas()
+    assert (got["id"] < 500).mean() > 0.85

@@ -2293,6 +2293,20 @@ def _q_events_transitions(sf_dir: str):
     return out
 
 
+def _q_events_session_paths(sf_dir: str):
+    """Top-25 session paths (30-min idle gap, first 8 types per session,
+    '>'-joined): one per-user bucket shuffle, vectorized in-bucket
+    sessionization + map-side path pre-counts, tiny aggregate +
+    sort/limit."""
+    from flashray.datapipe.temporal import session_paths
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return session_paths(ev, max_len=8, k=25, num_buckets=32)
+
+
 def _q_events_weighted_sample(sf_dir: str):
     """Efraimidis–Spirakis weighted sample (k=64, weight=value>0) with
     sha-derived exponential keys — local bottom-k per block, one tiny
@@ -2901,6 +2915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cooccur": _q_events_type_cooccur,
         "events_hist_quantiles": _q_events_hist_quantiles,
         "events_weighted_sample": _q_events_weighted_sample,
+        "events_session_paths": _q_events_session_paths,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -3501,6 +3516,25 @@ SELECT f.cohort, a.wk - f.cohort AS week_offset,
        COUNT(*) AS users
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2""",
+        # sessionize with windowed break-cumsum ids, string_agg the first
+        # 8 types per session in (ts, id) order, count + top-25
+        "events_session_paths": """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+                  CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                            > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS sid FROM o),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                   ORDER BY ts, event_id) AS rn FROM s),
+p AS (SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM r WHERE rn <= 8 GROUP BY 1, 2),
+c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1)
+SELECT path, n FROM c ORDER BY n DESC, path LIMIT 25""",
         # Efraimidis–Spirakis keys recomputed cell-exactly: 63-bit sha
         # uniform, exponential key, 6-dp round, (key, id) order
         "events_weighted_sample": """

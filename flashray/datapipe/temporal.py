@@ -573,3 +573,92 @@ def event_transitions(
         )
 
     return j.map_batches(prob, batch_format="pandas")
+
+
+def session_paths(
+    events: ray.data.Dataset,
+    *,
+    gap_us: int = 30 * 60 * 1_000_000,
+    max_len: int = 10,
+    k: int = 20,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Top-k session paths: per user, events split into sessions at idle
+    gaps > ``gap_us``; each session's path is the ``'>'``-joined sequence
+    of its first ``max_len`` event types in (ts, id) order; paths are
+    counted globally and the k most frequent returned (count desc, path
+    asc tie-break — SQL-replayable with windowed session ids +
+    ``string_agg``). The standard clickstream / product-analytics
+    "what do sessions look like" mining step. Returns pd.DataFrame
+    (path, n) — k driver rows.
+
+    Dataflow: ONE hash shuffle on the user (per-key partitioning
+    assumption as everywhere), per-bucket vectorized sessionization
+    (sorted diff → break flags → cumsum session ids → cumcount trim)
+    with map-side per-bucket path pre-counts (one row per distinct path
+    per bucket), one tiny bucket aggregate, one sort+limit. The
+    per-session string join is O(sessions) like any tokenize step."""
+    from flashray.joins import _key_hash, bucket_group_agg
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.replace_schema_metadata(None)
+        h = _key_hash(b, [user_col])
+        return pa.table(
+            {
+                user_col: b[user_col].cast(pa.int64()),
+                "__ts_us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                id_col: b[id_col].cast(pa.int64()),
+                type_col: b[type_col].cast(pa.string()),
+                "__sbucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    path_cols = [("path", pa.string()), ("n", pa.int64())]
+
+    def paths_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _typed_empty(path_cols)
+        g = g.sort_values([user_col, "__ts_us", id_col], kind="mergesort")
+        u = g[user_col].to_numpy()
+        t = g["__ts_us"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        same = u[1:] == u[:-1]
+        brk[1:] = np.where(same & (t[1:] - t[:-1] <= gap_us), 0, 1)
+        sid = np.cumsum(brk)  # global session id within the bucket
+        d = pd.DataFrame({"sid": sid, "et": g[type_col].to_numpy()})
+        d = d[d.groupby("sid").cumcount() < max_len]
+        paths = d.groupby("sid")["et"].agg(">".join)
+        vc = paths.value_counts()
+        return pd.DataFrame(
+            {"path": vc.index.to_numpy(), "n": vc.to_numpy().astype(np.int64)}
+        )
+
+    partials = (
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby("__sbucket")
+        .map_groups(paths_of_bucket, batch_format="pandas")
+    )
+    counts = bucket_group_agg(
+        partials, ["path"], {"n": ("n", "sum")}, num_buckets=num_buckets
+    )
+
+    def neg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__negn"] = -df["n"].to_numpy(dtype=np.int64)
+        return df
+
+    out = (
+        counts.map_batches(neg, batch_format="pandas")
+        .sort(["__negn", "path"])
+        .limit(k)
+        .to_pandas()
+    )
+    out = out.drop(columns=["__negn"])
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -426,3 +426,51 @@ def test_event_transitions_single_event_users():
     df["user_id"] = np.arange(20, dtype="int64")
     out = event_transitions(rd.from_pandas(df), num_buckets=4).to_pandas()
     assert len(out) == 0
+
+
+def _session_paths_oracle(df, gap_us, max_len, k):
+    g = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    paths = {}
+    for _, grp in g.groupby("user_id"):
+        ts = grp["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = grp["event_type"].to_numpy()
+        cur = []
+        prev = None
+        for i in range(len(grp)):
+            if prev is not None and ts[i] - prev > gap_us:
+                p = ">".join(cur[:max_len])
+                paths[p] = paths.get(p, 0) + 1
+                cur = []
+            cur.append(et[i])
+            prev = ts[i]
+        p = ">".join(cur[:max_len])
+        paths[p] = paths.get(p, 0) + 1
+    out = pd.DataFrame(sorted(paths.items()), columns=["path", "n"])
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["n", "path"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def test_session_paths_matches_oracle():
+    from flashray.datapipe.temporal import session_paths
+
+    df = _rand_events(21, n=500, users=17, types=4)
+    got = session_paths(
+        rd.from_pandas(df), gap_us=8_000_000, max_len=5, k=15, num_buckets=8
+    )
+    want = _session_paths_oracle(df, 8_000_000, 5, 15)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_session_paths_partition_invariant():
+    from flashray.datapipe.temporal import session_paths
+
+    df = _rand_events(23, n=400, users=11, types=4)
+    a = session_paths(rd.from_pandas(df), gap_us=5_000_000, k=10,
+                      num_buckets=4)
+    b = session_paths(rd.from_pandas(df).repartition(9),
+                      gap_us=5_000_000, k=10, num_buckets=16)
+    pd.testing.assert_frame_equal(a, b)

@@ -1725,6 +1725,32 @@ def _q_landmark_distances_user(sf_dir: str):
     return out
 
 
+def _q_embeddings_outliers(sf_dir: str):
+    """Centroid-distance outlier flags (same k=4 one-Lloyd-round
+    lowest-id quantizer as embeddings_kmeans so the SQL oracle replays
+    the clustering): dist = 6-dp euclidean to the nearest centroid,
+    is_outlier = dist > exact p90 (quantile_disc-bit-matched gate)."""
+    from flashray.datapipe import kmeans, similarity
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    cents, _ = kmeans.kmeans(
+        ds, k=4, max_iters=1, tol=0.0, init="lowest_ids", concurrency=4
+    )
+    out = (
+        similarity.centroid_outliers(ds, centroids=cents, pct=0.9)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for c in ("vec_id", "cluster", "is_outlier"):
+        out[c] = out[c].astype(np.int64)
+    out["dist"] = out["dist"].round(6)
+    return out[["vec_id", "cluster", "dist", "is_outlier"]]
+
+
 def _q_embeddings_kcenter(sf_dir: str):
     """Greedy k-center (farthest-point) coreset of the embeddings table,
     k=5: squared euclidean via the inner-product identity, 6-dp-rounded
@@ -2925,6 +2951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_distances_user": _q_landmark_distances_user,
         "closeness_user": _q_closeness_user,
         "embeddings_kcenter": _q_embeddings_kcenter,
+        "embeddings_outliers": _q_embeddings_outliers,
         "tool_cooccurrence": _q_tool_cooccurrence,
         "hyperball_engine_user": _q_hyperball_engine_user,
         "convert_edges_roundtrip": _q_convert_edges_roundtrip,
@@ -4623,6 +4650,38 @@ a2 AS (SELECT e.vec_id,
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster
 FROM a2""",
         "embeddings_kcenter": _kcenter_sql(5),
+        # centroid-distance outliers: kmeans-replay prefix (as in
+        # embeddings_kmeans), nearest-centroid euclidean rounded 6-dp,
+        # exact p90 gate via quantile_disc
+        "embeddings_outliers": """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cl, v
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)),
+a1 AS (SELECT e.vec_id, e.v,
+              (SELECT s.cl FROM seeds s
+               ORDER BY list_distance(e.v, s.v), s.cl LIMIT 1) AS cl
+       FROM emb e),
+m AS (SELECT cl, pos, AVG(val) AS mv FROM (
+        SELECT cl, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM a1
+      ) GROUP BY 1, 2),
+c1 AS (SELECT cl, list(mv ORDER BY pos) AS v FROM m GROUP BY 1),
+cents AS (SELECT s.cl, COALESCE(c1.v, s.v) AS v
+          FROM seeds s LEFT JOIN c1 ON c1.cl = s.cl),
+d AS (SELECT e.vec_id,
+             (SELECT c.cl FROM cents c
+              ORDER BY list_distance(e.v, c.v), c.cl LIMIT 1) AS cluster,
+             ROUND((SELECT MIN(list_distance(e.v, c.v)) FROM cents c),
+                   6) AS dist
+      FROM emb e),
+t AS (SELECT quantile_disc(dist, 0.9) AS thr FROM d)
+SELECT CAST(d.vec_id AS BIGINT) AS vec_id,
+       CAST(d.cluster AS BIGINT) AS cluster, d.dist,
+       CAST(CASE WHEN d.dist > t.thr THEN 1 ELSE 0 END AS BIGINT)
+         AS is_outlier
+FROM d, t""",
         # SemDeDup = the embeddings_kmeans replay (identical CTE prefix)
         # + EXISTS-a-lower-id same-cluster neighbor at rounded cosine >= thr
         "embeddings_semdedup": """

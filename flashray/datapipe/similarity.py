@@ -782,3 +782,70 @@ def kcenter_coreset(
     return pd.DataFrame(out, columns=["order", "vec_id", "radius"]).astype(
         {"order": np.int64, "vec_id": np.int64, "radius": np.float64}
     )
+
+
+def centroid_outliers(
+    ds: ray.data.Dataset,
+    *,
+    centroids: np.ndarray,
+    pct: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Embedding outlier detection for corpus cleaning: each vector's
+    distance to its NEAREST centroid (euclidean, ``round_dp``-rounded;
+    tie → lowest cluster id, the repo's kmeans convention), flagged
+    ``is_outlier`` when the distance exceeds the EXACT ``pct`` quantile
+    of all distances (``sketches.exact_quantiles``, the
+    quantile_disc-bit-matched rule — so the gate value is identical in
+    a SQL replay). The standard prune-the-tail data-cleaning step after
+    clustering (cf. SemDeDup's inverse: keep typical, drop anomalous).
+
+    Distributed shape: centroids broadcast once (``ray.put``), one
+    streaming assignment pass (direct Σ(a−b)² per centroid — the same
+    expression tree as SQL ``list_distance``), one global sort for the
+    exact quantile, one streaming flag pass. Returns a Dataset
+    (vec_id, cluster, dist, is_outlier)."""
+    from flashray.datapipe.sketches import exact_quantiles
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    ref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        X = _stack(b[vec_col]).astype(np.float64)
+        C = ray.get(ref)
+        # (n, k) squared distances, direct (a-b)^2 sums — same tree as
+        # SQL list_distance (sqrt applied after the min, monotone-safe)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        cl = np.argmin(d2, axis=1)  # np.argmin keeps the FIRST (lowest) tie
+        dist = np.round(np.sqrt(d2[np.arange(len(X)), cl]), round_dp)
+        return pa.table(
+            {
+                "vec_id": b[id_col].cast(pa.int64()),
+                "cluster": pa.array(cl.astype(np.int64)),
+                "dist": pa.array(dist),
+            }
+        )
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+    thr = exact_quantiles(assigned, "dist", [float(pct)])[float(pct)]
+
+    def flag(b: pa.Table) -> pa.Table:
+        d = b["dist"].to_numpy()
+        return b.append_column(
+            "is_outlier", pa.array((d > thr).astype(np.int64))
+        )
+
+    return assigned.map_batches(flag, batch_format="pyarrow")

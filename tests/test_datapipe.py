@@ -911,3 +911,52 @@ def test_kcenter_coreset_early_stop_on_duplicates():
     got = similarity.kcenter_coreset(rd.from_pandas(df), 5)
     assert len(got) == 3
     assert set(got["vec_id"]) == {0, 1, 2}
+
+
+def test_centroid_outliers_matches_replay():
+    rng = np.random.default_rng(31)
+    V = rng.normal(size=(150, 8)).astype(np.float32)
+    V[:10] *= 6.0  # planted tail
+    df = pd.DataFrame(
+        {"vec_id": np.arange(150, dtype=np.int64), "embedding": list(V)}
+    )
+    C = np.stack([V[:50].mean(0), V[50:].mean(0)]).astype(np.float64)
+    got = (
+        similarity.centroid_outliers(
+            rd.from_pandas(df), centroids=C, pct=0.8
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = V.astype(np.float64)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cl = np.argmin(d2, axis=1)
+    dist = np.round(np.sqrt(d2[np.arange(len(X)), cl]), 6)
+    import math
+
+    thr = np.sort(dist)[min(len(dist) - 1, max(0, math.ceil(0.8 * len(dist)) - 1))]
+    assert (got["cluster"].to_numpy() == cl).all()
+    assert np.allclose(got["dist"], dist)
+    assert (got["is_outlier"].to_numpy() == (dist > thr).astype(int)).all()
+    assert 0 < got["is_outlier"].sum() < len(got)
+
+
+def test_centroid_outliers_partition_invariant():
+    rng = np.random.default_rng(37)
+    V = rng.normal(size=(90, 6)).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(90, dtype=np.int64), "embedding": list(V)}
+    )
+    C = rng.normal(size=(3, 6))
+    a = (
+        similarity.centroid_outliers(rd.from_pandas(df), centroids=C)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        similarity.centroid_outliers(
+            rd.from_pandas(df).repartition(7), centroids=C, batch_size=11
+        )
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

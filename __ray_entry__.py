@@ -2319,6 +2319,28 @@ def _q_events_transitions(sf_dir: str):
     return out
 
 
+def _q_docs_source_overlap(sf_dir: str):
+    """Cross-source distinct word-3-gram overlap matrix (contamination /
+    diversity diagnostic): map-side distinct (source, ngram) partials →
+    bipartite projection with the n-gram as the bounded-degree center."""
+    from flashray.datapipe.textstats import source_overlap
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    out = (
+        source_overlap(docs, n=3, num_buckets=32)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    out["cn"] = out["cn"].astype(np.int64)
+    out["jaccard"] = out["jaccard"].round(6)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
 def _q_events_session_paths(sf_dir: str):
     """Top-25 session paths (30-min idle gap, first 8 types per session,
     '>'-joined): one per-user bucket shuffle, vectorized in-bucket
@@ -2942,6 +2964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hist_quantiles": _q_events_hist_quantiles,
         "events_weighted_sample": _q_events_weighted_sample,
         "events_session_paths": _q_events_session_paths,
+        "docs_source_overlap": _q_docs_source_overlap,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -3543,6 +3566,26 @@ SELECT f.cohort, a.wk - f.cohort AS week_offset,
        COUNT(*) AS users
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2""",
+        # cross-source overlap: distinct word-3-grams per source,
+        # self-join on the shared n-gram, degree-normalized weights
+        "docs_source_overlap": """
+WITH t AS (SELECT source,
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '') AS ws
+           FROM documents),
+idx AS (SELECT source, ws, unnest(range(1, len(ws) - 1)) AS i FROM t),
+g AS (SELECT DISTINCT source,
+             ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS ngram
+      FROM idx),
+deg AS (SELECT source, COUNT(*) AS dd FROM g GROUP BY 1),
+p AS (SELECT a.source AS u, b.source AS v,
+             CAST(COUNT(*) AS BIGINT) AS cn
+      FROM g a JOIN g b ON a.ngram = b.ngram AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT p.u, p.v, p.cn,
+       ROUND(p.cn * 1.0 / (du.dd + dv.dd - p.cn), 6) AS jaccard,
+       ROUND(p.cn / sqrt(du.dd * dv.dd), 6) AS cosine
+FROM p JOIN deg du ON du.source = p.u JOIN deg dv ON dv.source = p.v""",
         # sessionize with windowed break-cumsum ids, string_agg the first
         # 8 types per session in (ts, id) order, count + top-25
         "events_session_paths": """

@@ -914,3 +914,50 @@ def zipf_alpha(
         num_buckets=num_buckets,
     )
     return mle_tail_alpha(counts, "cnt", x_min=c_min)
+
+
+def source_overlap(
+    docs,
+    *,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    max_center_degree: int | None = None,
+):
+    """Pairwise content overlap between document GROUPS (sources /
+    domains / dataset splits): for every group pair, the number of
+    shared DISTINCT word n-grams plus jaccard/cosine overlap scores —
+    the cross-source contamination / diversity diagnostic (which crawls
+    duplicate each other, is a split leaking into another). Returns a
+    Dataset (u, v, cn, jaccard, cosine) with u < v, O(groups²) rows.
+
+    Composition: per-batch DISTINCT (group, n-gram) partials (map-side
+    dedup bounds shuffle traffic to distinct pairs per batch, never
+    token rows) feed :func:`flashray.triangles.bipartite_project` with
+    the N-GRAM as the center side — a center's degree is bounded by the
+    number of groups, so the projection's quadratic-hub concern is
+    structurally absent here."""
+    from flashray.triangles import bipartite_project
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split()
+        g = toks.map(
+            lambda ws: [
+                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            ]
+        )
+        d = pd.DataFrame(
+            {group_col: df[group_col].astype(str), "ngram": g}
+        ).explode("ngram")
+        d = d[d["ngram"].notna()]
+        return d.drop_duplicates()
+
+    exploded = docs.map_batches(grams, batch_format="pandas")
+    return bipartite_project(
+        exploded,
+        left_col=group_col,
+        right_col="ngram",
+        num_buckets=num_buckets,
+        max_center_degree=max_center_degree,
+    )

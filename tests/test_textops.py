@@ -226,3 +226,54 @@ def test_zipf_alpha_matches_python():
     want = 1.0 + tail.size / np.log(tail / 1.5).sum()
     assert n_tail == tail.size
     assert alpha == pytest.approx(want, rel=1e-12)
+
+
+def test_source_overlap_matches_bruteforce():
+    import ray.data as rd
+
+    from flashray.datapipe.textstats import source_overlap
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["a", "a", "b", "b", "c", "c"],
+            "text": [
+                "the quick brown fox jumps",
+                "lazy dogs sleep all day",
+                "the quick brown fox runs",   # shares 'the quick brown'+... with a
+                "completely unrelated words here",
+                "the quick brown fox jumps",  # c duplicates a doc of a
+                "novel content only in c",
+            ],
+        }
+    )
+    got = (
+        source_overlap(rd.from_pandas(docs), n=3, num_buckets=4)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+
+    def ngrams(s):
+        w = s.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {}
+    for _, r in docs.iterrows():
+        sets.setdefault(r["source"], set()).update(ngrams(r["text"]))
+    rows = []
+    ks = sorted(sets)
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            cn = len(sets[ks[i]] & sets[ks[j]])
+            if cn:
+                du, dv = len(sets[ks[i]]), len(sets[ks[j]])
+                rows.append(
+                    (ks[i], ks[j], cn, cn / (du + dv - cn),
+                     cn / np.sqrt(du * dv))
+                )
+    want = pd.DataFrame(
+        rows, columns=["u", "v", "cn", "jaccard", "cosine"]
+    )
+    want["cn"] = want["cn"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)

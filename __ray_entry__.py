@@ -2319,6 +2319,28 @@ def _q_events_transitions(sf_dir: str):
     return out
 
 
+def _q_docs_pretrain_corpus(sf_dir: str):
+    """Composed pretraining-corpus cleaning (flagship recipe): exact-dedup
+    lowest-id survivor ∩ quality keep (token band [20,100000], dup ≤
+    0.55, top-2-gram ≤ 0.1) ∩ lang 'en' — three independent predicates
+    over the original corpus, two id semi-joins; the oracle chains the
+    three stage oracles' CTEs verbatim."""
+    from flashray.datapipe.pipelines import pretrain_corpus
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = (
+        pretrain_corpus(docs, langs=("en",), num_buckets=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "lang_pred"]]
+
+
 def _q_docs_source_overlap(sf_dir: str):
     """Cross-source distinct word-3-gram overlap matrix (contamination /
     diversity diagnostic): map-side distinct (source, ngram) partials →
@@ -2965,6 +2987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weighted_sample": _q_events_weighted_sample,
         "events_session_paths": _q_events_session_paths,
         "docs_source_overlap": _q_docs_source_overlap,
+        "docs_pretrain_corpus": _q_docs_pretrain_corpus,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -3566,6 +3589,60 @@ SELECT f.cohort, a.wk - f.cohort AS week_offset,
        COUNT(*) AS users
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2""",
+        # composed pretraining recipe: the three stage oracles' CTEs
+        # chained verbatim (quality reason / dedup min-id / langid),
+        # intersected as independent per-doc predicates
+        "docs_pretrain_corpus": """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+t1 AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+words AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS nd
+          FROM t1 GROUP BY 1),
+bi0 AS (SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS bg FROM base),
+bi1 AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM bi0
+        WHERE bg[2] IS NOT NULL),
+bc AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi1 GROUP BY 1, 2, 3),
+topb AS (SELECT doc_id, MAX(c) AS topc FROM bc GROUP BY 1),
+qm AS (SELECT b.doc_id,
+             COALESCE(w.n, 0) AS n,
+             ROUND(CASE WHEN COALESCE(w.n, 0) > 0
+                        THEN (w.n - w.nd) * 1.0 / w.n ELSE 0.0 END, 6)
+               AS dup,
+             ROUND(CASE WHEN COALESCE(w.n, 0) > 1
+                        THEN COALESCE(tb.topc, 0) * 1.0 / (w.n - 1)
+                        ELSE 0.0 END, 6) AS top2
+      FROM base b LEFT JOIN words w USING (doc_id)
+      LEFT JOIN topb tb ON tb.doc_id = b.doc_id),
+keepq AS (SELECT doc_id FROM qm
+          WHERE NOT (n < 20 OR n > 100000 OR dup > 0.55 OR top2 > 0.1)),
+keepd AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+lw AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[a-zA-ZÀ-ÿ]+'))) AS w
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    SUM(CASE WHEN w IN ('the','and','of','to','a','in','is','that','it','for') THEN 1 ELSE 0 END) AS s_en,
+    SUM(CASE WHEN w IN ('der','die','das','und','ist','nicht','ein','zu','mit','ich') THEN 1 ELSE 0 END) AS s_de,
+    SUM(CASE WHEN w IN ('le','la','les','et','est','un','une','de','que','pour') THEN 1 ELSE 0 END) AS s_fr,
+    SUM(CASE WHEN w IN ('el','la','los','y','es','un','una','de','que','por') THEN 1 ELSE 0 END) AS s_es,
+    SUM(CASE WHEN w IN ('il','la','e','che','un','una','di','per','non','sono') THEN 1 ELSE 0 END) AS s_it,
+    SUM(CASE WHEN w IN ('o','a','os','e','que','um','uma','de','para','por') THEN 1 ELSE 0 END) AS s_pt
+  FROM lw GROUP BY 1
+),
+lm AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) AS mx FROM sc),
+lp AS (SELECT d.doc_id,
+  COALESCE(CASE WHEN lm.mx > 0 THEN CASE WHEN s_en = mx THEN 'en'
+    WHEN s_de = mx THEN 'de'
+    WHEN s_fr = mx THEN 'fr'
+    WHEN s_es = mx THEN 'es'
+    WHEN s_it = mx THEN 'it'
+    WHEN s_pt = mx THEN 'pt' END END, 'und') AS lang_pred
+  FROM documents d LEFT JOIN lm ON lm.doc_id = d.doc_id)
+SELECT lp.doc_id, lp.lang_pred
+FROM lp JOIN keepq USING (doc_id) JOIN keepd USING (doc_id)
+WHERE lp.lang_pred IN ('en')""",
         # cross-source overlap: distinct word-3-grams per source,
         # self-join on the shared n-gram, degree-normalized weights
         "docs_source_overlap": """

@@ -960,3 +960,66 @@ def test_centroid_outliers_partition_invariant():
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pretrain_corpus_three_predicates():
+    from flashray.datapipe.pipelines import pretrain_corpus
+
+    long_en = "the cat sat on the mat and it is warm for a day " * 3
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(7, dtype=np.int64),
+            "text": [
+                long_en,                      # 0: survives
+                long_en,                      # 1: exact dup of 0 -> dropped
+                "the and of to a",            # 2: too few tokens
+                "der hund und die katze ist nicht ein zu mit ich "
+                "der hund und die katze ist nicht ein zu mit ich",  # 3: de
+                long_en + " extra tail",      # 4: survives
+                "x " * 40,                    # 5: dup_words (0.975 > 0.8)
+                long_en + " another tail",    # 6: survives
+            ],
+        }
+    )
+    got = (
+        pretrain_corpus(
+            rd.from_pandas(docs),
+            langs=("en",),
+            min_tokens=10,
+            max_dup_word_frac=0.8,
+            max_top_2gram_frac=0.9,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [0, 4, 6]
+    assert (got["lang_pred"] == "en").all()
+
+
+def test_pretrain_corpus_partition_invariant():
+    from flashray.datapipe.pipelines import pretrain_corpus
+
+    rng = np.random.default_rng(41)
+    words = np.array("the and of to a in is that it for cat dog".split())
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(5, 30)))
+        for _ in range(60)
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(60, dtype=np.int64), "text": texts}
+    )
+    kw = dict(langs=("en",), min_tokens=8, max_dup_word_frac=0.6,
+              max_top_2gram_frac=0.9)
+    a = (
+        pretrain_corpus(rd.from_pandas(docs), num_buckets=4, **kw)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        pretrain_corpus(rd.from_pandas(docs).repartition(7),
+                        num_buckets=16, **kw)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

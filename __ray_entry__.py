@@ -648,6 +648,25 @@ def _q_modularity_user(sf_dir: str):
     return pd.DataFrame({"q": [round(q, 6)]})
 
 
+def _q_triangles_sampled_user(sf_dir: str):
+    """DOULION sampled triangle count on the symmetrized user graph,
+    p=0.6 deterministic sha edge coin (threshold ⌊0.6·2⁶⁴⌋ shared with
+    the SQL replay verbatim): sampled count exact-integer, estimate =
+    round(cnt/(0.6·0.6·0.6), 6) with SEQUENTIAL multiplication so the
+    SQL expression tree matches."""
+    from flashray.triangles import triangle_count_sampled
+
+    g = _user_graph(sf_dir, symmetrize=True)
+    out = triangle_count_sampled(g, p=0.6, salt="tri")
+    cnt = out["sampled_triangles"]
+    return pd.DataFrame(
+        {
+            "sampled_triangles": np.array([cnt], dtype=np.int64),
+            "estimate": [round(cnt / (0.6 * 0.6 * 0.6), 6)],
+        }
+    )
+
+
 def _q_conductance_user(sf_dir: str):
     """Per-community conductance of the {user_id % 5} partition over the
     symmetrized user graph: φ(c) = cut_c / min(vol_c, 2m − vol_c).
@@ -2961,6 +2980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "powerlaw_user": _q_powerlaw_user,
         "richclub_user": _q_richclub_user,
         "conductance_user": _q_conductance_user,
+        "triangles_sampled_user": _q_triangles_sampled_user,
         "reciprocity_user": _q_reciprocity_user,
         "docs_tfidf": _q_docs_tfidf,
         "events_asof_purchase": _q_events_asof_purchase,
@@ -4259,6 +4279,24 @@ degc AS (SELECT v % 5 AS lab, SUM(d) AS dc FROM deg GROUP BY 1),
 sq AS (SELECT SUM(dc * dc) AS s FROM degc)
 SELECT ROUND(ein.c * 1.0 / m.m - sq.s / (4.0 * m.m * m.m), 6) AS q
 FROM ein, m, sq""",
+        # DOULION: identical sha edge coin (integer threshold inlined),
+        # 3-way self-join triangle count on the sample, 1/p^3 scale-up
+        "triangles_sampled_user": """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+s AS MATERIALIZED (SELECT src, dst FROM eu
+       WHERE CAST(concat('0x', substr(sha256('tri|' || src || '|' || dst),
+                                      1, 16)) AS UBIGINT)
+             < CAST('11068046444225730560' AS UBIGINT)),
+tri AS (SELECT COUNT(*) AS c FROM s e1
+        JOIN s e2 ON e2.src = e1.src AND e2.dst > e1.dst
+        JOIN s e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+SELECT CAST(tri.c AS BIGINT) AS sampled_triangles,
+       ROUND(tri.c / (0.6 * 0.6 * 0.6), 6) AS estimate
+FROM tri""",
         # conductance_user: same canonical user edge set, per-community
         # cut/volume integers, one float division
         "conductance_user": """

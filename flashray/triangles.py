@@ -1207,3 +1207,53 @@ def bipartite_project(
         )
 
     return j.map_batches(weights, batch_format="pandas")
+
+
+def triangle_count_sampled(
+    graph: Graph,
+    *,
+    p: float = 0.1,
+    salt: str = "tri",
+    num_buckets: int | None = None,
+) -> dict:
+    """DOULION approximate triangle count (Tsourakakis et al., KDD 2009):
+    keep each canonical undirected edge independently with probability
+    ``p`` — here a DETERMINISTIC hash coin, ``sha64(salt|lo|hi) <
+    ⌊p·2⁶⁴⌋`` (exact integer compare, the `hash_split` convention: no
+    float boundary, bit-reproducible across runs/partitionings, and a
+    SQL replay samples the identical edge set) — count triangles on the
+    sample with the SAME degree-oriented wedge dataflow, and scale by
+    1/p³ (each surviving triangle needs its 3 edges kept). The
+    approximate scale path for the wedge family: expected wedge work
+    drops ~p², variance per the paper. Returns ``{"estimate",
+    "sampled_triangles", "p", "threshold"}``; ``threshold`` is the
+    integer the SQL replay must reuse verbatim."""
+    from flashray.datapipe.sketches import _sha_u64
+
+    B = num_buckets or max(16, graph.num_partitions)
+    if not 0.0 < p <= 1.0:
+        raise ValueError("need 0 < p <= 1")
+    thr = np.uint64(int(p * float(1 << 64))) if p < 1.0 else np.uint64(
+        (1 << 64) - 1
+    )
+
+    def samp(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        h = _sha_u64([f"{salt}|{a}|{c}" for a, c in zip(lo, hi)])
+        m = h < thr if p < 1.0 else np.ones(len(h), dtype=bool)
+        return pa.table({"lo": lo[m], "hi": hi[m]})
+
+    und = _canonical_undirected(graph)
+    s = und.map_batches(
+        samp, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    deg = _deg_from_und(s)
+    oriented = _orient_und(s, deg, graph.meta.num_vertices, B).materialize()
+    cnt = int(_closed_from_oriented(oriented, B).count())
+    return {
+        "estimate": cnt / (p ** 3),
+        "sampled_triangles": cnt,
+        "p": float(p),
+        "threshold": int(thr),
+    }

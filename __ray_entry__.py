@@ -2382,6 +2382,28 @@ def _q_docs_source_overlap(sf_dir: str):
     return out
 
 
+def _q_events_decayed_scores(sf_dir: str):
+    """24h-half-life recency-weighted per-user engagement anchored at
+    2024-02-01: integer-nanounit term quantization makes the sum
+    partition-invariant and SQL-replayable; one streaming pass +
+    one bucket aggregate."""
+    from flashray.datapipe.temporal import decayed_user_scores
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    out = (
+        decayed_user_scores(ev, ref_ts="2024-02-01 00:00:00", num_buckets=32)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def _q_events_session_paths(sf_dir: str):
     """Top-25 session paths (30-min idle gap, first 8 types per session,
     '>'-joined): one per-user bucket shuffle, vectorized in-bucket
@@ -2948,6 +2970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "egonet_user": _q_egonet_user,
         "two_hop_user": _q_two_hop_user,
         "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_pretrain_corpus": _q_docs_pretrain_corpus,
         "minhash_dup_groups": _q_minhash_dup_groups,
         "simhash_pairs": _q_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
@@ -3006,8 +3029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hist_quantiles": _q_events_hist_quantiles,
         "events_weighted_sample": _q_events_weighted_sample,
         "events_session_paths": _q_events_session_paths,
+        "events_decayed_scores": _q_events_decayed_scores,
         "docs_source_overlap": _q_docs_source_overlap,
-        "docs_pretrain_corpus": _q_docs_pretrain_corpus,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -3683,6 +3706,18 @@ SELECT p.u, p.v, p.cn,
        ROUND(p.cn * 1.0 / (du.dd + dv.dd - p.cn), 6) AS jaccard,
        ROUND(p.cn / sqrt(du.dd * dv.dd), 6) AS cosine
 FROM p JOIN deg du ON du.source = p.u JOIN deg dv ON dv.source = p.v""",
+        # decayed engagement: same nanounit term quantization, summed as
+        # integers — the float pow is the only libm surface (1-ulp,
+        # buried below the nanounit quantum)
+        "events_decayed_scores": """
+WITH t AS (SELECT user_id,
+                  CAST(ROUND(value * pow(2.0,
+                         -((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                            - epoch_us(ts)) / 86400000000.0)) * 1e9)
+                       AS BIGINT) AS nano
+           FROM events)
+SELECT user_id, ROUND(SUM(nano) / 1e9, 6) AS score
+FROM t GROUP BY 1""",
         # sessionize with windowed break-cumsum ids, string_agg the first
         # 8 types per session in (ts, id) order, count + top-25
         "events_session_paths": """

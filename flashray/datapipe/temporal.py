@@ -662,3 +662,62 @@ def session_paths(
     out = out.drop(columns=["__negn"])
     out["n"] = out["n"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def decayed_user_scores(
+    events: ray.data.Dataset,
+    *,
+    ref_ts,
+    half_life_us: int = 24 * 3600 * 1_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exponentially time-decayed per-user activity score anchored at
+    ``ref_ts``: ``score(u) = Σ_i value_i · 2^(−(ref − t_i)/half_life)``
+    — the standard recency-weighted engagement / freshness signal.
+    Because every term is independent, the whole operator is ONE
+    streaming pass of map-side per-user partial sums + one tiny bucket
+    aggregate — no sort, no sessionization, O(users) output.
+
+    Determinism: each term is quantized to integer NANOUNITS
+    (``rint(term·1e9)``) and summed in int64, so the result is
+    bit-identical under ANY partitioning/batching (float partial sums
+    would re-associate), and a SQL replay summing the same rounded
+    terms agrees; the 2^x itself is libm pow on both engines (the
+    repo-wide accepted 1-ulp surface, buried three decimal digits below
+    the nanounit quantum in practice). Returns (user_id, score) with
+    score = nanounits/1e9."""
+    from flashray.joins import bucket_group_agg
+
+    ref_us = int(pd.Timestamp(ref_ts).value // 1000)
+    hl = float(half_life_us)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        w = np.power(2.0, -((ref_us - t) / hl))
+        nano = np.rint(v * w * 1e9).astype(np.int64)
+        d = pd.DataFrame(
+            {user_col: df[user_col].to_numpy().astype(np.int64),
+             "nano": nano}
+        )
+        return d.groupby(user_col, as_index=False).agg(nano=("nano", "sum"))
+
+    agg = bucket_group_agg(
+        events.map_batches(partial, batch_format="pandas"),
+        [user_col],
+        {"nano": ("nano", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                user_col: df[user_col].to_numpy(dtype=np.int64),
+                "score": df["nano"].to_numpy(dtype=np.int64) / 1e9,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

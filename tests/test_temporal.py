@@ -474,3 +474,38 @@ def test_session_paths_partition_invariant():
     b = session_paths(rd.from_pandas(df).repartition(9),
                       gap_us=5_000_000, k=10, num_buckets=16)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_decayed_user_scores_replay_and_invariance():
+    from flashray.datapipe.temporal import decayed_user_scores
+
+    df = _rand_events(43, n=400, users=19)
+    df["value"] = np.random.default_rng(43).uniform(0.5, 30, len(df)).round(2)
+    ref = "2024-01-02 00:00:00"
+    kw = dict(ref_ts=ref, half_life_us=3600 * 1_000_000)
+    a = (
+        decayed_user_scores(rd.from_pandas(df), num_buckets=4, **kw)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    b = (
+        decayed_user_scores(
+            rd.from_pandas(df).repartition(11), num_buckets=16, **kw
+        )
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # bit-identical (integer nanounits)
+    ref_us = pd.Timestamp(ref).value // 1000
+    t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    nano = np.rint(
+        df["value"].to_numpy()
+        * np.power(2.0, -((ref_us - t) / 3.6e9)) * 1e9
+    ).astype(np.int64)
+    want = (
+        pd.DataFrame({"user_id": df["user_id"], "nano": nano})
+        .groupby("user_id", as_index=False)["nano"].sum()
+    )
+    want["score"] = want["nano"] / 1e9
+    got = a.set_index("user_id")["score"]
+    assert np.allclose(
+        got.loc[want["user_id"]].to_numpy(), want["score"], atol=0
+    )

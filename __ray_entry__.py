@@ -2382,6 +2382,95 @@ def _q_docs_source_overlap(sf_dir: str):
     return out
 
 
+def _user_temporal_edges(sf_dir: str):
+    """Directed TEMPORAL user edges from events: (src, dst, t=hour
+    bucket) when both users share an event type in that hour and
+    |dst−src| ≤ 5 (both directions — journeys are directional). Same
+    bucket construction as `_user_succession_edges` but the timestamp
+    survives into the edge."""
+    from flashray.joins import bucket_group_agg
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ts = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+                "hb": pa.array(ts // 3_600_000_000),
+            }
+        )
+
+    distinct = bucket_group_agg(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        ["user_id", "event_type", "hb"], None, hash_keys=["hb"],
+    )
+
+    def add_pbucket(b: pa.Table) -> pa.Table:
+        hb_arr = b["hb"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__pbucket", pa.array((hb_arr % 64).astype(np.int64))
+        )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[["user_id", "event_type", "hb"]]
+        out = []
+        for d in range(1, 6):
+            shifted = base.assign(user_id=base["user_id"] + d)
+            m = shifted.merge(base, on=["user_id", "event_type", "hb"])
+            if len(m):
+                lo = (m["user_id"] - d).to_numpy(dtype=np.int64)
+                hi = m["user_id"].to_numpy(dtype=np.int64)
+                t = m["hb"].to_numpy(dtype=np.int64)
+                out.append(pd.DataFrame({"src": lo, "dst": hi, "t": t}))
+                out.append(pd.DataFrame({"src": hi, "dst": lo, "t": t}))
+        if not out:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype=np.int64),
+                    "dst": pd.Series(dtype=np.int64),
+                    "t": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    prs = (
+        distinct.map_batches(add_pbucket, batch_format="pyarrow")
+        .groupby("__pbucket")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+    )
+    return bucket_group_agg(prs, ["src", "dst", "t"], None)
+
+
+_REACH_T0 = 473448  # hour bucket of 2024-01-05 00:00 UTC
+
+
+def _q_temporal_reachability_user(sf_dir: str):
+    """Foremost-journey arrivals from user 0 at 2024-01-05 over the
+    temporal co-occurrence edges (t = hour bucket): label-correcting
+    frontier rounds, exact integer mins; recursive-CTE SQL replay."""
+    from flashray.datapipe.temporal import temporal_reachability
+
+    edges = _user_temporal_edges(sf_dir)
+    out = (
+        temporal_reachability(edges, [0], t0=_REACH_T0, num_buckets=32)
+        .to_pandas()
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+    out["vertex_id"] = out["vertex_id"].astype(np.int64)
+    out["arrival"] = out["arrival"].astype(np.int64)
+    return out
+
+
 def _q_events_decayed_scores(sf_dir: str):
     """24h-half-life recency-weighted per-user engagement anchored at
     2024-02-01: integer-nanounit term quantization makes the sum
@@ -3030,6 +3119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weighted_sample": _q_events_weighted_sample,
         "events_session_paths": _q_events_session_paths,
         "events_decayed_scores": _q_events_decayed_scores,
+        "temporal_reachability_user": _q_temporal_reachability_user,
         "docs_source_overlap": _q_docs_source_overlap,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
@@ -3706,6 +3796,22 @@ SELECT p.u, p.v, p.cn,
        ROUND(p.cn * 1.0 / (du.dd + dv.dd - p.cn), 6) AS jaccard,
        ROUND(p.cn / sqrt(du.dd * dv.dd), 6) AS cosine
 FROM p JOIN deg du ON du.source = p.u JOIN deg dv ON dv.source = p.v""",
+        # time-respecting reachability: recursive CTE explores every
+        # (vertex, arrival-time) state; foremost arrival = MIN per vertex
+        "temporal_reachability_user": """
+WITH RECURSIVE
+b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+te AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst,
+                           a.hb AS t
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE a.user_id <> c.user_id
+         AND abs(c.user_id - a.user_id) <= 5),
+r AS (SELECT CAST(0 AS BIGINT) AS v, CAST(473448 AS BIGINT) AS arr
+      UNION
+      SELECT te.dst, te.t FROM r JOIN te ON te.src = r.v
+      WHERE te.t >= r.arr)
+SELECT v AS vertex_id, MIN(arr) AS arrival FROM r GROUP BY 1""",
         # decayed engagement: same nanounit term quantization, summed as
         # integers — the float pow is the only libm surface (1-ulp,
         # buried below the nanounit quantum)

@@ -721,3 +721,164 @@ def decayed_user_scores(
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def temporal_reachability(
+    edges: ray.data.Dataset,
+    seeds: list[int],
+    *,
+    t0: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    t_col: str = "t",
+    max_rounds: int = 50,
+    num_buckets: int = 64,
+    local_threshold: int | None = 2_000_000,
+) -> ray.data.Dataset:
+    """Time-respecting reachability (foremost-journey arrival times) over
+    a TEMPORAL edge table (src, dst, t): starting from ``seeds`` at time
+    ``t0``, an edge is traversable only at ``t ≥ arrival(src)`` and
+    delivers you at time ``t``; ``arrival(v)`` is the EARLIEST such
+    time. The temporal-graph primitive behind information-diffusion /
+    contact-tracing questions that static reachability gets wrong (a
+    path through an edge that fired too early does not exist). Returns
+    a Dataset (vertex_id, arrival int64) over reached vertices
+    (seeds at t0).
+
+    Dataflow: frontier-based label-correcting rounds — per round ONE
+    hash join (frontier ⋈ edges on src, the time filter applied
+    in-join) + one per-dst bucket min + one OUTER state merge; work is
+    O(frontier-adjacent edges) per round and rounds ≤ the temporal
+    diameter (capped by ``max_rounds``). Arrivals are exact integer
+    mins — deterministic under any partitioning, recursive-CTE
+    SQL-replayable. Label correction can take many short rounds, each
+    paying fixed shuffle setup — below ``local_threshold`` edges the
+    loop runs in-process on the collected (src, dst, t) arrays with the
+    IDENTICAL rule (the repo-wide hybrid routing policy; 0/None forces
+    the distributed loop; an agreement test covers both)."""
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    I64_ = pa.int64()
+    if local_threshold and edges.count() <= local_threshold:
+        epd = edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b[src_col].cast(I64_),
+                    "dst": b[dst_col].cast(I64_),
+                    "t": b[t_col].cast(I64_),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        s = epd["src"].to_numpy()
+        d = epd["dst"].to_numpy()
+        t = epd["t"].to_numpy()
+        verts = np.unique(np.concatenate([s, d, np.asarray(seeds, np.int64)]))
+        idx = {int(v): i for i, v in enumerate(verts)}
+        si = np.searchsorted(verts, s)
+        di = np.searchsorted(verts, d)
+        arr = np.full(len(verts), np.iinfo(np.int64).max, dtype=np.int64)
+        for sd in set(seeds):
+            arr[idx[int(sd)]] = int(t0)
+        while True:  # arr strictly decreases per round -> terminates
+            ok = t >= arr[si]
+            if not ok.any():
+                break
+            new = arr.copy()
+            np.minimum.at(new, di[ok], t[ok])
+            if (new == arr).all():
+                break
+            arr = new
+        m = arr < np.iinfo(np.int64).max
+        return ray.data.from_pandas(
+            pd.DataFrame({"vertex_id": verts[m], "arrival": arr[m]})
+        )
+
+    I64 = pa.int64()
+    e_proj = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b[src_col].cast(I64),
+                "dst": b[dst_col].cast(I64),
+                "t": b[t_col].cast(I64),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    esch = pa.schema([("src", I64), ("dst", I64), ("t", I64)])
+    ssch = pa.schema([("vertex_id", I64), ("arrival", I64)])
+
+    init = pd.DataFrame(
+        {
+            "vertex_id": np.asarray(sorted(set(seeds)), dtype=np.int64),
+            "arrival": np.full(len(set(seeds)), int(t0), dtype=np.int64),
+        }
+    )
+    state = ray.data.from_pandas(init).materialize()
+    frontier = state
+
+    for _ in range(max_rounds):
+        j = bucket_hash_join(
+            frontier, e_proj, ["vertex_id"], right_on=["src"],
+            num_buckets=num_buckets, left_schema=ssch, right_schema=esch,
+        )
+
+        def reach(df: pd.DataFrame) -> pd.DataFrame:
+            ok = df[df["t"] >= df["arrival"]]
+            if not len(ok):
+                return _typed_empty([("vertex_id", I64), ("arrival", I64)])
+            d = pd.DataFrame(
+                {
+                    "vertex_id": ok["dst"].to_numpy(dtype=np.int64),
+                    "arrival": ok["t"].to_numpy(dtype=np.int64),
+                }
+            )
+            return d.groupby("vertex_id", as_index=False).agg(
+                arrival=("arrival", "min")
+            )
+
+        cand = bucket_group_agg(
+            j.map_batches(reach, batch_format="pandas"),
+            ["vertex_id"],
+            {"arrival": ("arrival", "min")},
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda df: df.rename(columns={"arrival": "cand"}),
+            batch_format="pandas",
+        )
+        # one OUTER join folds the state merge and the improvement test
+        # into a single pass: new state = min(state, cand), frontier =
+        # the strictly-improved rows (flag filter, no extra shuffle)
+        merged = bucket_hash_join(
+            state, cand, ["vertex_id"],
+            how="outer",
+            num_buckets=num_buckets,
+            left_schema=ssch,
+            right_schema=pa.schema([("vertex_id", I64), ("cand", I64)]),
+        )
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            arr = df["arrival"].to_numpy(dtype=np.float64, na_value=np.inf)
+            cd = df["cand"].to_numpy(dtype=np.float64, na_value=np.inf)
+            imp = cd < arr
+            return pd.DataFrame(
+                {
+                    "vertex_id": df["vertex_id"].to_numpy().astype(np.int64),
+                    "arrival": np.minimum(arr, cd).astype(np.int64),
+                    "__imp": imp.astype(np.int8),
+                }
+            )
+
+        state = merged.map_batches(fold, batch_format="pandas").materialize()
+        frontier = state.map_batches(
+            lambda df: df.loc[df["__imp"] == 1, ["vertex_id", "arrival"]]
+            .astype({"vertex_id": np.int64, "arrival": np.int64}),
+            batch_format="pandas",
+        ).materialize()
+        state = state.map_batches(
+            lambda df: df[["vertex_id", "arrival"]], batch_format="pandas"
+        ).materialize()
+        if frontier.count() == 0:
+            break
+
+    return state

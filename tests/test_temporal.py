@@ -509,3 +509,95 @@ def test_decayed_user_scores_replay_and_invariance():
     assert np.allclose(
         got.loc[want["user_id"]].to_numpy(), want["score"], atol=0
     )
+
+
+def _reach_oracle(edges, seeds, t0):
+    """Label-correcting python replay of foremost arrivals."""
+    arr = {int(s): int(t0) for s in seeds}
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in edges:
+            if s in arr and t >= arr[s] and (d not in arr or t < arr[d]):
+                arr[d] = int(t)
+                changed = True
+    return arr
+
+
+def test_temporal_reachability_respects_time():
+    from flashray.datapipe.temporal import temporal_reachability
+
+    # 1->2 fires at t=5; 2->3 fired at t=3 (BEFORE you can be at 2):
+    # static reach says 3, temporal says no. 2->4 at t=7 works.
+    edges = pd.DataFrame(
+        {
+            "src": np.array([1, 2, 2], dtype=np.int64),
+            "dst": np.array([2, 3, 4], dtype=np.int64),
+            "t": np.array([5, 3, 7], dtype=np.int64),
+        }
+    )
+    got = (
+        temporal_reachability(rd.from_pandas(edges), [1], t0=0,
+                              num_buckets=4)
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    assert dict(zip(got["vertex_id"], got["arrival"])) == {1: 0, 2: 5, 4: 7}
+
+
+def test_temporal_reachability_matches_replay_and_invariance():
+    from flashray.datapipe.temporal import temporal_reachability
+
+    rng = np.random.default_rng(47)
+    n = 90
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, 15, n).astype(np.int64),
+            "dst": rng.integers(0, 15, n).astype(np.int64),
+            "t": rng.integers(0, 8, n).astype(np.int64),
+        }
+    )
+    edges = edges[edges["src"] != edges["dst"]].reset_index(drop=True)
+    seeds = [0, 7]
+    got = (
+        temporal_reachability(rd.from_pandas(edges), seeds, t0=4,
+                              num_buckets=8)
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    want = _reach_oracle(
+        list(edges[["src", "dst", "t"]].itertuples(index=False)), seeds, 4
+    )
+    assert dict(zip(got["vertex_id"], got["arrival"])) == want
+    got2 = (
+        temporal_reachability(
+            rd.from_pandas(edges).repartition(5), seeds, t0=4,
+            num_buckets=4,
+        )
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_temporal_reachability_local_distributed_agree():
+    from flashray.datapipe.temporal import temporal_reachability
+
+    rng = np.random.default_rng(53)
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, 12, 70).astype(np.int64),
+            "dst": rng.integers(0, 12, 70).astype(np.int64),
+            "t": rng.integers(0, 6, 70).astype(np.int64),
+        }
+    )
+    edges = edges[edges["src"] != edges["dst"]].reset_index(drop=True)
+    loc = (
+        temporal_reachability(rd.from_pandas(edges), [3], t0=1)
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    dist = (
+        temporal_reachability(
+            rd.from_pandas(edges), [3], t0=1,
+            num_buckets=4, local_threshold=0,
+        )
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(loc, dist)

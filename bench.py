@@ -302,6 +302,15 @@ def _datapipe_bench(queries: dict, extra: dict) -> None:
     extra["minhash_groups"] = int(len(groups))
     queries["minhash_dedup"] = time.perf_counter() - t0
 
+    # flagship composed recipe: dedup x quality x language predicates
+    from flashray.datapipe.pipelines import pretrain_corpus
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    surv = pretrain_corpus(docs, langs=("en",), concurrency=8).count()
+    queries["pretrain_corpus"] = time.perf_counter() - t0
+    extra["pretrain_survivors"] = int(surv)
+
     emb = rd.read_parquet(emb_path)
     qvecs = None
     for b in emb.iter_batches(batch_size=64, batch_format="pandas"):

@@ -1214,6 +1214,7 @@ def triangle_count_sampled(
     *,
     p: float = 0.1,
     salt: str = "tri",
+    hash_mode: str = "sha",
     num_buckets: int | None = None,
 ) -> dict:
     """DOULION approximate triangle count (Tsourakakis et al., KDD 2009):
@@ -1227,20 +1228,39 @@ def triangle_count_sampled(
     approximate scale path for the wedge family: expected wedge work
     drops ~p², variance per the paper. Returns ``{"estimate",
     "sampled_triangles", "p", "threshold"}``; ``threshold`` is the
-    integer the SQL replay must reuse verbatim."""
+    integer the SQL replay must reuse verbatim.
+
+    ``hash_mode``: 'sha' (default) is the repo-wide SQL-parity coin but
+    runs one hashlib call per edge — at 100-TB edge counts use
+    'splitmix' (the `walks.py` dual-mode convention): the coin becomes
+    the vectorized ``splitmix64(splitmix64(crc32(salt)^lo)^hi)``, same
+    statistics, same determinism, no per-row Python."""
     from flashray.datapipe.sketches import _sha_u64
+    from flashray.ids import _splitmix64
 
     B = num_buckets or max(16, graph.num_partitions)
     if not 0.0 < p <= 1.0:
         raise ValueError("need 0 < p <= 1")
+    if hash_mode not in ("sha", "splitmix"):
+        raise ValueError("hash_mode must be 'sha' or 'splitmix'")
     thr = np.uint64(int(p * float(1 << 64))) if p < 1.0 else np.uint64(
         (1 << 64) - 1
     )
+    import zlib
+
+    salt_u64 = np.uint64(zlib.crc32(salt.encode()))
 
     def samp(b: pa.Table) -> pa.Table:
         lo = b["lo"].to_numpy(zero_copy_only=False)
         hi = b["hi"].to_numpy(zero_copy_only=False)
-        h = _sha_u64([f"{salt}|{a}|{c}" for a, c in zip(lo, hi)])
+        if hash_mode == "sha":
+            h = _sha_u64([f"{salt}|{a}|{c}" for a, c in zip(lo, hi)])
+        else:
+            with np.errstate(over="ignore"):
+                h = _splitmix64(
+                    _splitmix64(salt_u64 ^ lo.astype(np.uint64))
+                    ^ hi.astype(np.uint64)
+                )
         m = h < thr if p < 1.0 else np.ones(len(h), dtype=bool)
         return pa.table({"lo": lo[m], "hi": hi[m]})
 

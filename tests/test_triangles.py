@@ -565,3 +565,28 @@ def test_triangle_count_sampled_p1_exact_and_replay(tmp_path):
     # the estimator should land in the right ballpark on a dense fixture
     assert exact > 50
     assert 0.3 * exact < out["estimate"] < 3.0 * exact
+
+
+def test_triangle_count_sampled_splitmix_mode(tmp_path):
+    from flashray.ids import _splitmix64
+    import zlib
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 50, 700).astype(np.int64)
+    dst = rng.integers(0, 50, 700).astype(np.int64)
+    g = build_graph_from_arrays(
+        src, dst, str(tmp_path / "dsm"), num_partitions=4
+    )
+    out = triangles.triangle_count_sampled(
+        g, p=0.5, salt="sm", hash_mode="splitmix"
+    )
+    pairs = _und_pairs(src, dst)
+    saltu = np.uint64(zlib.crc32(b"sm"))
+    with np.errstate(over="ignore"):
+        kept = {
+            (a, b) for a, b in pairs
+            if int(_splitmix64(
+                _splitmix64(saltu ^ np.uint64(a)) ^ np.uint64(b)
+            )) < out["threshold"]
+        }
+    assert out["sampled_triangles"] == _tri_brute(kept)

@@ -2471,6 +2471,30 @@ def _q_temporal_reachability_user(sf_dir: str):
     return out
 
 
+def _q_rmat_degree_stats(sf_dir: str):
+    """Deterministic R-MAT generator smoke (scale 12, 32k edges):
+    generated distributed, degree stats via one bucket aggregate.
+    No SQL oracle — splitmix64 isn't SQL-expressible (rows-only check);
+    determinism is pytest-covered (partition-invariance + quadrant
+    frequencies)."""
+    from flashray.convert import rmat_edges
+    from flashray.joins import bucket_group_agg
+
+    e = rmat_edges(12, 8, seed=42)
+    deg = bucket_group_agg(
+        e, ["src"], {"outdeg": ("dst", "size")}, num_buckets=16
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_edges": np.array([int(deg["outdeg"].sum())], dtype=np.int64),
+            "distinct_src": np.array([len(deg)], dtype=np.int64),
+            "max_outdeg": np.array(
+                [int(deg["outdeg"].max())], dtype=np.int64
+            ),
+        }
+    )
+
+
 def _q_events_decayed_scores(sf_dir: str):
     """24h-half-life recency-weighted per-user engagement anchored at
     2024-02-01: integer-nanounit term quantization makes the sum
@@ -3120,6 +3144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_paths": _q_events_session_paths,
         "events_decayed_scores": _q_events_decayed_scores,
         "temporal_reachability_user": _q_temporal_reachability_user,
+        "rmat_degree_stats": _q_rmat_degree_stats,
         "docs_source_overlap": _q_docs_source_overlap,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,

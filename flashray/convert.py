@@ -285,3 +285,53 @@ def write_transcripts_csv(ds: ray.data.Dataset, out_dir: str) -> None:
         return batch
 
     ds.map_batches(stringify_ts, batch_format="pandas").write_csv(out_dir)
+
+
+def rmat_edges(
+    scale: int,
+    edge_factor: int = 16,
+    *,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Deterministic distributed R-MAT graph generator (Chakrabarti et
+    al., SDM 2004; the Graph500 / FAST15-benchmark synthetic): 2^scale
+    vertices, edge_factor·2^scale directed edges, recursive quadrant
+    probabilities (a, b, c, d=1−a−b−c) giving the power-law skew real
+    web/social graphs show. RNG-FREE: edge i's ``scale`` quadrant
+    choices derive from ``splitmix64(seed, i, level)``, so the SAME
+    (scale, seed) yields the SAME graph under any parallelism, block
+    size, or resume — the property a cluster benchmark needs. Returns a
+    lazy Dataset (src, dst int64); feed to ``build.build_graph``.
+
+    Dataflow: ``ray.data.range(E)`` streams edge indices; per batch one
+    vectorized loop over the ``scale`` recursion levels (each level ONE
+    hash + compare over the whole batch — no per-edge Python). Self-loops
+    and duplicates are kept (standard R-MAT; build_graph dedups)."""
+    from flashray.ids import _splitmix64
+
+    if not 0 < a + b + c < 1:
+        raise ValueError("need a+b+c in (0,1); d = 1-a-b-c")
+    n_edges = edge_factor << scale
+    t_ab, t_abc = a + b, a + b + c
+    seed_u = np.uint64(seed)
+    C1 = np.uint64(0x9E3779B97F4A7C15)
+
+    def gen(b_: pa.Table) -> pa.Table:
+        i = b_["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        src = np.zeros(len(i), dtype=np.int64)
+        dst = np.zeros(len(i), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            base = _splitmix64(seed_u + C1 * (i + np.uint64(1)))
+            for lvl in range(scale):
+                h = _splitmix64(base ^ np.uint64(lvl + 1))
+                u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+                right = u >= t_ab          # quadrants c, d -> src bit 1
+                bottom = (u >= a) & (u < t_ab) | (u >= t_abc)  # b, d -> dst bit
+                src = (src << 1) | right.astype(np.int64)
+                dst = (dst << 1) | bottom.astype(np.int64)
+        return pa.table({"src": src, "dst": dst})
+
+    return ray.data.range(n_edges).map_batches(gen, batch_format="pyarrow")

@@ -117,3 +117,42 @@ def test_transcripts_csv_roundtrip(tmp_path):
                                      ignore_index=True)
     b = back.sort_values(["conv_id", "turn_idx"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_rmat_deterministic_and_skewed():
+    from flashray.convert import rmat_edges
+
+    a = rmat_edges(8, 8, seed=7).to_pandas().reset_index(drop=True)
+    b = (
+        rmat_edges(8, 8, seed=7)
+        .repartition(13)
+        .to_pandas()
+        .sort_values(["src", "dst"], kind="mergesort")
+    )
+    a2 = a.sort_values(["src", "dst"], kind="mergesort")
+    assert len(a) == 8 * 256
+    assert (a2.to_numpy() == b.to_numpy()).all()
+    assert a["src"].between(0, 255).all() and a["dst"].between(0, 255).all()
+    # power-law-ish: top out-degree vertex far above the mean (=8)
+    vc = a["src"].value_counts()
+    assert vc.iloc[0] > 4 * 8
+    # a different seed gives a different graph
+    c = rmat_edges(8, 8, seed=8).to_pandas()
+    assert not (a2.to_numpy() == c.sort_values(
+        ["src", "dst"], kind="mergesort").to_numpy()).all()
+
+
+def test_rmat_quadrant_frequencies():
+    from flashray.convert import rmat_edges
+
+    df = rmat_edges(10, 16, a=0.45, b=0.15, c=0.15, seed=3).to_pandas()
+    # the TOP bit of (src, dst) encodes the first-level quadrant choice
+    top_src = (df["src"] >= 512).to_numpy()
+    top_dst = (df["dst"] >= 512).to_numpy()
+    n = len(df)
+    freq_a = ((~top_src) & (~top_dst)).sum() / n
+    freq_b = ((~top_src) & top_dst).sum() / n
+    freq_c = (top_src & (~top_dst)).sum() / n
+    assert abs(freq_a - 0.45) < 0.02
+    assert abs(freq_b - 0.15) < 0.02
+    assert abs(freq_c - 0.15) < 0.02

@@ -2360,6 +2360,29 @@ def _q_docs_pretrain_corpus(sf_dir: str):
     return out[["doc_id", "lang_pred"]]
 
 
+def _q_docs_nb_lang(sf_dir: str):
+    """Multinomial Naive Bayes trained on (text → lang) labels and
+    resubstitution-classified: the model is two distributed count
+    tables, the factored add-1 score needs ONE token join; rounded
+    scores + lang tie-break make the argmax SQL-replayable."""
+    from flashray.datapipe import ml
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    model = ml.nb_train(docs, label_col="lang", num_buckets=32)
+    out = (
+        ml.nb_classify(docs, model, num_buckets=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "pred", "score"]]
+
+
 def _q_docs_source_overlap(sf_dir: str):
     """Cross-source distinct word-3-gram overlap matrix (contamination /
     diversity diagnostic): map-side distinct (source, ngram) partials →
@@ -3146,6 +3169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_reachability_user": _q_temporal_reachability_user,
         "rmat_degree_stats": _q_rmat_degree_stats,
         "docs_source_overlap": _q_docs_source_overlap,
+        "docs_nb_lang": _q_docs_nb_lang,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -3801,6 +3825,38 @@ lp AS (SELECT d.doc_id,
 SELECT lp.doc_id, lp.lang_pred
 FROM lp JOIN keepq USING (doc_id) JOIN keepd USING (doc_id)
 WHERE lp.lang_pred IN ('en')""",
+        # NB replay: count tables in SQL, factored add-1 score
+        # ln(n_c)−ln(N)−tf·ln(T_c+V)+Σ tf·ln(C+1), 4-dp round, argmax
+        # by (score DESC, lang) — identical to the operator's rule
+        "docs_nb_lang": """
+WITH tok AS (SELECT doc_id, lang,
+                    unnest(regexp_extract_all(text, '\\S+')) AS token
+             FROM documents),
+cnt AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1),
+tot AS (SELECT lang, SUM(c) AS t FROM cnt GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT token) AS v FROM cnt),
+nn AS (SELECT SUM(n_docs) AS n FROM cls),
+tfd AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+tft AS (SELECT doc_id, SUM(tf) AS tf_total FROM tfd GROUP BY 1),
+seen AS (SELECT tfd.doc_id, cnt.lang,
+                SUM(tfd.tf * ln(cnt.c + 1.0)) AS s
+         FROM tfd JOIN cnt USING (token) GROUP BY 1, 2),
+sc AS (SELECT tft.doc_id, cls.lang,
+              ROUND(ln(cls.n_docs) - ln(nn.n)
+                    - tft.tf_total * ln(COALESCE(tot.t, 0) + vocab.v)
+                    + COALESCE(seen.s, 0), 4) AS score
+       FROM tft
+       CROSS JOIN cls
+       LEFT JOIN tot ON tot.lang = cls.lang
+       LEFT JOIN seen ON seen.doc_id = tft.doc_id
+                     AND seen.lang = cls.lang, vocab, nn)
+SELECT doc_id, lang AS pred, score FROM sc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, lang) = 1""",
         # cross-source overlap: distinct word-3-grams per source,
         # self-join on the shared n-gram, degree-normalized weights
         "docs_source_overlap": """

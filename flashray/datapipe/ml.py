@@ -1,0 +1,253 @@
+"""Distributed text classification: multinomial Naive Bayes.
+
+The quality/language classifiers of real corpus pipelines (CCNet,
+RefinedWeb) are linear models over token counts; multinomial NB is the
+count-table instance that fits this repo's exactness conventions: the
+MODEL IS two distributed count tables (never a broadcast vocabulary —
+the `ngram_lm_logprob` shape), training is pure integer aggregation,
+and scoring folds ``ln`` terms whose 4-dp-rounded per-doc sums a SQL
+replay reproduces (the LM-logprob rounding rationale).
+
+With add-1 smoothing the per-doc class score factors so that ONLY
+tokens the class has seen need the join:
+
+    score(d, c) = ln n_c − ln N − tf_d · ln(T_c + V)
+                  + Σ_{t ∈ d, C(c,t) > 0} tf(d,t) · ln(C(c,t) + 1)
+
+(from Σ_t tf·ln((C+1)/(T_c+V)); the missing-token mass collapses into
+the −tf_d·ln(T_c+V) term). So classify = ONE hash join on the token +
+one per-(doc, label) bucket aggregate + a vectorized per-doc argmax
+over the (small, broadcast) per-class constants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_TOK = r"\S+"
+
+
+def _doc_tokens(df: pd.DataFrame, id_col: str, text_col: str,
+                label_col: str | None) -> pd.DataFrame:
+    """Exact per-doc token counts, completed in-batch (a doc is one row)."""
+    toks = df[text_col].astype(str).str.findall(_TOK)
+    n = toks.str.len().to_numpy(dtype=np.int64)
+    cols = {
+        id_col: np.repeat(df[id_col].to_numpy().astype(np.int64), n),
+        "token": np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks]
+        ) if n.sum() else np.array([], dtype=object),
+    }
+    if label_col is not None:
+        cols[label_col] = np.repeat(
+            df[label_col].to_numpy().astype(object), n
+        )
+    d = pd.DataFrame(cols)
+    keys = [c for c in (id_col, label_col, "token") if c is not None]
+    out = d.groupby(keys, as_index=False).size().rename(columns={"size": "tf"})
+    out["tf"] = out["tf"].astype(np.int64)
+    return out
+
+
+def nb_train(
+    docs: ray.data.Dataset,
+    *,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> dict:
+    """Train multinomial NB. Returns the model as
+    ``{"token_counts": Dataset (label, token, count),
+    "class_stats": pd.DataFrame (label, n_docs, total_tokens) — one row
+    per class, driver-small, "vocab_size": int, "n_docs": int}``.
+    Training = two bucket aggregates + one distinct count; every number
+    is an exact integer (bit-identical under any partitioning)."""
+    from flashray.joins import bucket_group_agg
+
+    tok = docs.map_batches(
+        lambda df: _doc_tokens(df, id_col, text_col, label_col)[
+            [label_col, "token", "tf"]
+        ],
+        batch_format="pandas",
+    )
+    token_counts = bucket_group_agg(
+        tok, [label_col, "token"], {"count": ("tf", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    cstats = token_counts.map_batches(
+        lambda df: df.groupby(label_col, as_index=False).agg(
+            total_tokens=("count", "sum")
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    cstats = cstats.groupby(label_col, as_index=False).agg(
+        total_tokens=("total_tokens", "sum")
+    )
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[label_col]].groupby(label_col, as_index=False).size()
+
+    ndocs = docs.map_batches(doc_partial, batch_format="pandas").to_pandas()
+    ndocs = ndocs.groupby(label_col, as_index=False)["size"].sum().rename(
+        columns={"size": "n_docs"}
+    )
+    # classes with zero tokens (all-empty docs) still carry a prior
+    stats = ndocs.merge(cstats, on=label_col, how="left")
+    stats["total_tokens"] = (
+        stats["total_tokens"].fillna(0).astype(np.int64)
+    )
+    stats["n_docs"] = stats["n_docs"].astype(np.int64)
+
+    vocab = bucket_group_agg(
+        token_counts.map_batches(
+            lambda df: df[["token"]].drop_duplicates(), batch_format="pandas"
+        ),
+        ["token"], None, num_buckets=num_buckets,
+    ).count()
+    return {
+        "token_counts": token_counts,
+        "class_stats": stats.sort_values(label_col).reset_index(drop=True),
+        "vocab_size": int(vocab),
+        "n_docs": int(stats["n_docs"].sum()),
+        "label_col": label_col,
+    }
+
+
+def nb_classify(
+    docs: ray.data.Dataset,
+    model: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    round_dp: int = 4,
+) -> ray.data.Dataset:
+    """Classify with a trained NB model: Dataset (doc_id, pred,
+    score) — score = the winning class's ``round_dp``-rounded
+    log-posterior (up to the constant evidence term); argmax compares
+    ROUNDED scores with label-ascending ties, so a SQL replay picks the
+    same class. One token hash join + one (doc, label) bucket aggregate
+    + a per-doc vectorized fold over the broadcast per-class constants."""
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    label_col = model["label_col"]
+    stats = model["class_stats"]
+    labels = stats[label_col].to_numpy(dtype=object)
+    V = model["vocab_size"]
+    lnN = float(np.log(model["n_docs"]))
+    ln_prior = np.log(stats["n_docs"].to_numpy(dtype=np.float64)) - lnN
+    ln_denom = np.log(stats["total_tokens"].to_numpy(np.float64) + V)
+
+    dt = docs.map_batches(
+        lambda df: _doc_tokens(df, id_col, text_col, None),
+        batch_format="pandas",
+    ).materialize()
+
+    totals = bucket_group_agg(
+        dt, [id_col], {"tf_total": ("tf", "sum")}, num_buckets=num_buckets,
+    )
+
+    I64 = pa.int64()
+    j = bucket_hash_join(
+        dt, model["token_counts"], ["token"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [(id_col, I64), ("token", pa.string()), ("tf", I64)]
+        ),
+        right_schema=pa.schema(
+            [(label_col, pa.string()), ("token", pa.string()),
+             ("count", I64)]
+        ),
+    )
+
+    def seen_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                label_col: df[label_col].to_numpy(dtype=object),
+                "s": df["tf"].to_numpy(dtype=np.float64)
+                * np.log(df["count"].to_numpy(dtype=np.float64) + 1.0),
+            }
+        )
+        return d.groupby([id_col, label_col], as_index=False).agg(
+            s=("s", "sum")
+        )
+
+    seen = bucket_group_agg(
+        j.map_batches(seen_partial, batch_format="pandas"),
+        [id_col, label_col],
+        {"s": ("s", "sum")},
+        hash_keys=[id_col],
+        num_buckets=num_buckets,
+    )
+
+    merged = bucket_hash_join(
+        totals, seen, [id_col],
+        how="left",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([(id_col, I64), ("tf_total", I64)]),
+        right_schema=pa.schema(
+            [(id_col, I64), (label_col, pa.string()), ("s", pa.float64())]
+        ),
+    )
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pa.table(
+                {id_col: pa.array([], I64),
+                 "pred": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64())}
+            ).to_pandas()
+        ids, inv = np.unique(
+            df[id_col].to_numpy(dtype=np.int64), return_inverse=True
+        )
+        tf = np.zeros(len(ids), dtype=np.float64)
+        tf[inv] = df["tf_total"].to_numpy(dtype=np.float64)
+        S = np.zeros((len(ids), len(labels)), dtype=np.float64)
+        lab_idx = {l: i for i, l in enumerate(labels)}
+        has = df[label_col].notna().to_numpy()
+        li = np.fromiter(
+            (lab_idx[l] for l in df[label_col].to_numpy(object)[has]),
+            dtype=np.int64, count=int(has.sum()),
+        )
+        S[inv[has], li] = df["s"].to_numpy(dtype=np.float64)[has]
+        scores = np.round(
+            ln_prior[None, :] - tf[:, None] * ln_denom[None, :] + S,
+            round_dp,
+        )
+        best = np.argmax(scores, axis=1)  # first max = lowest label (sorted)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "pred": labels[best],
+                "score": scores[np.arange(len(ids)), best],
+            }
+        )
+
+    return _decide_bucketed(merged, decide, id_col, num_buckets)
+
+
+def _decide_bucketed(merged, decide, id_col, num_buckets):
+    """All rows of one doc must reach one `decide` call: bucket by doc."""
+    from flashray.joins import _key_hash
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        b = b.replace_schema_metadata(None)
+        h = _key_hash(b, [id_col])
+        return b.append_column(
+            "__dbucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        )
+
+    return (
+        merged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__dbucket")
+        .map_groups(
+            lambda g: decide(g.drop(columns=["__dbucket"])),
+            batch_format="pandas",
+        )
+    )

@@ -1023,3 +1023,94 @@ def test_pretrain_corpus_partition_invariant():
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def _nb_oracle(docs, round_dp=4):
+    """Python replay of the factored NB score + rounded argmax."""
+    import re
+    from collections import Counter, defaultdict
+
+    tok = re.compile(r"\S+")
+    C = defaultdict(Counter)
+    ndocs = Counter()
+    for _, r in docs.iterrows():
+        ndocs[r["lang"]] += 1
+        C[r["lang"]].update(tok.findall(str(r["text"])))
+    vocab = set()
+    for c in C.values():
+        vocab.update(c)
+    V, N = len(vocab), sum(ndocs.values())
+    labels = sorted(ndocs)
+    T = {c: sum(C[c].values()) for c in labels}
+    preds = {}
+    for _, r in docs.iterrows():
+        tfs = Counter(tok.findall(str(r["text"])))
+        tf_total = sum(tfs.values())
+        best = None
+        for c in labels:
+            s = np.log(ndocs[c]) - np.log(N) - tf_total * np.log(T[c] + V)
+            s += sum(
+                tf * np.log(C[c][t] + 1.0) for t, tf in tfs.items()
+                if C[c][t] > 0
+            )
+            s = round(s, round_dp)
+            if best is None or s > best[1]:
+                best = (c, s)
+        preds[int(r["doc_id"])] = best
+    return preds
+
+
+def test_nb_train_classify_matches_replay():
+    from flashray.datapipe import ml
+
+    rng = np.random.default_rng(61)
+    en = "the cat is on the mat and it runs for fun all day".split()
+    de = "der hund ist nicht ein tier und ich bin zu mit haus".split()
+    rows = []
+    for i in range(40):
+        lang = "en" if i % 2 == 0 else "de"
+        words = rng.choice(en if lang == "en" else de,
+                           size=rng.integers(4, 15))
+        rows.append((i, lang, " ".join(words)))
+    docs = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    model = ml.nb_train(rd.from_pandas(docs), label_col="lang")
+    assert model["vocab_size"] == len(set(en) | set(de))
+    got = (
+        ml.nb_classify(rd.from_pandas(docs), model)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = _nb_oracle(docs)
+    for _, r in got.iterrows():
+        wc, ws = want[int(r["doc_id"])]
+        assert r["pred"] == wc and abs(r["score"] - ws) < 1e-9, r["doc_id"]
+    # resubstitution accuracy on separable vocab should be perfect
+    assert (got["pred"].to_numpy() == docs["lang"].to_numpy()).all()
+
+
+def test_nb_classify_partition_invariant():
+    from flashray.datapipe import ml
+
+    rng = np.random.default_rng(67)
+    vocab = np.array("a b c d e f g h i j".split())
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(30, dtype=np.int64),
+            "lang": ["x" if i % 3 else "y" for i in range(30)],
+            "text": [
+                " ".join(rng.choice(vocab, size=rng.integers(2, 9)))
+                for _ in range(30)
+            ],
+        }
+    )
+    model = ml.nb_train(rd.from_pandas(docs), label_col="lang",
+                        num_buckets=4)
+    a = (
+        ml.nb_classify(rd.from_pandas(docs), model, num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        ml.nb_classify(rd.from_pandas(docs).repartition(7), model,
+                       num_buckets=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

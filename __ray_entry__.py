@@ -1770,6 +1770,29 @@ def _q_embeddings_outliers(sf_dir: str):
     return out[["vec_id", "cluster", "dist", "is_outlier"]]
 
 
+def _q_embeddings_prototype(sf_dir: str):
+    """Nearest-class-mean classifier over the embeddings table's own
+    label column (resubstitution): per-class element-wise mean
+    prototypes (one streaming partial-sum pass), broadcast assignment;
+    the oracle rebuilds the prototypes with the kmeans-oracle AVG idiom."""
+    from flashray.datapipe.ml import prototype_classify
+
+    emb = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    )
+    out = (
+        prototype_classify(emb)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["pred"] = out["pred"].astype(np.int64)
+    out["dist"] = out["dist"].round(6)
+    return out[["vec_id", "pred", "dist"]]
+
+
 def _q_embeddings_kcenter(sf_dir: str):
     """Greedy k-center (farthest-point) coreset of the embeddings table,
     k=5: squared euclidean via the inner-product identity, 6-dp-rounded
@@ -3180,6 +3203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_user": _q_closeness_user,
         "embeddings_kcenter": _q_embeddings_kcenter,
         "embeddings_outliers": _q_embeddings_outliers,
+        "embeddings_prototype": _q_embeddings_prototype,
         "tool_cooccurrence": _q_tool_cooccurrence,
         "hyperball_engine_user": _q_hyperball_engine_user,
         "convert_edges_roundtrip": _q_convert_edges_roundtrip,
@@ -5030,6 +5054,25 @@ a2 AS (SELECT e.vec_id,
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster
 FROM a2""",
         "embeddings_kcenter": _kcenter_sql(5),
+        # prototype classifier: per-class element-wise AVG vectors
+        # (kmeans-oracle idiom), nearest-prototype argmin, 6-dp dist
+        "embeddings_prototype": """
+WITH emb AS (SELECT vec_id, CAST(label AS BIGINT) AS lab,
+                    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT lab, pos, AVG(val) AS mv FROM (
+        SELECT lab, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM emb
+      ) GROUP BY 1, 2),
+protos AS (SELECT lab, list(mv ORDER BY pos) AS v FROM m GROUP BY 1),
+a AS (SELECT e.vec_id,
+             (SELECT p.lab FROM protos p
+              ORDER BY list_distance(e.v, p.v), p.lab LIMIT 1) AS pred,
+             ROUND((SELECT MIN(list_distance(e.v, p.v)) FROM protos p),
+                   6) AS dist
+      FROM emb e)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(pred AS BIGINT) AS pred,
+       dist
+FROM a""",
         # centroid-distance outliers: kmeans-replay prefix (as in
         # embeddings_kmeans), nearest-centroid euclidean rounded 6-dp,
         # exact p90 gate via quantile_disc

@@ -251,3 +251,76 @@ def _decide_bucketed(merged, decide, id_col, num_buckets):
             batch_format="pandas",
         )
     )
+
+
+def prototype_classify(
+    ds: ray.data.Dataset,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 4096,
+    round_dp: int = 6,
+) -> ray.data.Dataset:
+    """Nearest-class-mean (prototype / Rocchio) classifier over an
+    embedding column: class prototypes = per-label element-wise mean
+    vectors (ONE streaming pass of per-batch partial sums — the kmeans
+    partial shape, O(labels·d) driver data), then one broadcast
+    assignment pass: pred = argmin_c ‖x − μ_c‖ (euclidean, lowest label
+    on ties), dist = the winning distance ``round_dp``-rounded. The
+    supervised counterpart of `similarity.centroid_outliers`; the
+    standard embedding-space few-parameter classifier. Returns a
+    Dataset (vec_id, pred, dist)."""
+    import ray as _ray
+
+    from flashray.datapipe.similarity import _stack
+
+    def partial(b: pa.Table) -> pa.Table:
+        X = _stack(b[vec_col]).astype(np.float64)
+        lab = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), X.shape[1] if len(X) else 0))
+        np.add.at(sums, inv, X)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "lab": pa.array(uniq),
+                "n": pa.array(cnts),
+                "sums": pa.array([row.tobytes() for row in sums]),
+            }
+        )
+
+    parts = ds.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    if not len(parts):
+        raise ValueError("prototype_classify over an empty dataset")
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    for _, r in parts.iterrows():
+        v = np.frombuffer(r["sums"], dtype=np.float64)
+        s, n = acc.get(int(r["lab"]), (0.0, 0))
+        acc[int(r["lab"])] = (s + v, n + int(r["n"]))
+    labels = np.array(sorted(acc), dtype=np.int64)
+    protos = np.stack([acc[int(l)][0] / acc[int(l)][1] for l in labels])
+    ref = _ray.put(protos)
+
+    def assign(b: pa.Table) -> pa.Table:
+        X = _stack(b[vec_col]).astype(np.float64)
+        P = _ray.get(ref)
+        d2 = ((X[:, None, :] - P[None, :, :]) ** 2).sum(axis=-1)
+        best = np.argmin(d2, axis=1)  # first min = lowest label
+        return pa.table(
+            {
+                id_col: b[id_col].cast(pa.int64()),
+                "pred": pa.array(labels[best]),
+                "dist": pa.array(
+                    np.round(
+                        np.sqrt(d2[np.arange(len(X)), best]), round_dp
+                    )
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow", batch_size=batch_size
+    )

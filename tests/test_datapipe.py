@@ -1114,3 +1114,40 @@ def test_nb_classify_partition_invariant():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_prototype_classify_matches_numpy_and_invariance():
+    from flashray.datapipe import ml
+
+    rng = np.random.default_rng(71)
+    mu = np.array([[4.0, 0, 0, 0], [0, 4.0, 0, 0], [0, 0, 4.0, 0]])
+    lab = rng.integers(0, 3, 200).astype(np.int32)
+    V = (mu[lab] + rng.normal(0, 0.5, (200, 4))).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(200, dtype=np.int64),
+            "label": lab,
+            "embedding": list(V),
+        }
+    )
+    got = (
+        ml.prototype_classify(rd.from_pandas(df))
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    X = V.astype(np.float64)
+    P = np.stack([X[lab == c].mean(0) for c in range(3)])
+    d2 = ((X[:, None, :] - P[None, :, :]) ** 2).sum(-1)
+    best = np.argmin(d2, axis=1)
+    assert (got["pred"].to_numpy() == best).all()
+    assert np.allclose(
+        got["dist"], np.round(np.sqrt(d2[np.arange(200), best]), 6)
+    )
+    # well-separated prototypes recover the generating labels
+    assert (got["pred"].to_numpy() == lab).mean() > 0.98
+    b = (
+        ml.prototype_classify(rd.from_pandas(df).repartition(9),
+                              batch_size=17)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (got["pred"].to_numpy() == b["pred"].to_numpy()).all()
+    assert np.allclose(got["dist"], b["dist"], atol=2e-6)

@@ -2541,6 +2541,28 @@ def _q_rmat_degree_stats(sf_dir: str):
     )
 
 
+def _q_events_rate_anomalies(sf_dir: str):
+    """Hourly per-type event-rate z-scores (|z| > 2 flags): integer
+    window counts + integer sufficient statistics, one float expression
+    tree shared with the SQL replay."""
+    from flashray.datapipe.temporal import rate_anomalies
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+    )
+    out = (
+        rate_anomalies(ev, z_thresh=2.0, num_buckets=32)
+        .to_pandas()
+        .sort_values(["event_type", "window"])
+        .reset_index(drop=True)
+    )
+    for c in ("window", "n", "is_anomaly"):
+        out[c] = out[c].astype(np.int64)
+    out["z"] = out["z"].round(6)
+    return out
+
+
 def _q_events_decayed_scores(sf_dir: str):
     """24h-half-life recency-weighted per-user engagement anchored at
     2024-02-01: integer-nanounit term quantization makes the sum
@@ -3189,6 +3211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weighted_sample": _q_events_weighted_sample,
         "events_session_paths": _q_events_session_paths,
         "events_decayed_scores": _q_events_decayed_scores,
+        "events_rate_anomalies": _q_events_rate_anomalies,
         "temporal_reachability_user": _q_temporal_reachability_user,
         "rmat_degree_stats": _q_rmat_degree_stats,
         "docs_source_overlap": _q_docs_source_overlap,
@@ -3917,6 +3940,29 @@ r AS (SELECT CAST(0 AS BIGINT) AS v, CAST(473448 AS BIGINT) AS arr
       SELECT te.dst, te.t FROM r JOIN te ON te.src = r.v
       WHERE te.t >= r.arr)
 SELECT v AS vertex_id, MIN(arr) AS arrival FROM r GROUP BY 1""",
+        # rate anomalies: integer window counts, z from (s1, s2, c)
+        # integer sufficient stats with the operator's expression tree;
+        # the flag compares the ROUNDED z (as the operator does)
+        "events_rate_anomalies": """
+WITH c AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 AS "window",
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, SUM(n) AS s1, SUM(n * n) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS cc FROM c GROUP BY 1),
+zt AS (SELECT c.event_type, c."window", c.n,
+              sqrt(GREATEST(s.s2 / s.cc - (s.s1 / s.cc) * (s.s1 / s.cc),
+                            0.0)) AS sig,
+              s.s1 / s.cc AS mu
+       FROM c JOIN s USING (event_type)),
+r AS (SELECT event_type, "window", n,
+             ROUND(CASE WHEN sig > 0 THEN (n - mu) / sig
+                        ELSE 0.0 END, 6) AS z
+      FROM zt)
+SELECT event_type, "window", n, z,
+       CAST(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_anomaly
+FROM r""",
         # decayed engagement: same nanounit term quantization, summed as
         # integers — the float pow is the only libm surface (1-ulp,
         # buried below the nanounit quantum)

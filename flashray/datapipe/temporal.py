@@ -882,3 +882,109 @@ def temporal_reachability(
             break
 
     return state
+
+
+def rate_anomalies(
+    events: ray.data.Dataset,
+    *,
+    window_us: int = 3600 * 1_000_000,
+    z_thresh: float = 3.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+    round_dp: int = 6,
+) -> ray.data.Dataset:
+    """Event-rate anomaly detection: per (event_type, tumbling window)
+    counts, z-scored against THAT TYPE's own rate distribution over all
+    its windows — the standard traffic-spike / outage monitor. Returns
+    a Dataset (event_type, window, n, z, is_anomaly) with z =
+    (n − μ_type)/σ_type rounded to ``round_dp`` (population σ; a type
+    with a single window or constant rate has σ = 0 and z = 0).
+
+    Exactness: window counts are integers (map-side per-batch partial
+    counts + one bucket aggregate — never raw event rows through the
+    shuffle), and μ/σ derive from the integer sufficient statistics
+    (Σn, Σn², #windows) per type with the same float64 expression tree
+    a SQL replay uses (no var_pop — accumulation order differs), so
+    results are partition-invariant and oracle-exact. Only OBSERVED
+    windows enter the distribution (a type absent from a window
+    contributes no zero row — document accordingly)."""
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                type_col: df[type_col].astype(str),
+                "window": df[ts_col]
+                .to_numpy(dtype="datetime64[us]")
+                .astype(np.int64)
+                // window_us,
+            }
+        )
+        return d.groupby([type_col, "window"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    counts = bucket_group_agg(
+        events.map_batches(partial, batch_format="pandas"),
+        [type_col, "window"],
+        {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.int64)
+        d = pd.DataFrame(
+            {
+                type_col: df[type_col],
+                "s1": n,
+                "s2": n * n,
+                "c": np.ones(len(n), dtype=np.int64),
+            }
+        )
+        return d.groupby(type_col, as_index=False).agg(
+            s1=("s1", "sum"), s2=("s2", "sum"), c=("c", "sum")
+        )
+
+    stats = bucket_group_agg(
+        counts.map_batches(stat_partial, batch_format="pandas"),
+        [type_col],
+        {"s1": ("s1", "sum"), "s2": ("s2", "sum"), "c": ("c", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    tsch = pa.schema(
+        [(type_col, pa.string()), ("window", pa.int64()), ("n", pa.int64())]
+    )
+    ssch = pa.schema(
+        [(type_col, pa.string()), ("s1", pa.int64()), ("s2", pa.int64()),
+         ("c", pa.int64())]
+    )
+    j = bucket_hash_join(
+        counts, stats, [type_col],
+        num_buckets=num_buckets, left_schema=tsch, right_schema=ssch,
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.int64)
+        s1 = df["s1"].to_numpy(dtype=np.int64)
+        s2 = df["s2"].to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        mu = s1 / c
+        var = s2 / c - mu * mu
+        sig = np.sqrt(np.maximum(var, 0.0))
+        z = np.round(
+            np.divide(n - mu, sig, out=np.zeros(len(n)), where=sig > 0),
+            round_dp,
+        )
+        return pd.DataFrame(
+            {
+                type_col: df[type_col].to_numpy(),
+                "window": df["window"].to_numpy(dtype=np.int64),
+                "n": n,
+                "z": z,
+                "is_anomaly": (np.abs(z) > z_thresh).astype(np.int64),
+            }
+        )
+
+    return j.map_batches(score, batch_format="pandas")

@@ -601,3 +601,55 @@ def test_temporal_reachability_local_distributed_agree():
         .to_pandas().sort_values("vertex_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(loc, dist)
+
+
+def test_rate_anomalies_spike_detection_and_invariance():
+    from flashray.datapipe.temporal import rate_anomalies
+
+    rng = np.random.default_rng(59)
+    # steady background: ~5 click events per hour over 48 hours,
+    # one planted 60-event spike in hour 20
+    rows = []
+    base = pd.Timestamp("2024-01-01").value // 1000
+    for h in range(48):
+        k = 60 if h == 20 else int(rng.integers(3, 8))
+        for i in range(k):
+            rows.append(("click", base + h * 3_600_000_000 + i * 1000))
+    for h in range(48):  # a steady second type, no spikes
+        rows.append(("view", base + h * 3_600_000_000 + 5))
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    got = (
+        rate_anomalies(rd.from_pandas(df), z_thresh=3.0, num_buckets=4)
+        .to_pandas()
+        .sort_values(["event_type", "window"])
+        .reset_index(drop=True)
+    )
+    spikes = got[got["is_anomaly"] == 1]
+    assert len(spikes) == 1
+    assert spikes.iloc[0]["event_type"] == "click"
+    assert spikes.iloc[0]["n"] == 60
+    # constant-rate type: sigma=0 -> z=0 everywhere
+    assert (got[got["event_type"] == "view"]["z"] == 0).all()
+    # exact python replay
+    cc = (
+        df.assign(w=df["ts"].astype("datetime64[us]").astype("int64")
+                  // 3_600_000_000)
+        .groupby(["event_type", "w"]).size().rename("n").reset_index()
+    )
+    for et, grp in cc.groupby("event_type"):
+        n = grp["n"].to_numpy(np.int64)
+        mu = n.sum() / len(n)
+        var = (n * n).sum() / len(n) - mu * mu
+        sig = np.sqrt(max(var, 0.0))
+        z = np.round((n - mu) / sig, 6) if sig > 0 else np.zeros(len(n))
+        sub = got[got["event_type"] == et].sort_values("window")
+        assert np.allclose(sub["z"].to_numpy(), z, atol=0)
+    got2 = (
+        rate_anomalies(rd.from_pandas(df).repartition(9), z_thresh=3.0,
+                       num_buckets=16)
+        .to_pandas()
+        .sort_values(["event_type", "window"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)

@@ -653,3 +653,38 @@ def test_rate_anomalies_spike_detection_and_invariance():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_per_user_ops_hot_user_skew():
+    """One user owns half the stream: the per-user bucket partitioning
+    assumption (a key's rows fit one task) must still produce exact
+    results — the documented skew regime of every per-key operator."""
+    from flashray.datapipe.temporal import event_transitions, session_paths
+
+    rng = np.random.default_rng(73)
+    n = 800
+    users = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 40, n))
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": users.astype(np.int64),
+            "event_type": np.array(list("abcd"))[rng.integers(0, 4, n)],
+            "ts": pd.to_datetime(
+                rng.integers(0, 100, n) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    got = (
+        event_transitions(rd.from_pandas(df), num_buckets=8)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    want = _transitions_oracle(df)
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
+
+    a = session_paths(rd.from_pandas(df), gap_us=10_000_000, k=12,
+                      num_buckets=4)
+    b = session_paths(rd.from_pandas(df).repartition(11),
+                      gap_us=10_000_000, k=12, num_buckets=16)
+    pd.testing.assert_frame_equal(a, b)

@@ -667,6 +667,70 @@ def _q_triangles_sampled_user(sf_dir: str):
     )
 
 
+_PERC_FRACS = (0.0, 0.1, 0.3)
+
+
+def _q_percolation_user(sf_dir: str):
+    """Attack-tolerance curve of the symmetrized user graph: hubs above
+    the (1−f) degree order statistic removed, giant component of the
+    rest — one degree sort serves every fraction, star-forest WCC per
+    filtered edge set, recursive-CTE SQL replay."""
+    from flashray.algorithms import percolation_curve
+
+    g = _user_graph(sf_dir, symmetrize=True)
+    out = percolation_curve(g, _PERC_FRACS, num_buckets=16)
+    out["fraction"] = out["fraction"].round(6)
+    return out
+
+
+def _percolation_sql(fracs) -> str:
+    """Per-fraction CTE blocks: quantile_disc threshold, NOT-IN hub
+    filter, recursive (vertex, root) closure over the symmetric filtered
+    edges, MIN-root labels, component sizes, one output row each."""
+    head = """
+WITH RECURSIVE
+b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+sym AS MATERIALIZED (SELECT src AS s, dst AS d FROM eu
+                     UNION ALL SELECT dst, src FROM eu),
+deg AS MATERIALIZED (SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS d
+                     FROM sym GROUP BY 1)"""
+    stages, selects = [], []
+    for k, f in enumerate(fracs):
+        q = repr(1.0 - float(f))
+        stages.append(f"""
+t{k} AS (SELECT quantile_disc(d, {q}) AS thr FROM deg),
+rv{k} AS MATERIALIZED (SELECT v FROM deg, t{k} WHERE d > t{k}.thr),
+fv{k} AS MATERIALIZED (SELECT v FROM deg
+        WHERE v NOT IN (SELECT v FROM rv{k})),
+fe{k} AS MATERIALIZED (SELECT s, d FROM sym
+        WHERE s NOT IN (SELECT v FROM rv{k})
+          AND d NOT IN (SELECT v FROM rv{k})),
+r{k} AS (SELECT v, v AS root FROM fv{k}
+         UNION
+         SELECT fe.d, r.root FROM r{k} r JOIN fe{k} fe ON fe.s = r.v),
+lab{k} AS (SELECT v, MIN(root) AS lab FROM r{k} GROUP BY 1),
+sz{k} AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS sc
+          FROM lab{k} GROUP BY 1)""")
+        selects.append(
+            f"SELECT {repr(round(float(f), 6))} AS fraction,\n"
+            f"       (SELECT thr FROM t{k}) AS deg_thr,\n"
+            f"       (SELECT CAST(COUNT(*) AS BIGINT) FROM rv{k})"
+            f" AS n_removed,\n"
+            f"       (SELECT CAST(COUNT(*) AS BIGINT) FROM fv{k})"
+            f" AS n_remaining,\n"
+            f"       COALESCE((SELECT MAX(sc) FROM sz{k}),"
+            f" CAST(0 AS BIGINT)) AS giant_size"
+        )
+    return (
+        head + "," + ",".join(stages) + "\n"
+        + "\nUNION ALL\n".join(selects) + "\nORDER BY fraction"
+    )
+
+
 def _q_conductance_user(sf_dir: str):
     """Per-community conductance of the {user_id % 5} partition over the
     symmetrized user graph: φ(c) = cut_c / min(vol_c, 2m − vol_c).
@@ -3185,6 +3249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "richclub_user": _q_richclub_user,
         "conductance_user": _q_conductance_user,
         "triangles_sampled_user": _q_triangles_sampled_user,
+        "percolation_user": _q_percolation_user,
         "reciprocity_user": _q_reciprocity_user,
         "docs_tfidf": _q_docs_tfidf,
         "events_asof_purchase": _q_events_asof_purchase,
@@ -4571,6 +4636,7 @@ degc AS (SELECT v % 5 AS lab, SUM(d) AS dc FROM deg GROUP BY 1),
 sq AS (SELECT SUM(dc * dc) AS s FROM degc)
 SELECT ROUND(ein.c * 1.0 / m.m - sq.s / (4.0 * m.m * m.m), 6) AS q
 FROM ein, m, sq""",
+        "percolation_user": _percolation_sql(_PERC_FRACS),
         # DOULION: identical sha edge coin (integer threshold inlined),
         # 3-way self-join triangle count on the sample, 1/p^3 scale-up
         "triangles_sampled_user": """

@@ -1116,3 +1116,93 @@ def rich_club(
     return pd.DataFrame(
         {"k": karr, "n_rich": n, "e_rich": e, "phi": phi}
     )
+
+
+def percolation_curve(
+    graph,
+    fractions=(0.0, 0.05, 0.1, 0.2),
+    *,
+    num_buckets: int | None = None,
+    local_threshold: int | None = 500_000,
+):
+    """Targeted-attack robustness curve (Albert–Barabási attack
+    tolerance): for each fraction f, remove the highest-degree hubs and
+    report the giant connected-component size of what remains. The
+    removal rule is tie-free and SQL-exact: threshold = the (1−f)
+    order-statistic of the degree multiset (`sketches.exact_quantiles`,
+    quantile_disc-bit-matched), removed = vertices with degree STRICTLY
+    above it. Returns pd.DataFrame (fraction, deg_thr, n_removed,
+    n_remaining, giant_size) — len(fractions) driver rows.
+
+    Distributed shape: ONE degree aggregate + ONE global sort serve
+    every fraction (all order statistics read from the same sorted
+    degree table); per fraction two anti-joins drop edges at removed
+    endpoints and the log-rounds star-forest dataflow
+    (`cc_mapreduce.star_forest` — no per-fraction graph rebuild) labels
+    components; the giant size is a streaming MAX over the per-root
+    child counts. Isolated survivors count as size-1 components."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from flashray.cc_mapreduce import star_forest
+    from flashray.datapipe.sketches import exact_quantiles
+    from flashray.joins import bucket_group_agg, bucket_semi_join
+    from flashray.triangles import _canonical_undirected, _deg_from_und
+
+    B = num_buckets or max(16, graph.num_partitions)
+    und = _canonical_undirected(graph).materialize()
+    deg = _deg_from_und(und).materialize()
+    n_verts = deg.count()
+    qs = sorted({1.0 - float(f) for f in fractions})
+    thr_of = exact_quantiles(deg, "deg", qs)
+
+    I64 = pa.int64()
+    usch = pa.schema([("lo", I64), ("hi", I64)])
+    rows = []
+    for f in fractions:
+        thr = int(thr_of[1.0 - float(f)])
+
+        def above(b: pa.Table, thr=thr) -> pa.Table:
+            keep = b["deg"].to_numpy() > thr
+            return pa.table({"vertex_id": b["vertex_id"].filter(pa.array(keep))})
+
+        removed = deg.map_batches(
+            above, batch_format="pyarrow"
+        ).materialize()
+        n_removed = removed.count()
+        filt = bucket_semi_join(
+            und, removed, ["lo"], right_on=["vertex_id"], anti=True,
+            num_buckets=B, left_schema=usch,
+        )
+        filt = bucket_semi_join(
+            filt, removed, ["hi"], right_on=["vertex_id"], anti=True,
+            num_buckets=B, left_schema=usch,
+        ).map_batches(
+            lambda b: pa.table({"a": b["hi"], "b": b["lo"]}),  # a > b
+            batch_format="pyarrow",
+        ).materialize()
+        n_rem = n_verts - n_removed
+        if filt.count() == 0:
+            giant = 1 if n_rem > 0 else 0
+        else:
+            forest = star_forest(
+                filt, num_buckets=B, local_threshold=local_threshold
+            )
+            counts = bucket_group_agg(
+                forest, ["b"], {"c": ("a", "size")}, num_buckets=B,
+            )
+            mx = counts.max("c")
+            giant = int(mx or 0) + 1
+        rows.append((float(f), thr, int(n_removed), int(n_rem), int(giant)))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "fraction", "deg_thr", "n_removed", "n_remaining", "giant_size",
+        ],
+    ).astype(
+        {
+            "fraction": np.float64, "deg_thr": np.int64,
+            "n_removed": np.int64, "n_remaining": np.int64,
+            "giant_size": np.int64,
+        }
+    )

@@ -158,6 +158,47 @@ def _local_star_forest(pdf: pd.DataFrame) -> pd.DataFrame:
     return out.astype({"a": "int64", "b": "int64"})
 
 
+def star_forest(
+    edges: ray.data.Dataset,
+    *,
+    num_buckets: int = 16,
+    max_rounds: int = 64,
+    local_threshold: int | None = 500_000,
+) -> ray.data.Dataset:
+    """Large/small-star rounds to the fixed point over an (a, b) a>b
+    deduped edge Dataset — the reusable core of :func:`wcc_mapreduce`
+    (also consumed by ``algorithms.percolation_curve`` on filtered edge
+    sets). Returns the star forest: (a = non-root member, b = its
+    component's min id); roots label themselves implicitly."""
+    prev = None
+    for _ in range(max_rounds):
+        if local_threshold and edges.count() <= local_threshold:
+            pdf = edges.to_pandas()
+            forest = _local_star_forest(pdf)
+            if len(forest):
+                return ray.data.from_pandas(forest)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        # dedup only once per round (after small-star): duplicate edges do
+        # not change star minima, and each skipped dedup saves a shuffle
+        mid = _star_round(edges, large=True, num_buckets=num_buckets,
+                          dedup=False)
+        edges = _star_round(
+            mid, large=False, num_buckets=num_buckets
+        ).materialize()
+        sig = _checksum(edges)
+        if sig == prev:
+            break
+        prev = sig
+    return edges
+
+
 def wcc_mapreduce(
     graph: Graph,
     *,
@@ -182,32 +223,12 @@ def wcc_mapreduce(
     same star-forest fixed point, which the distributed finish stage
     consumes unchanged. 0/None forces star rounds all the way down."""
     B = num_buckets or max(16, graph.num_partitions)
-    edges = _canonical_edges(graph).materialize()
-    prev = None
-    for _ in range(max_rounds):
-        if local_threshold and edges.count() <= local_threshold:
-            pdf = edges.to_pandas()
-            forest = _local_star_forest(pdf)
-            if len(forest):
-                edges = ray.data.from_pandas(forest)
-            else:
-                edges = ray.data.from_arrow(
-                    pa.table(
-                        {
-                            "a": pa.array([], pa.int64()),
-                            "b": pa.array([], pa.int64()),
-                        }
-                    )
-                )
-            break
-        # dedup only once per round (after small-star): duplicate edges do
-        # not change star minima, and each skipped dedup saves a shuffle
-        mid = _star_round(edges, large=True, num_buckets=B, dedup=False)
-        edges = _star_round(mid, large=False, num_buckets=B).materialize()
-        sig = _checksum(edges)
-        if sig == prev:
-            break
-        prev = sig
+    edges = star_forest(
+        _canonical_edges(graph).materialize(),
+        num_buckets=B,
+        max_rounds=max_rounds,
+        local_threshold=local_threshold,
+    )
 
     from flashray.joins import bucket_group_agg
 

@@ -680,3 +680,60 @@ def test_conductance_whole_graph_and_perfect_split(tmp_graphs):
         ),
     )
     assert q > 0.4
+
+
+def test_percolation_curve_matches_bruteforce(tmp_path):
+    """Hub removal by quantile-threshold rule vs a python union-find."""
+    import math
+
+    rng = np.random.default_rng(83)
+    src = rng.integers(0, 60, 500).astype(np.int64)
+    dst = rng.integers(0, 60, 500).astype(np.int64)
+    g = build_graph_from_arrays(
+        src, dst, str(tmp_path / "perc"), num_partitions=4
+    )
+    fracs = (0.0, 0.1, 0.3)
+    got = algorithms.percolation_curve(g, fracs, num_buckets=8)
+
+    pairs = set()
+    for s, d in zip(src, dst):
+        if s != d:
+            pairs.add((min(int(s), int(d)), max(int(s), int(d))))
+    degc = {}
+    for a, b in pairs:
+        degc[a] = degc.get(a, 0) + 1
+        degc[b] = degc.get(b, 0) + 1
+    degs = sorted(degc.values())
+    n = len(degs)
+    for i, f in enumerate(fracs):
+        q = 1.0 - f
+        thr = degs[min(n - 1, max(0, math.ceil(q * n) - 1))]
+        removed = {v for v, d in degc.items() if d > thr}
+        keep = {
+            (a, b) for a, b in pairs if a not in removed and b not in removed
+        }
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        remaining = set(degc) - removed
+        for v in remaining:
+            parent.setdefault(v, v)
+        for a, b in keep:
+            parent[find(a)] = find(b)
+        sizes = {}
+        for v in remaining:
+            r = find(v)
+            sizes[r] = sizes.get(r, 0) + 1
+        giant = max(sizes.values()) if sizes else 0
+        row = got.iloc[i]
+        assert row["deg_thr"] == thr, (f, row["deg_thr"], thr)
+        assert row["n_removed"] == len(removed)
+        assert row["n_remaining"] == len(remaining)
+        assert row["giant_size"] == giant, (f, row["giant_size"], giant)
+    # the curve actually bites: removing 30% of hub-degree mass shrinks
+    assert got.iloc[2]["giant_size"] < got.iloc[0]["giant_size"]

@@ -1834,6 +1834,18 @@ def _q_embeddings_outliers(sf_dir: str):
     return out[["vec_id", "cluster", "dist", "is_outlier"]]
 
 
+def _q_embeddings_diversity(sf_dir: str):
+    """Corpus mean pairwise cosine WITHOUT pairwise work (sum-vector
+    identity, one streaming partial-sum pass) — the data-curation
+    diversity dashboard number."""
+    from flashray.datapipe.similarity import embedding_diversity
+
+    emb = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    return embedding_diversity(emb)
+
+
 def _q_embeddings_prototype(sf_dir: str):
     """Nearest-class-mean classifier over the embeddings table's own
     label column (resubstitution): per-class element-wise mean
@@ -3292,6 +3304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kcenter": _q_embeddings_kcenter,
         "embeddings_outliers": _q_embeddings_outliers,
         "embeddings_prototype": _q_embeddings_prototype,
+        "embeddings_diversity": _q_embeddings_diversity,
         "tool_cooccurrence": _q_tool_cooccurrence,
         "hyperball_engine_user": _q_hyperball_engine_user,
         "convert_edges_roundtrip": _q_convert_edges_roundtrip,
@@ -5166,6 +5179,21 @@ a2 AS (SELECT e.vec_id,
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster
 FROM a2""",
         "embeddings_kcenter": _kcenter_sql(5),
+        # diversity: unit-normalize, per-position SUM, sum-vector identity
+        "embeddings_diversity": """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nv AS (SELECT list_transform(
+                 v, x -> x / sqrt(list_inner_product(v, v))) AS u
+       FROM e),
+su AS (SELECT pos, SUM(val) AS s FROM (
+         SELECT unnest(u) AS val, generate_subscripts(u, 1) AS pos
+         FROM nv
+       ) GROUP BY 1),
+nrm AS (SELECT SUM(s * s) AS ss FROM su),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+SELECT cnt.n,
+       ROUND((nrm.ss - cnt.n) / (cnt.n * (cnt.n - 1)), 6) AS mean_cos
+FROM nrm, cnt""",
         # prototype classifier: per-class element-wise AVG vectors
         # (kmeans-oracle idiom), nearest-prototype argmin, 6-dp dist
         "embeddings_prototype": """

@@ -849,3 +849,52 @@ def centroid_outliers(
         )
 
     return assigned.map_batches(flag, batch_format="pyarrow")
+
+
+def embedding_diversity(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Corpus embedding-diversity summary: the MEAN PAIRWISE COSINE over
+    all n(n−1)/2 unit-normalized vector pairs, computed WITHOUT any
+    pairwise work via the sum-vector identity
+
+        mean_cos = (‖Σ x̂‖² − n) / (n(n−1)),
+
+    (Σ over unit vectors; ‖Σx̂‖² = Σ_ij x̂_i·x̂_j counts each pair twice
+    plus the n self-pairs). Lower = more diverse — the data-curation
+    dashboard number behind "is this corpus collapsing to near-dups".
+    ONE streaming pass: each block ships a d-float partial sum + a
+    count (the moments shape); the driver folds O(blocks) rows.
+    Returns a one-row pd.DataFrame (n, mean_cos)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"s": pa.array([], pa.binary()),
+                 "n": pa.array([], pa.int64())}
+            )
+        X = _stack(b[vec_col]).astype(np.float64)
+        Xn = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+        return pa.table(
+            {"s": [Xn.sum(axis=0).tobytes()], "n": [len(X)]}
+        )
+
+    parts = ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    if not len(parts) or parts["n"].sum() < 2:
+        raise ValueError("embedding_diversity needs at least 2 vectors")
+    S = None
+    n = 0
+    for _, r in parts.iterrows():
+        v = np.frombuffer(r["s"], dtype=np.float64)
+        S = v if S is None else S + v
+        n += int(r["n"])
+    mean_cos = (float(S @ S) - n) / (n * (n - 1))
+    return pd.DataFrame(
+        {"n": np.array([n], dtype=np.int64),
+         "mean_cos": [round(mean_cos, round_dp)]}
+    )

@@ -1151,3 +1151,27 @@ def test_prototype_classify_matches_numpy_and_invariance():
     )
     assert (got["pred"].to_numpy() == b["pred"].to_numpy()).all()
     assert np.allclose(got["dist"], b["dist"], atol=2e-6)
+
+
+def test_embedding_diversity_matches_pairwise():
+    rng = np.random.default_rng(89)
+    V = rng.normal(size=(120, 12)).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(120, dtype=np.int64), "embedding": list(V)}
+    )
+    got = similarity.embedding_diversity(rd.from_pandas(df))
+    X = V.astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn @ Xn.T
+    want = round((C.sum() - np.trace(C)) / (120 * 119), 6)
+    assert got["n"].iloc[0] == 120
+    assert abs(got["mean_cos"].iloc[0] - want) < 1e-9
+    # identical vectors -> mean_cos == 1; invariance across partitioning
+    same = pd.DataFrame(
+        {"vec_id": np.arange(5, dtype=np.int64),
+         "embedding": [V[0]] * 5}
+    )
+    one = similarity.embedding_diversity(rd.from_pandas(same))
+    assert abs(one["mean_cos"].iloc[0] - 1.0) < 1e-9
+    b = similarity.embedding_diversity(rd.from_pandas(df).repartition(7))
+    assert abs(got["mean_cos"].iloc[0] - b["mean_cos"].iloc[0]) < 2e-6

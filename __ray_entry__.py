@@ -2617,6 +2617,29 @@ def _q_rmat_degree_stats(sf_dir: str):
     )
 
 
+def _q_events_session_cooccur(sf_dir: str):
+    """Market-basket association over 30-min sessions: per type pair the
+    co-session count, support, lift — one per-user shuffle with map-side
+    pair pre-counts, one tagged aggregate, two tiny joins."""
+    from flashray.datapipe.temporal import session_cooccurrence
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    out = (
+        session_cooccurrence(ev, num_buckets=32)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    for c in ("n_ab", "n_a", "n_b"):
+        out[c] = out[c].astype(np.int64)
+    out["support"] = out["support"].round(6)
+    out["lift"] = out["lift"].round(6)
+    return out
+
+
 def _q_events_rate_anomalies(sf_dir: str):
     """Hourly per-type event-rate z-scores (|z| > 2 flags): integer
     window counts + integer sufficient statistics, one float expression
@@ -3289,6 +3312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_paths": _q_events_session_paths,
         "events_decayed_scores": _q_events_decayed_scores,
         "events_rate_anomalies": _q_events_rate_anomalies,
+        "events_session_cooccur": _q_events_session_cooccur,
         "temporal_reachability_user": _q_temporal_reachability_user,
         "rmat_degree_stats": _q_rmat_degree_stats,
         "docs_source_overlap": _q_docs_source_overlap,
@@ -4018,6 +4042,31 @@ r AS (SELECT CAST(0 AS BIGINT) AS v, CAST(473448 AS BIGINT) AS arr
       SELECT te.dst, te.t FROM r JOIN te ON te.src = r.v
       WHERE te.t >= r.arr)
 SELECT v AS vertex_id, MIN(arr) AS arrival FROM r GROUP BY 1""",
+        # association rules: windowed session ids, distinct types per
+        # session, self-join pairs, support/lift with float-first products
+        "events_session_cooccur": """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+                  CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                            > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS sid FROM o),
+d AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+nn AS (SELECT CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT) AS n FROM d),
+ty AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+p AS (SELECT x.event_type AS a, y.event_type AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM d x JOIN d y ON x.user_id = y.user_id AND x.sid = y.sid
+                       AND y.event_type > x.event_type
+      GROUP BY 1, 2)
+SELECT p.a, p.b, p.n_ab, ta.c AS n_a, tb.c AS n_b,
+       ROUND(p.n_ab * 1.0 / nn.n, 6) AS support,
+       ROUND((p.n_ab * 1.0 * nn.n) / (ta.c * 1.0 * tb.c), 6) AS lift
+FROM p JOIN ty ta ON ta.event_type = p.a
+       JOIN ty tb ON tb.event_type = p.b, nn""",
         # rate anomalies: integer window counts, z from (s1, s2, c)
         # integer sufficient stats with the operator's expression tree;
         # the flag compares the ROUNDED z (as the operator does)

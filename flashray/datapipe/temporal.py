@@ -988,3 +988,167 @@ def rate_anomalies(
         )
 
     return j.map_batches(score, batch_format="pandas")
+
+
+def session_cooccurrence(
+    events: ray.data.Dataset,
+    *,
+    gap_us: int = 30 * 60 * 1_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+    round_dp: int = 6,
+) -> ray.data.Dataset:
+    """Market-basket association metrics over sessions (baskets =
+    gap-based sessions, items = distinct event types): for every type
+    pair a < b, the number of sessions containing both (``n_ab``), each
+    (``n_a``, ``n_b``), plus ``support = n_ab/N`` and ``lift =
+    n_ab·N/(n_a·n_b)`` (> 1 ⇒ the types co-occur more than chance — the
+    classic association-rule screen). Returns a Dataset
+    (a, b, n_ab, n_a, n_b, support, lift) — O(|types|²) rows.
+
+    Dataflow: ONE per-user hash shuffle sessionizes in-bucket (sessions
+    never span buckets — a user's rows are co-located), distinct
+    (session, type) rows pair through the vectorized
+    ``pairs_within_groups`` expansion with MAP-SIDE pre-counts, and
+    pair/type/total partials ride ONE tagged union into a single bucket
+    aggregate; the final metrics attach the (tiny) per-type counts with
+    two hash joins. Exact integer counts ⇒ partition-invariant;
+    support/lift are one rounded division each."""
+    from flashray.joins import (
+        _key_hash,
+        bucket_group_agg,
+        bucket_hash_join,
+        pairs_within_groups,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.replace_schema_metadata(None)
+        h = _key_hash(b, [user_col])
+        return pa.table(
+            {
+                user_col: b[user_col].cast(pa.int64()),
+                "__ts_us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                id_col: b[id_col].cast(pa.int64()),
+                type_col: b[type_col].cast(pa.string()),
+                "__cbucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    part_cols = [
+        ("kind", pa.string()), ("a", pa.string()), ("b", pa.string()),
+        ("n", pa.int64()),
+    ]
+
+    def partials_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _typed_empty(part_cols)
+        g = g.sort_values([user_col, "__ts_us", id_col], kind="mergesort")
+        u = g[user_col].to_numpy()
+        t = g["__ts_us"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        same = u[1:] == u[:-1]
+        brk[1:] = np.where(same & (t[1:] - t[:-1] <= gap_us), 0, 1)
+        sid = np.cumsum(brk)
+        d = pd.DataFrame(
+            {"sid": sid, "et": g[type_col].to_numpy()}
+        ).drop_duplicates()
+        n_sessions = int(d["sid"].nunique())
+        tu, tcodes = np.unique(d["et"].to_numpy(), return_inverse=True)
+        order = np.lexsort((tcodes, d["sid"].to_numpy()))
+        scodes = d["sid"].to_numpy()[order]
+        tcodes = tcodes[order]
+        pa_, pb_, _ = pairs_within_groups(scodes, tcodes)
+        out = [
+            pd.DataFrame(
+                {"kind": "n", "a": [""], "b": [""],
+                 "n": np.array([n_sessions], dtype=np.int64)}
+            )
+        ]
+        tvc = d["et"].value_counts()
+        out.append(
+            pd.DataFrame(
+                {"kind": "t", "a": tvc.index.to_numpy(), "b": "",
+                 "n": tvc.to_numpy().astype(np.int64)}
+            )
+        )
+        if len(pa_):
+            pvc = pd.DataFrame(
+                {"a": tu[pa_], "b": tu[pb_]}
+            ).value_counts()
+            pf = pvc.index.to_frame(index=False)
+            pf.insert(0, "kind", "p")
+            pf["n"] = pvc.to_numpy().astype(np.int64)
+            out.append(pf)
+        return pd.concat(out, ignore_index=True)
+
+    agg = bucket_group_agg(
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby("__cbucket")
+        .map_groups(partials_of_bucket, batch_format="pandas"),
+        ["kind", "a", "b"],
+        {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    N = int(
+        agg.map_batches(
+            lambda df: df[df["kind"] == "n"][["n"]], batch_format="pandas"
+        ).sum("n")
+        or 0
+    )
+    types = agg.map_batches(
+        lambda df: df[df["kind"] == "t"][["a", "n"]].rename(
+            columns={"n": "cnt"}
+        ),
+        batch_format="pandas",
+    )
+    pairs = agg.map_batches(
+        lambda df: df[df["kind"] == "p"][["a", "b", "n"]].rename(
+            columns={"n": "n_ab"}
+        ),
+        batch_format="pandas",
+    )
+    S = pa.string()
+    psch = pa.schema([("a", S), ("b", S), ("n_ab", pa.int64())])
+    tsch = pa.schema([("a", S), ("cnt", pa.int64())])
+    j = bucket_hash_join(
+        pairs, types, ["a"], num_buckets=num_buckets,
+        left_schema=psch, right_schema=tsch,
+    ).map_batches(
+        lambda df: df.rename(columns={"cnt": "n_a"}), batch_format="pandas"
+    )
+    jsch = pa.schema(
+        [("a", S), ("b", S), ("n_ab", pa.int64()), ("n_a", pa.int64())]
+    )
+    j = bucket_hash_join(
+        j, types, ["b"], right_on=["a"], num_buckets=num_buckets,
+        left_schema=jsch, right_schema=tsch, suffixes=("", "_rt"),
+    )
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        n_ab = df["n_ab"].to_numpy(dtype=np.int64)
+        n_a = df["n_a"].to_numpy(dtype=np.int64)
+        n_b = df["cnt"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "a": df["a"].to_numpy(),
+                "b": df["b"].to_numpy(),
+                "n_ab": n_ab,
+                "n_a": n_a,
+                "n_b": n_b,
+                # float-first products: BIGINT n_ab*N can overflow both
+                # engines at extreme session counts; the SQL replay uses
+                # the same (x * 1.0 * y) expression tree
+                "support": np.round(n_ab * 1.0 / N, round_dp),
+                "lift": np.round(
+                    (n_ab * 1.0 * N) / (n_a * 1.0 * n_b), round_dp
+                ),
+            }
+        )
+
+    return j.map_batches(metrics, batch_format="pandas")

@@ -688,3 +688,63 @@ def test_per_user_ops_hot_user_skew():
     b = session_paths(rd.from_pandas(df).repartition(11),
                       gap_us=10_000_000, k=12, num_buckets=16)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_session_cooccurrence_matches_bruteforce():
+    from flashray.datapipe.temporal import session_cooccurrence
+
+    df = _rand_events(79, n=500, users=15, types=5)
+    got = (
+        session_cooccurrence(rd.from_pandas(df), gap_us=8_000_000,
+                             num_buckets=8)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # brute force: sessionize per user, distinct types per session
+    g = df.sort_values(["user_id", "ts", "event_id"])
+    sessions = []
+    for _, grp in g.groupby("user_id"):
+        ts = grp["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cur = set()
+        prev = None
+        for i in range(len(grp)):
+            if prev is not None and ts[i] - prev > 8_000_000:
+                sessions.append(cur); cur = set()
+            cur.add(grp["event_type"].iloc[i]); prev = ts[i]
+        sessions.append(cur)
+    N = len(sessions)
+    from collections import Counter
+    na = Counter(); nab = Counter()
+    for s in sessions:
+        for t in s:
+            na[t] += 1
+        ss = sorted(s)
+        for i in range(len(ss)):
+            for jx in range(i + 1, len(ss)):
+                nab[(ss[i], ss[jx])] += 1
+    assert len(got) == len(nab)
+    for _, r in got.iterrows():
+        key = (r["a"], r["b"])
+        assert r["n_ab"] == nab[key]
+        assert r["n_a"] == na[r["a"]] and r["n_b"] == na[r["b"]]
+        assert abs(r["support"] - round(nab[key] * 1.0 / N, 6)) < 1e-12
+        assert abs(
+            r["lift"]
+            - round(nab[key] * 1.0 * N / (na[r["a"]] * 1.0 * na[r["b"]]), 6)
+        ) < 1e-12
+
+
+def test_session_cooccurrence_partition_invariant():
+    from flashray.datapipe.temporal import session_cooccurrence
+
+    df = _rand_events(97, n=300, users=9, types=4)
+    a = (
+        session_cooccurrence(rd.from_pandas(df), gap_us=5_000_000,
+                             num_buckets=4)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    b = (
+        session_cooccurrence(rd.from_pandas(df).repartition(7),
+                             gap_us=5_000_000, num_buckets=16)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -2482,6 +2482,47 @@ def _q_docs_nb_lang(sf_dir: str):
     return out[["doc_id", "pred", "score"]]
 
 
+def _q_docs_nb_confusion(sf_dir: str):
+    """Evaluation stage: confusion matrix of the NB language classifier
+    vs the true lang labels — classify, one id join to attach truth,
+    one cell aggregate."""
+    from flashray.datapipe import ml
+    from flashray.joins import bucket_hash_join
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    model = ml.nb_train(docs, label_col="lang", num_buckets=32)
+    preds = ml.nb_classify(docs, model, num_buckets=32)
+    import pyarrow as pa
+
+    truth = docs.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "lang": b["lang"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucket_hash_join(
+        truth, preds, ["doc_id"],
+        num_buckets=32,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("lang", pa.string())]),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("pred", pa.string()),
+             ("score", pa.float64())]
+        ),
+    )
+    out = (
+        ml.confusion(j, truth_col="lang", pred_col="pred", num_buckets=32)
+        .to_pandas()
+        .sort_values(["truth", "pred"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def _q_docs_source_overlap(sf_dir: str):
     """Cross-source distinct word-3-gram overlap matrix (contamination /
     diversity diagnostic): map-side distinct (source, ngram) partials →
@@ -3317,6 +3358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmat_degree_stats": _q_rmat_degree_stats,
         "docs_source_overlap": _q_docs_source_overlap,
         "docs_nb_lang": _q_docs_nb_lang,
+        "docs_nb_confusion": _q_docs_nb_confusion,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -5404,4 +5446,13 @@ SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
 FROM px GROUP BY 1, 2""",
     }
     o["hyperball_engine_user"] = o["hyperball_user_graph"]
+    # evaluation stage composed from the classifier oracle (nested WITH):
+    # truth join + cell counts over the identical predictions
+    o["docs_nb_confusion"] = (
+        "WITH preds AS (" + o["docs_nb_lang"] + """),
+t AS (SELECT d.lang AS truth, p.pred FROM documents d
+      JOIN preds p USING (doc_id))
+SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2"""
+    )
     return o

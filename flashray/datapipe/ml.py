@@ -324,3 +324,38 @@ def prototype_classify(
     return ds.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def confusion(
+    ds: ray.data.Dataset,
+    *,
+    truth_col: str,
+    pred_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Classification evaluation: the confusion matrix as a Dataset
+    (truth, pred, n) — O(classes²) rows from map-side per-batch cell
+    partials + one tiny bucket aggregate (the evaluation stage every
+    classifier pipeline ends with; accuracy/precision/recall are one
+    driver fold over these cells)."""
+    from flashray.joins import bucket_group_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "truth": df[truth_col].astype(str),
+                "pred": df[pred_col].astype(str),
+            }
+        )
+        out = d.groupby(["truth", "pred"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucket_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["truth", "pred"],
+        {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    )

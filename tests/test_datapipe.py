@@ -1175,3 +1175,24 @@ def test_embedding_diversity_matches_pairwise():
     assert abs(one["mean_cos"].iloc[0] - 1.0) < 1e-9
     b = similarity.embedding_diversity(rd.from_pandas(df).repartition(7))
     assert abs(got["mean_cos"].iloc[0] - b["mean_cos"].iloc[0]) < 2e-6
+
+
+def test_confusion_matrix_counts():
+    from flashray.datapipe import ml
+
+    df = pd.DataFrame(
+        {
+            "y": ["a"] * 6 + ["b"] * 4,
+            "p": ["a", "a", "b", "a", "a", "b", "b", "b", "a", "b"],
+        }
+    )
+    got = (
+        ml.confusion(rd.from_pandas(df), truth_col="y", pred_col="p",
+                     num_buckets=4)
+        .to_pandas().sort_values(["truth", "pred"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"truth": ["a", "a", "b", "b"], "pred": ["a", "b", "a", "b"],
+         "n": np.array([4, 2, 1, 3], dtype=np.int64)}
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -2482,6 +2482,26 @@ def _q_docs_nb_lang(sf_dir: str):
     return out[["doc_id", "pred", "score"]]
 
 
+def _q_docs_hashed_features(sf_dir: str):
+    """Hashing-trick sparse features (d=64, signed): zero-shuffle
+    per-doc encoding, sha-cell replayable in SQL."""
+    from flashray.datapipe.ml import hashed_features
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = (
+        hashed_features(docs, d=64)
+        .to_pandas()
+        .sort_values(["doc_id", "feature"])
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "feature", "value"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def _q_docs_nb_confusion(sf_dir: str):
     """Evaluation stage: confusion matrix of the NB language classifier
     vs the true lang labels — classify, one id join to attach truth,
@@ -3359,6 +3379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_overlap": _q_docs_source_overlap,
         "docs_nb_lang": _q_docs_nb_lang,
         "docs_nb_confusion": _q_docs_nb_confusion,
+        "docs_hashed_features": _q_docs_hashed_features,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -4016,6 +4037,23 @@ lp AS (SELECT d.doc_id,
 SELECT lp.doc_id, lp.lang_pred
 FROM lp JOIN keepq USING (doc_id) JOIN keepd USING (doc_id)
 WHERE lp.lang_pred IN ('en')""",
+        # hashing trick: sha cell + parity sign recomputed per token
+        "docs_hashed_features": """
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(text, '\\S+')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, tf,
+             CAST(concat('0x', substr(sha256('fh|' || token), 1, 16))
+                  AS UBIGINT) AS hh
+      FROM tf),
+c AS (SELECT doc_id, CAST(hh % 64 AS BIGINT) AS feature,
+             SUM(CASE WHEN (hh // 64) % 2 = 0 THEN tf ELSE -tf END)
+               AS value
+      FROM h GROUP BY 1, 2)
+SELECT doc_id, feature, CAST(value AS BIGINT) AS value
+FROM c WHERE value <> 0""",
         # NB replay: count tables in SQL, factored add-1 score
         # ln(n_c)−ln(N)−tf·ln(T_c+V)+Σ tf·ln(C+1), 4-dp round, argmax
         # by (score DESC, lang) — identical to the operator's rule

@@ -359,3 +359,62 @@ def confusion(
         {"n": ("n", "sum")},
         num_buckets=num_buckets,
     )
+
+
+def hashed_features(
+    docs: ray.data.Dataset,
+    *,
+    d: int = 256,
+    signed: bool = True,
+    salt: str = "fh",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Feature hashing (Weinberger et al. 2009, the "hashing trick"):
+    sparse bag-of-words features in a FIXED d-dimensional space with no
+    vocabulary state — token t maps to cell ``h % d`` with sign
+    ``(h // d) % 2 ? −1 : +1`` (the unbiasing signed variant;
+    ``signed=False`` for raw counts), h = sha64(salt|t). The standard
+    input encoding for linear classifiers/regressors at corpus scale:
+    NO shuffle at all — every document's features complete inside its
+    batch (exact per-doc token counts are in-batch), the output stays
+    distributed as (doc_id, feature, value) sparse rows, and the
+    sha-derived cells are bit-reproducible and SQL-replayable (the CMS
+    register convention)."""
+    from flashray.datapipe.sketches import _sha_u64
+
+    dd = np.uint64(d)
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        t = _doc_tokens(df, id_col, text_col, None)
+        if not len(t):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    "feature": pd.Series(dtype=np.int64),
+                    "value": pd.Series(dtype=np.int64),
+                }
+            )
+        uniq, inv = np.unique(t["token"].to_numpy(object),
+                              return_inverse=True)
+        h = _sha_u64([f"{salt}|{s}" for s in uniq])
+        feat = (h % dd).astype(np.int64)[inv]
+        if signed:
+            sign = np.where(
+                ((h // dd) % np.uint64(2)) == 0, 1, -1
+            ).astype(np.int64)[inv]
+        else:
+            sign = np.ones(len(inv), dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                id_col: t[id_col].to_numpy(dtype=np.int64),
+                "feature": feat,
+                "value": sign * t["tf"].to_numpy(dtype=np.int64),
+            }
+        )
+        out = out.groupby([id_col, "feature"], as_index=False).agg(
+            value=("value", "sum")
+        )
+        return out[out["value"] != 0]
+
+    return docs.map_batches(feats, batch_format="pandas")

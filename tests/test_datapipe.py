@@ -1196,3 +1196,45 @@ def test_confusion_matrix_counts():
          "n": np.array([4, 2, 1, 3], dtype=np.int64)}
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_hashed_features_replay_and_shape():
+    import hashlib
+
+    from flashray.datapipe import ml
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], dtype=np.int64),
+            "text": ["a b a c", "b b d", ""],
+        }
+    )
+    got = (
+        ml.hashed_features(rd.from_pandas(docs), d=16)
+        .to_pandas().sort_values(["doc_id", "feature"])
+        .reset_index(drop=True)
+    )
+
+    def cell(tok):
+        h = int.from_bytes(
+            hashlib.sha256(f"fh|{tok}".encode()).digest()[:8], "big"
+        )
+        return h % 16, 1 if (h // 16) % 2 == 0 else -1
+
+    want = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        for tok in text.split():
+            f, s = cell(tok)
+            want[(did, f)] = want.get((did, f), 0) + s
+    want = {k: v for k, v in want.items() if v != 0}
+    gm = {
+        (int(r.doc_id), int(r.feature)): int(r.value)
+        for r in got.itertuples()
+    }
+    assert gm == want
+    assert (got["feature"] < 16).all() and (got["feature"] >= 0).all()
+    # unsigned mode: plain counts
+    raw = ml.hashed_features(
+        rd.from_pandas(docs), d=16, signed=False
+    ).to_pandas()
+    assert raw["value"].sum() == 7  # 4 + 3 tokens

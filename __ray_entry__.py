@@ -2482,6 +2482,27 @@ def _q_docs_nb_lang(sf_dir: str):
     return out[["doc_id", "pred", "score"]]
 
 
+def _q_docs_mixture_report(sf_dir: str):
+    """Data-mixture card: per (source, lang) doc/token counts + token
+    share — one map-side pre-aggregated pass + a tiny bucket aggregate."""
+    from flashray.datapipe.textstats import mixture_report
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang", "text"],
+    )
+    out = (
+        mixture_report(docs, num_buckets=32)
+        .to_pandas()
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["token_share"] = out["token_share"].round(6)
+    return out
+
+
 def _q_docs_hashed_features(sf_dir: str):
     """Hashing-trick sparse features (d=64, signed): zero-shuffle
     per-doc encoding, sha-cell replayable in SQL."""
@@ -3380,6 +3401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nb_lang": _q_docs_nb_lang,
         "docs_nb_confusion": _q_docs_nb_confusion,
         "docs_hashed_features": _q_docs_hashed_features,
+        "docs_mixture_report": _q_docs_mixture_report,
         "events_tumbling_1h": _q_events_tumbling,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "skipgram_pairs_user": _q_skipgram_pairs_user,
@@ -4037,6 +4059,19 @@ lp AS (SELECT d.doc_id,
 SELECT lp.doc_id, lp.lang_pred
 FROM lp JOIN keepq USING (doc_id) JOIN keepd USING (doc_id)
 WHERE lp.lang_pred IN ('en')""",
+        # mixture card: per-group doc/token counts + share of all tokens
+        "docs_mixture_report": """
+WITH t AS (SELECT source, lang,
+                  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> '')) AS BIGINT) AS n
+           FROM documents),
+g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(n) AS n_tokens
+      FROM t GROUP BY 1, 2),
+tot AS (SELECT SUM(n_tokens) AS s FROM g)
+SELECT source, lang, n_docs, n_tokens,
+       ROUND(n_tokens * 1.0 / GREATEST(tot.s, 1), 6) AS token_share
+FROM g, tot""",
         # hashing trick: sha cell + parity sign recomputed per token
         "docs_hashed_features": """
 WITH tok AS (SELECT doc_id,

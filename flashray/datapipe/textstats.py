@@ -961,3 +961,57 @@ def source_overlap(
         num_buckets=num_buckets,
         max_center_degree=max_center_degree,
     )
+
+
+def mixture_report(
+    docs,
+    *,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    num_buckets: int = 64,
+    round_dp: int = 6,
+):
+    """Corpus-composition report ("data mixture card"): per group (e.g.
+    source × lang) the document count, exact whitespace-token count,
+    and each group's share of all tokens — the table every pretraining
+    mixture decision starts from. Returns a Dataset
+    (*group_cols, n_docs, n_tokens, token_share) with O(groups) rows.
+
+    ONE map-side pass pre-aggregates (docs, tokens) per group per batch
+    (never raw rows through the shuffle), one tiny bucket aggregate,
+    and the grand total folds back in a streaming map (integer counts ⇒
+    partition-invariant; the share is one rounded division)."""
+    from flashray.joins import bucket_group_agg
+
+    gcols = list(group_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[gcols].copy()
+        for c in gcols:
+            d[c] = d[c].astype(str)
+        d["n_docs"] = np.ones(len(df), dtype=np.int64)
+        d["n_tokens"] = (
+            df[text_col].astype(str).str.findall(r"\S+").str.len()
+            .to_numpy(dtype=np.int64)
+        )
+        return d.groupby(gcols, as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")
+        )
+
+    agg = bucket_group_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        gcols,
+        {"n_docs": ("n_docs", "sum"), "n_tokens": ("n_tokens", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()
+    total = int(agg.sum("n_tokens") or 0)
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["token_share"] = np.round(
+            df["n_tokens"].to_numpy(dtype=np.int64) * 1.0 / max(total, 1),
+            round_dp,
+        )
+        return df
+
+    return agg.map_batches(share, batch_format="pandas")

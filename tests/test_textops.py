@@ -277,3 +277,37 @@ def test_source_overlap_matches_bruteforce():
     )
     want["cn"] = want["cn"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
+
+
+def test_mixture_report_counts_and_shares():
+    import ray.data as rd
+
+    from flashray.datapipe.textstats import mixture_report
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["s1", "s1", "s2", "s2", "s2", "s1"],
+            "lang": ["en", "en", "en", "de", "de", "de"],
+            "text": ["a b c", "d e", "f", "g h i j", "k", "l m"],
+        }
+    )
+    got = (
+        mixture_report(rd.from_pandas(docs), num_buckets=4)
+        .to_pandas().sort_values(["source", "lang"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "source": ["s1", "s1", "s2", "s2"],
+            "lang": ["de", "en", "de", "en"],
+            "n_docs": np.array([1, 2, 2, 1], dtype=np.int64),
+            "n_tokens": np.array([2, 5, 5, 1], dtype=np.int64),
+        }
+    )
+    want["token_share"] = (want["n_tokens"] / 13).round(6)
+    pd.testing.assert_frame_equal(got, want)
+    b = (
+        mixture_report(rd.from_pandas(docs).repartition(5), num_buckets=16)
+        .to_pandas().sort_values(["source", "lang"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, b)

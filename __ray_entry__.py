@@ -2699,6 +2699,28 @@ def _q_rmat_degree_stats(sf_dir: str):
     )
 
 
+def _q_events_interevent(sf_dir: str):
+    """Per-type inter-event gap stats + Goh–Barabási burstiness from
+    integer floor-second sufficient statistics (windowed-LAG SQL
+    replay)."""
+    from flashray.datapipe.temporal import interevent_stats
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    out = (
+        interevent_stats(ev, num_buckets=32)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_gaps"] = out["n_gaps"].astype(np.int64)
+    for c in ("mean_gap_s", "std_gap_s", "burstiness"):
+        out[c] = out[c].round(6)
+    return out
+
+
 def _q_events_session_cooccur(sf_dir: str):
     """Market-basket association over 30-min sessions: per type pair the
     co-session count, support, lift — one per-user shuffle with map-side
@@ -3395,6 +3417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_scores": _q_events_decayed_scores,
         "events_rate_anomalies": _q_events_rate_anomalies,
         "events_session_cooccur": _q_events_session_cooccur,
+        "events_interevent": _q_events_interevent,
         "temporal_reachability_user": _q_temporal_reachability_user,
         "rmat_degree_stats": _q_rmat_degree_stats,
         "docs_source_overlap": _q_docs_source_overlap,
@@ -4157,6 +4180,25 @@ r AS (SELECT CAST(0 AS BIGINT) AS v, CAST(473448 AS BIGINT) AS arr
       SELECT te.dst, te.t FROM r JOIN te ON te.src = r.v
       WHERE te.t >= r.arr)
 SELECT v AS vertex_id, MIN(arr) AS arrival FROM r GROUP BY 1""",
+        # inter-event gaps: windowed LAG floor-second deltas, integer
+        # sufficient stats, burstiness from the unrounded mu/sig
+        "events_interevent": """
+WITH g AS (SELECT event_type,
+                  (epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)) // 1000000 AS gap
+           FROM events),
+s AS (SELECT event_type, SUM(gap) AS s1, SUM(gap * gap) AS s2,
+             CAST(COUNT(gap) AS BIGINT) AS c
+      FROM g WHERE gap IS NOT NULL GROUP BY 1),
+m AS (SELECT event_type, c, s1 / c AS mu,
+             sqrt(GREATEST(s2 / c - (s1 / c) * (s1 / c), 0.0)) AS sig
+      FROM s)
+SELECT event_type, c AS n_gaps,
+       ROUND(mu, 6) AS mean_gap_s, ROUND(sig, 6) AS std_gap_s,
+       ROUND(CASE WHEN sig + mu > 0 THEN (sig - mu) / (sig + mu)
+                  ELSE 0.0 END, 6) AS burstiness
+FROM m""",
         # association rules: windowed session ids, distinct types per
         # session, self-join pairs, support/lift with float-first products
         "events_session_cooccur": """

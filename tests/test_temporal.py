@@ -748,3 +748,36 @@ def test_session_cooccurrence_partition_invariant():
         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_interevent_stats_matches_replay():
+    from flashray.datapipe.temporal import interevent_stats
+
+    df = _rand_events(101, n=600, users=13, types=4)
+    got = (
+        interevent_stats(rd.from_pandas(df), num_buckets=8)
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    g = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+    t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    u = g["user_id"].to_numpy()
+    e = g["event_type"].to_numpy()
+    same = (u[1:] == u[:-1]) & (e[1:] == e[:-1])
+    gaps = pd.DataFrame(
+        {"et": e[1:][same], "gap": ((t[1:] - t[:-1]) // 1_000_000)[same]}
+    )
+    for et, grp in gaps.groupby("et"):
+        x = grp["gap"].to_numpy(np.int64)
+        mu = x.sum() / len(x)
+        sig = np.sqrt(max((x * x).sum() / len(x) - mu * mu, 0.0))
+        row = got[got["event_type"] == et].iloc[0]
+        assert row["n_gaps"] == len(x)
+        assert abs(row["mean_gap_s"] - round(mu, 6)) < 1e-9
+        assert abs(row["std_gap_s"] - round(sig, 6)) < 1e-9
+        b = (sig - mu) / (sig + mu) if sig + mu > 0 else 0.0
+        assert abs(row["burstiness"] - round(b, 6)) < 1e-9
+    got2 = (
+        interevent_stats(rd.from_pandas(df).repartition(9), num_buckets=16)
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)

@@ -670,6 +670,49 @@ def _q_triangles_sampled_user(sf_dir: str):
 _PERC_FRACS = (0.0, 0.1, 0.3)
 
 
+def _q_scc_condensation_user(sf_dir: str):
+    """Condensation DAG of a mixed-direction user subgraph (succession
+    edges with dst < 300 plus reverses where (src+dst)%7==0): engine
+    FW-BW-Trim SCC labels + two hash joins + one dedup; the oracle
+    computes general SCC in SQL via forward/backward recursive closures
+    intersected, then the distinct cross-label pairs."""
+    import shutil
+
+    from flashray.build import build_graph
+    from flashray.scc import condensation
+
+    edges = _user_succession_edges_cached(sf_dir)
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = d < 300  # src < dst in the succession table
+        s, d = s[keep], d[keep]
+        m = (s + d) % 7 == 0
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d[m]])),
+                "dst": pa.array(np.concatenate([d, s[m]])),
+            }
+        )
+
+    ed = edges.map_batches(add_rev, batch_format="pyarrow").map_batches(
+        _succ_edge_schema, batch_format="pyarrow"
+    )
+    path = os.path.join(_CACHE_ROOT, "graphs", f"usermixed_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(ed, path, num_partitions=4)
+    out = (
+        condensation(g, scratch_dir=os.path.join(path, "scc_scratch"))
+        .to_pandas()
+        .sort_values(["src_scc", "dst_scc"])
+        .reset_index(drop=True)
+    )
+    out["src_scc"] = out["src_scc"].astype(np.int64)
+    out["dst_scc"] = out["dst_scc"].astype(np.int64)
+    return out
+
+
 def _q_percolation_user(sf_dir: str):
     """Attack-tolerance curve of the symmetrized user graph: hubs above
     the (1−f) degree order statistic removed, giant component of the
@@ -3389,6 +3432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conductance_user": _q_conductance_user,
         "triangles_sampled_user": _q_triangles_sampled_user,
         "percolation_user": _q_percolation_user,
+        "scc_condensation_user": _q_scc_condensation_user,
         "reciprocity_user": _q_reciprocity_user,
         "docs_tfidf": _q_docs_tfidf,
         "events_asof_purchase": _q_events_asof_purchase,
@@ -4856,6 +4900,33 @@ sq AS (SELECT SUM(dc * dc) AS s FROM degc)
 SELECT ROUND(ein.c * 1.0 / m.m - sq.s / (4.0 * m.m * m.m), 6) AS q
 FROM ein, m, sq""",
         "percolation_user": _percolation_sql(_PERC_FRACS),
+        # general SQL SCC: forward/backward recursive closures
+        # intersected -> min mutual-reachable id per vertex; quotient =
+        # distinct cross-label pairs
+        "scc_condensation_user": """
+WITH RECURSIVE
+b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5
+         AND c.user_id < 300),
+te AS MATERIALIZED (SELECT src, dst FROM eu
+       UNION ALL
+       SELECT dst, src FROM eu WHERE (src + dst) % 7 = 0),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM (
+         SELECT src AS v FROM te UNION ALL SELECT dst FROM te)),
+f AS (SELECT v, v AS u FROM verts
+      UNION
+      SELECT f.v, e.dst FROM f JOIN te e ON e.src = f.u),
+bk AS (SELECT v, v AS u FROM verts
+       UNION
+       SELECT bk.v, e.src FROM bk JOIN te e ON e.dst = bk.u),
+lab AS (SELECT f.v, MIN(f.u) AS lab
+        FROM f JOIN bk ON bk.v = f.v AND bk.u = f.u GROUP BY 1)
+SELECT DISTINCT la.lab AS src_scc, lb.lab AS dst_scc
+FROM te JOIN lab la ON la.v = te.src JOIN lab lb ON lb.v = te.dst
+WHERE la.lab <> lb.lab""",
         # DOULION: identical sha edge coin (integer threshold inlined),
         # 3-way self-join triangle count on the sample, 1/p^3 scale-up
         "triangles_sampled_user": """

@@ -251,3 +251,79 @@ def scc(
             return out_dir
         df = eng.values_pandas().sort_values("vertex_id").reset_index(drop=True)
     return df
+
+
+def condensation(
+    graph: Graph,
+    *,
+    scratch_dir: str,
+    num_buckets: int = 16,
+    actor_cpus: float | None = None,
+) -> ray.data.Dataset:
+    """Condensation DAG of a directed graph: one node per SCC (labeled
+    by its min member id), one edge per DISTINCT cross-SCC (src-SCC,
+    dst-SCC) pair — the acyclic quotient every dependency/flow analysis
+    runs on after :func:`scc`. Returns a Dataset (src_scc, dst_scc);
+    acyclicity is guaranteed by construction.
+
+    Dataflow: SCC labels stream from the engine's partitioned value
+    dump (``scc(out_dir=...)`` — never a driver vertex table), two hash
+    joins attach both endpoint labels to the edge table, same-SCC edges
+    filter out map-side, and one bucket dedup leaves the distinct
+    quotient edges."""
+    import os
+
+    import pyarrow as pa
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    lab_dir = os.path.join(scratch_dir, "scc_labels")
+    scc(graph, scratch_dir=scratch_dir, out_dir=lab_dir,
+        actor_cpus=actor_cpus)
+    labels = ray.data.read_parquet(lab_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "vertex_id": b["vertex_id"].cast(pa.int64()),
+                "lab": b["value"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    I64 = pa.int64()
+    edges = graph.edges_dataset(columns=["src", "dst"]).map_batches(
+        lambda b: pa.table(
+            {"src": b["src"].cast(I64), "dst": b["dst"].cast(I64)}
+        ),
+        batch_format="pyarrow",
+    )
+    lsch = pa.schema([("vertex_id", I64), ("lab", I64)])
+    j = bucket_hash_join(
+        edges, labels, ["src"], right_on=["vertex_id"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("src", I64), ("dst", I64)]),
+        right_schema=lsch,
+    ).map_batches(
+        lambda df: df.rename(columns={"lab": "src_scc"})[
+            ["dst", "src_scc"]
+        ],
+        batch_format="pandas",
+    )
+    j = bucket_hash_join(
+        j, labels, ["dst"], right_on=["vertex_id"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("dst", I64), ("src_scc", I64)]),
+        right_schema=lsch,
+    )
+
+    def cross(df):
+        out = df[df["src_scc"] != df["lab"]][["src_scc", "lab"]].rename(
+            columns={"lab": "dst_scc"}
+        )
+        return out.astype({"src_scc": np.int64, "dst_scc": np.int64})
+
+    return bucket_group_agg(
+        j.map_batches(cross, batch_format="pandas"),
+        ["src_scc", "dst_scc"],
+        None,
+        num_buckets=num_buckets,
+    )

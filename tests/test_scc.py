@@ -46,3 +46,63 @@ def test_scc_er_random(tmp_path):
     adj = (rng.random((n, n)) < 0.06) & ~np.eye(n, dtype=bool)
     src, dst = np.nonzero(adj)
     _run(src, dst, tmp_path, "er")
+
+
+def test_condensation_matches_tarjan_quotient(tmp_path):
+    rng = np.random.default_rng(103)
+    n = 60
+    # sparse random part + planted cycles with bridges so the quotient
+    # is a NON-trivial DAG (a dense digraph collapses to one giant SCC)
+    src = rng.integers(0, n, 70).astype(np.int64)
+    dst = rng.integers(0, n, 70).astype(np.int64)
+    cyc = np.array(
+        [50, 51, 52, 50, 55, 56, 55, 52, 56], dtype=np.int64
+    )
+    cyd = np.array(
+        [51, 52, 50, 55, 56, 55, 3, 56, 7], dtype=np.int64
+    )
+    src = np.concatenate([src, cyc])
+    dst = np.concatenate([dst, cyd])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = build_graph_from_arrays(
+        src, dst, str(tmp_path / "cond"), num_partitions=4
+    )
+    got = (
+        scc.condensation(g, scratch_dir=str(tmp_path / "cond_scc"))
+        .to_pandas()
+        .sort_values(["src_scc", "dst_scc"])
+        .reset_index(drop=True)
+    )
+    lab = oracles.scc_tarjan(src, dst)
+    want = sorted(
+        {
+            (lab[int(s)], lab[int(d)])
+            for s, d in zip(src, dst)
+            if lab[int(s)] != lab[int(d)]
+        }
+    )
+    assert len(want) > 30  # fixture sanity: non-trivial quotient
+    assert list(map(tuple, got.to_numpy())) == want
+    # quotient is a DAG: no pair appears in both directions and a
+    # topological order exists (Kahn's algorithm consumes every node)
+    pairs = set(want)
+    assert not any((b, a) in pairs for a, b in pairs)
+    nodes = {x for p in pairs for x in p}
+    indeg = {v: 0 for v in nodes}
+    for _, b in pairs:
+        indeg[b] += 1
+    from collections import deque
+
+    q = deque(v for v in nodes if indeg[v] == 0)
+    seen = 0
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    while q:
+        v = q.popleft(); seen += 1
+        for w in adj.get(v, []):
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                q.append(w)
+    assert seen == len(nodes)

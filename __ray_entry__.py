@@ -4172,7 +4172,10 @@ vocab AS (SELECT COUNT(DISTINCT token) AS v FROM cnt),
 nn AS (SELECT SUM(n_docs) AS n FROM cls),
 tfd AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
         FROM tok GROUP BY 1, 2),
-tft AS (SELECT doc_id, SUM(tf) AS tf_total FROM tfd GROUP BY 1),
+tft AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                 AS tf_total
+        FROM documents),
 seen AS (SELECT tfd.doc_id, cnt.lang,
                 SUM(tfd.tf * ln(cnt.c + 1.0)) AS s
          FROM tfd JOIN cnt USING (token) GROUP BY 1, 2),

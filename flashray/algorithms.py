@@ -688,9 +688,14 @@ def conductance(graph: Graph, labels, *, allow_partial: bool = False):
     (shared ``_prep_partition_labels``). Under ``allow_partial`` an edge
     with an unlabeled endpoint counts toward the labeled endpoint's cut.
 
-    Distributed shape: two bucket joins attach endpoint labels, per-batch
-    pandas ``value_counts`` pre-aggregates cut partials map-side, one
-    bucket aggregate per (cut, vol) table, one bucket join aligns them —
+    Distributed shape: cut is computed through the incidence identity
+    ``cut_c = vol_c − 2·within_c`` — a within edge carries BOTH labels,
+    so the two inner label joins see every within edge even when the
+    labeling is partial, and an edge at an unlabeled vertex contributes
+    to vol (via the degree join) but never to within, landing in the
+    labeled endpoint's cut exactly as documented. Per-batch pandas
+    ``value_counts`` pre-aggregates within partials map-side, one bucket
+    aggregate per (within, vol) table, one bucket join aligns them —
     never a driver-side community table. Returns a Dataset
     (label, cut_edges, volume, conductance)."""
     import pandas as pd
@@ -705,27 +710,21 @@ def conductance(graph: Graph, labels, *, allow_partial: bool = False):
     labels, lab_t, lsch = _prep_partition_labels(und, labels, allow_partial)
     j = _edge_labels(und, labels, lab_t, lsch)
 
-    def cut_partials(b: pd.DataFrame) -> pd.DataFrame:
-        # a cross edge contributes 1 to BOTH endpoint communities; under
-        # allow_partial a missing endpoint label is NaN != other label
-        cross = b["label_lo"] != b["label"]
-        sides = pd.concat(
-            [b.loc[cross, "label_lo"], b.loc[cross, "label"]],
-            ignore_index=True,
-        ).dropna()
-        vc = sides.value_counts()
+    def within_partials(b: pd.DataFrame) -> pd.DataFrame:
+        same = b["label_lo"] == b["label"]
+        vc = b.loc[same, "label"].value_counts()
         out = pd.DataFrame(
-            {"label": vc.index.to_numpy(), "cut_edges": vc.to_numpy()}
+            {"label": vc.index.to_numpy(), "within": vc.to_numpy()}
         )
         if lab_t == pa.int64():
             out["label"] = out["label"].astype(np.int64)
-        out["cut_edges"] = out["cut_edges"].astype(np.int64)
+        out["within"] = out["within"].astype(np.int64)
         return out
 
-    cuts = bucket_group_agg(
-        j.map_batches(cut_partials, batch_format="pandas"),
+    wins = bucket_group_agg(
+        j.map_batches(within_partials, batch_format="pandas"),
         ["label"],
-        {"cut_edges": ("cut_edges", "sum")},
+        {"within": ("within", "sum")},
     )
 
     deg = _deg_from_und(und)
@@ -737,15 +736,16 @@ def conductance(graph: Graph, labels, *, allow_partial: bool = False):
     vols = bucket_group_agg(dl, ["label"], {"volume": ("deg", "sum")})
 
     vsch = pa.schema([("label", lab_t), ("volume", I64)])
-    csch = pa.schema([("label", lab_t), ("cut_edges", I64)])
+    csch = pa.schema([("label", lab_t), ("within", I64)])
     joined = bucket_hash_join(
-        vols, cuts, ["label"], left_schema=vsch, right_schema=csch,
+        vols, wins, ["label"], left_schema=vsch, right_schema=csch,
         how="left",
     )
 
     def phi(b: pd.DataFrame) -> pd.DataFrame:
-        cut = b["cut_edges"].fillna(0).to_numpy(dtype=np.int64)
+        within = b["within"].fillna(0).to_numpy(dtype=np.int64)
         vol = b["volume"].to_numpy(dtype=np.int64)
+        cut = vol - 2 * within
         den = np.minimum(vol, 2 * m - vol)
         out = pd.DataFrame(
             {

@@ -130,8 +130,10 @@ def nb_classify(
     score) — score = the winning class's ``round_dp``-rounded
     log-posterior (up to the constant evidence term); argmax compares
     ROUNDED scores with label-ascending ties, so a SQL replay picks the
-    same class. One token hash join + one (doc, label) bucket aggregate
-    + a per-doc vectorized fold over the broadcast per-class constants."""
+    same class. Every input doc gets exactly one output row — a doc
+    with no tokens is scored on the class priors alone. One token hash
+    join + one (doc, label) bucket aggregate + a per-doc vectorized
+    fold over the broadcast per-class constants."""
     from flashray.joins import bucket_group_agg, bucket_hash_join
 
     label_col = model["label_col"]
@@ -147,9 +149,19 @@ def nb_classify(
         batch_format="pandas",
     ).materialize()
 
-    totals = bucket_group_agg(
-        dt, [id_col], {"tf_total": ("tf", "sum")}, num_buckets=num_buckets,
-    )
+    # totals come from the DOC table, not the token rows: a zero-token
+    # doc still gets a row (tf_total=0), so classify scores it on the
+    # class priors alone instead of silently dropping it
+    def tot_part(df: pd.DataFrame) -> pd.DataFrame:
+        n = df[text_col].astype(str).str.count(_TOK).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                "tf_total": n,
+            }
+        )
+
+    totals = docs.map_batches(tot_part, batch_format="pandas")
 
     I64 = pa.int64()
     j = bucket_hash_join(

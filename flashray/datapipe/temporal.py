@@ -846,30 +846,69 @@ def temporal_reachability(
             lambda df: df.rename(columns={"arrival": "cand"}),
             batch_format="pandas",
         )
-        # one OUTER join folds the state merge and the improvement test
-        # into a single pass: new state = min(state, cand), frontier =
-        # the strictly-improved rows (flag filter, no extra shuffle)
-        merged = bucket_hash_join(
-            state, cand, ["vertex_id"],
-            how="outer",
-            num_buckets=num_buckets,
-            left_schema=ssch,
-            right_schema=pa.schema([("vertex_id", I64), ("cand", I64)]),
+        # state merge + improvement test in ONE bucket shuffle, int64
+        # end-to-end: a tagged union (never a null-padded outer join,
+        # whose pandas merge would float int64 arrivals and round values
+        # above 2^53) is folded per vertex — new state = min(state,
+        # cand), frontier = rows where the candidate strictly improves.
+        from flashray.joins import _key_hash
+
+        tagged = state.map_batches(
+            lambda b: b.append_column(
+                "__side", pa.array(np.zeros(len(b), dtype=np.int8))
+            ),
+            batch_format="pyarrow",
+        ).union(
+            cand.map_batches(
+                lambda b: pa.table(
+                    {
+                        "vertex_id": b["vertex_id"],
+                        "arrival": b["cand"],
+                        "__side": pa.array(np.ones(len(b), dtype=np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
         )
 
-        def fold(df: pd.DataFrame) -> pd.DataFrame:
-            arr = df["arrival"].to_numpy(dtype=np.float64, na_value=np.inf)
-            cd = df["cand"].to_numpy(dtype=np.float64, na_value=np.inf)
-            imp = cd < arr
+        def add_vbucket(b: pa.Table) -> pa.Table:
+            b = b.replace_schema_metadata(None)
+            h = _key_hash(b, ["vertex_id"])
+            return b.append_column(
+                "__vbucket",
+                pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            )
+
+        BIG = np.iinfo(np.int64).max
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            old = (
+                g.loc[g["__side"] == 0].groupby("vertex_id")["arrival"].min()
+            )
+            new = (
+                g.loc[g["__side"] == 1].groupby("vertex_id")["arrival"].min()
+            )
+            idx = old.index.union(new.index)
+            # reindex with an int64 sentinel keeps the dtype integral
+            ov = old.reindex(idx, fill_value=BIG).to_numpy(dtype=np.int64)
+            nv = new.reindex(idx, fill_value=BIG).to_numpy(dtype=np.int64)
             return pd.DataFrame(
                 {
-                    "vertex_id": df["vertex_id"].to_numpy().astype(np.int64),
-                    "arrival": np.minimum(arr, cd).astype(np.int64),
-                    "__imp": imp.astype(np.int8),
+                    "vertex_id": idx.to_numpy(dtype=np.int64),
+                    "arrival": np.minimum(ov, nv),
+                    "__imp": (nv < ov).astype(np.int8),
                 }
             )
 
-        state = merged.map_batches(fold, batch_format="pandas").materialize()
+        state = (
+            tagged.map_batches(add_vbucket, batch_format="pyarrow")
+            .groupby("__vbucket")
+            .map_groups(
+                lambda g: fold(g.drop(columns=["__vbucket"])),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
         frontier = state.map_batches(
             lambda df: df.loc[df["__imp"] == 1, ["vertex_id", "arrival"]]
             .astype({"vertex_id": np.int64, "arrival": np.int64}),

@@ -682,6 +682,46 @@ def test_conductance_whole_graph_and_perfect_split(tmp_graphs):
     assert q > 0.4
 
 
+def test_conductance_allow_partial_counts_unlabeled_as_cut(tmp_graphs):
+    """Partial labeling: an edge with an unlabeled endpoint must count
+    toward the labeled endpoint's cut (the documented allow_partial
+    semantics — cut_c = vol_c − 2·within_c)."""
+    graph, (src, dst) = tmp_graphs("er100", FIXES["er100"])
+    und = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    verts = sorted({v for e in und for v in e})
+    # label only ~60% of vertices, 3 communities
+    lab = {v: v % 3 for v in verts if v % 5 < 3}
+    labels = pd.DataFrame(
+        {
+            "vertex_id": np.array(sorted(lab), dtype=np.int64),
+            "label": np.array([lab[v] for v in sorted(lab)],
+                              dtype=np.int64),
+        }
+    )
+    got = (
+        algorithms.conductance(graph, labels, allow_partial=True)
+        .to_pandas().sort_values("label").reset_index(drop=True)
+    )
+    m = len(und)
+    deg = {v: 0 for v in verts}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    for c in (0, 1, 2):
+        # exactly one endpoint labeled c — the other endpoint may carry
+        # a DIFFERENT label or none at all, both count as cut
+        cut = sum(
+            1 for a, b in und if (lab.get(a) == c) != (lab.get(b) == c)
+        )
+        vol = sum(d for v, d in deg.items() if lab.get(v) == c)
+        den = min(vol, 2 * m - vol)
+        want = cut / den if den > 0 else 0.0
+        row = got[got["label"] == c].iloc[0]
+        assert int(row["cut_edges"]) == cut, c
+        assert int(row["volume"]) == vol, c
+        assert abs(row["conductance"] - want) < 1e-12, c
+
+
 def test_percolation_curve_matches_bruteforce(tmp_path):
     """Hub removal by quantile-threshold rule vs a python union-find."""
     import math

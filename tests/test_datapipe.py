@@ -1087,6 +1087,31 @@ def test_nb_train_classify_matches_replay():
     assert (got["pred"].to_numpy() == docs["lang"].to_numpy()).all()
 
 
+def test_nb_classify_empty_doc_gets_prior_only_row():
+    from flashray.datapipe import ml
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(7, dtype=np.int64),
+            "lang": ["en", "en", "en", "en", "de", "de", "en"],
+            "text": ["cat mat", "cat runs", "mat fun", "cat cat",
+                     "hund haus", "hund tier", ""],
+        }
+    )
+    model = ml.nb_train(rd.from_pandas(docs), label_col="lang",
+                        num_buckets=4)
+    got = (
+        ml.nb_classify(rd.from_pandas(docs), model, num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # every doc — including the zero-token one — gets exactly one row
+    assert got["doc_id"].tolist() == list(range(7))
+    r = got[got["doc_id"] == 6].iloc[0]
+    # prior-only argmax: en has 5/7 docs
+    assert r["pred"] == "en"
+    assert abs(r["score"] - round(np.log(5) - np.log(7), 4)) < 1e-9
+
+
 def test_nb_classify_partition_invariant():
     from flashray.datapipe import ml
 

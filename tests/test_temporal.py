@@ -603,6 +603,32 @@ def test_temporal_reachability_local_distributed_agree():
     pd.testing.assert_frame_equal(loc, dist)
 
 
+def test_temporal_reachability_int64_exact_above_2_53():
+    """Arrival times above 2^53 must survive the distributed merge
+    bit-exactly (a float64 round-trip would corrupt them)."""
+    from flashray.datapipe.temporal import temporal_reachability
+
+    base = np.int64(2**62)
+    # 1 -> 2 at base+3, 2 -> 3 at base+5, 1 -> 3 at base+9 (worse)
+    edges = pd.DataFrame(
+        {
+            "src": np.array([1, 2, 1], dtype=np.int64),
+            "dst": np.array([2, 3, 3], dtype=np.int64),
+            "t": base + np.array([3, 5, 9], dtype=np.int64),
+        }
+    )
+    want = {1: int(base), 2: int(base) + 3, 3: int(base) + 5}
+    for kw in ({}, {"local_threshold": 0, "num_buckets": 3}):
+        out = (
+            temporal_reachability(
+                rd.from_pandas(edges), [1], t0=int(base), **kw
+            )
+            .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+        )
+        got = dict(zip(out["vertex_id"], out["arrival"]))
+        assert {int(k): int(v) for k, v in got.items()} == want, kw
+
+
 def test_rate_anomalies_spike_detection_and_invariance():
     from flashray.datapipe.temporal import rate_anomalies
 

@@ -30,6 +30,7 @@ def pretrain_corpus(
     num_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize_threshold: int | None = 2_000_000,
 ) -> ray.data.Dataset:
     """Pretraining-corpus cleaning: a document survives iff it is
     (1) the lowest-id copy of its exact text (`dedup.exact_dedup`'s keep
@@ -43,13 +44,25 @@ def pretrain_corpus(
     the three passes run independently — one content-hash bucket
     shuffle (dedup), two stateless actor-pool passes (quality, langid)
     — and intersect through two id semi-joins. Nothing re-reads text
-    after its pass and no stage depends on another's output order."""
+    after its pass and no stage depends on another's output order.
+
+    The (id, text) projection is pinned in the object store ONLY below
+    ``materialize_threshold`` rows (the repo-wide hybrid idiom): small
+    corpora reuse one materialized copy across the three passes; above
+    the threshold each pass streams its own column-pruned scan instead
+    of forcing the full corpus through the object store + spill —
+    pass ``None`` to always stream, ``sys.maxsize`` to always pin."""
     from flashray.datapipe import _util
     from flashray.datapipe.dedup import exact_dedup
     from flashray.datapipe.textstats import LangId, quality_filter
     from flashray.joins import bucket_semi_join
 
-    base = docs.select_columns([id_col, text_col]).materialize()
+    base = docs.select_columns([id_col, text_col])
+    if (
+        materialize_threshold is not None
+        and base.count() <= materialize_threshold
+    ):
+        base = base.materialize()
 
     keep_ids = exact_dedup(
         base, text_col=text_col, id_col=id_col, concurrency=concurrency

@@ -453,7 +453,7 @@ def silhouette(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
-    sample_n: int | None = None,
+    sample_n: int | None = 10_000,
 ) -> float:
     """Mean silhouette coefficient (Rousseeuw 1987) of a labeled embedding
     set under Euclidean distance: a(i) = mean distance to i's own cluster
@@ -462,18 +462,43 @@ def silhouette(
     convention). The cluster-quality check for any labeling — k-means
     output, LSH buckets, or a provided ground-truth column.
 
-    Distributed shape: the REFERENCE side (all points, or a deterministic
-    ``sample_n``-subset chosen by splitmix64(id) — the scale knob: exact
-    silhouette is inherently all-pairs) is broadcast once via ``ray.put``;
-    each batch computes its rows' per-cluster distance sums against the
-    reference with one f64 matmul and emits a single partial (Σs, n) row.
-    No shuffle; O(batch × reference) flops, O(d·reference) broadcast
-    bytes."""
+    Distributed shape: the REFERENCE side is a deterministic
+    ``sample_n``-subset (default 10k — exact silhouette is inherently
+    all-pairs, so the SAFE path is the default; pass an explicit
+    ``sample_n=None`` to opt into the exact mode, which collects the
+    whole table) chosen by the ``sample_n`` smallest splitmix64(id)
+    keys. The subset is pruned DISTRIBUTEDLY — per-block top-k, an
+    8-way fold, then the final driver top-k over ≤ 8·sample_n rows —
+    so the driver never sees the full table. The reference is broadcast
+    once via ``ray.put``; each batch computes its rows' per-cluster
+    distance sums against it with one f64 matmul and emits a single
+    partial (Σs, n) row. No shuffle; O(batch × reference) flops,
+    O(d·reference) broadcast bytes."""
     import pandas as pd
 
     from flashray.ids import _splitmix64
 
-    cols = ds.select_columns([id_col, vec_col, label_col]).to_pandas()
+    cols_ds = ds.select_columns([id_col, vec_col, label_col])
+    if sample_n is not None:
+        k = int(sample_n)
+
+        def prune(df: pd.DataFrame) -> pd.DataFrame:
+            # splitmix64 is a bijection on int64 ids -> no hash ties,
+            # so per-block top-k composes to the exact global top-k
+            if len(df) <= k:
+                return df
+            h = _splitmix64(
+                df[id_col].to_numpy().astype(np.int64).view(np.uint64)
+            )
+            keep = np.argpartition(h, k)[:k]
+            return df.iloc[np.sort(keep)]
+
+        cols_ds = (
+            cols_ds.map_batches(prune, batch_format="pandas")
+            .repartition(8)
+            .map_batches(prune, batch_format="pandas")
+        )
+    cols = cols_ds.to_pandas()
     ids_all = cols[id_col].to_numpy().astype(np.int64)
     if sample_n is not None and sample_n < len(cols):
         order = np.argsort(

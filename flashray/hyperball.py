@@ -91,20 +91,37 @@ def hyperball(
         batch_format="pyarrow",
     ).materialize()
 
-    verts = np.unique(
-        np.concatenate(
-            [
-                np.concatenate(
-                    [
-                        b["src"].to_numpy(zero_copy_only=False),
-                        b["dst"].to_numpy(zero_copy_only=False),
-                    ]
-                )
-                for b in e.iter_batches(batch_format="pyarrow", batch_size=65536)
-            ]
+    # B_0 seeding stays distributed: per-batch endpoint dedup -> one
+    # bucketed distinct -> per-batch sketch init. The O(V)×2^p sketch
+    # table is born in the object store, never on the driver (the
+    # driver previously pulled every vertex id through iter_batches and
+    # built the whole table in a list comprehension — the one piece of
+    # this fallback that broke first at 100×).
+    from flashray.joins import bucket_group_agg
+
+    def vpart(b: pa.Table) -> pa.Table:
+        v = np.unique(
+            np.concatenate(
+                [
+                    b["src"].to_numpy(zero_copy_only=False),
+                    b["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
         )
+        return pa.table({"vertex_id": pa.array(v.astype(np.int64), I64)})
+
+    verts_ds = bucket_group_agg(
+        e.map_batches(vpart, batch_format="pyarrow"),
+        ["vertex_id"],
+        None,
+        num_buckets=num_buckets,
     )
-    cur = ray.data.from_pandas(_init_sketches(verts, p)).materialize()
+    cur = verts_ds.map_batches(
+        lambda df: _init_sketches(
+            df["vertex_id"].to_numpy(dtype=np.int64), p
+        ),
+        batch_format="pandas",
+    ).materialize()
 
     sketch_schema = pa.schema(
         [

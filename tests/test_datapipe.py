@@ -726,6 +726,12 @@ def test_silhouette_matches_numpy():
     # sampled reference stays close on this easy geometry
     approx = similarity.silhouette(rd.from_pandas(df), sample_n=40)
     assert abs(approx - s.mean()) < 0.1
+    # the distributed sample prune is deterministic: any input
+    # partitioning selects the same splitmix64 top-k reference subset
+    approx2 = similarity.silhouette(
+        rd.from_pandas(df).repartition(5), sample_n=40
+    )
+    assert abs(approx - approx2) < 1e-9
 
 
 def test_silhouette_singleton_cluster_scores_zero():
@@ -1023,6 +1029,14 @@ def test_pretrain_corpus_partition_invariant():
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+    # hybrid materialization: the streaming path (threshold 0 -> every
+    # pass re-scans) must agree with the pinned path (default)
+    c = (
+        pretrain_corpus(rd.from_pandas(docs), num_buckets=4,
+                        materialize_threshold=0, **kw)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, c)
 
 
 def _nb_oracle(docs, round_dp=4):

@@ -3139,6 +3139,29 @@ def _q_docs_line_dedup(sf_dir: str):
     return out
 
 
+def _q_docs_exact_substr(sf_dir: str):
+    """Substring-level exact dedup (Lee et al. 2022 ExactSubstr,
+    fixed-window mode): every 8-token window occurring >= 2 times in the
+    corpus is removed from every occurrence; rolling span hashes +
+    bucketed counts + per-doc interval merge — no suffix array. One row
+    per doc (doc_id, n_tokens, n_removed, text_clean)."""
+    from flashray.datapipe.dedup import exact_substr
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = (
+        exact_substr(docs, span_tokens=8, num_buckets=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_tokens", "n_removed"):
+        out[c] = out[c].astype(np.int64)
+    return out[["doc_id", "n_tokens", "n_removed", "text_clean"]]
+
+
 def _q_node2vec_walks_user(sf_dir: str):
     """node2vec biased second-order walks (p=4, q=0.25) over the
     SYMMETRIZED user-succession graph — reverse edges make the 1/p
@@ -3486,6 +3509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_edges_roundtrip": _q_convert_edges_roundtrip,
         "node2vec_walks_user": _q_node2vec_walks_user,
         "events_sliding_1h_15m": _q_events_sliding,
+        "docs_exact_substr": _q_docs_exact_substr,
     }
 
 
@@ -5056,6 +5080,33 @@ FROM documents""",
         "docs_exact_dedup": """
 SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY text""",
+        # ExactSubstr fixed-window replay: group the literal 8-token gram
+        # strings (the Ray side groups an equivalent rolling hash), cover
+        # every occurrence's token range, rebuild with string_agg
+        "docs_exact_substr": """
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '') AS ws
+           FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 8 + 2)) AS i FROM t),
+g AS (SELECT doc_id, i, array_to_string(ws[i : i + 7], ' ') AS gram
+      FROM idx),
+dup AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+occ AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+cov AS (SELECT DISTINCT doc_id, i + k.range AS p FROM occ, range(0, 8) k),
+tokp AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p
+         FROM t),
+kept AS (SELECT tokp.doc_id,
+                string_agg(tok, ' ' ORDER BY tokp.p) AS text_clean,
+                CAST(COUNT(*) AS BIGINT) AS n_kept
+         FROM tokp LEFT JOIN cov ON cov.doc_id = tokp.doc_id
+                               AND cov.p = tokp.p
+         WHERE cov.p IS NULL GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(len(t.ws) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(kept.text_clean, '') AS text_clean
+FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id""",
         "events_tumbling_1h": """
 SELECT user_id,
        epoch_us(ts) // 3600000000 * 3600 AS window_start,

@@ -1068,3 +1068,210 @@ def dedup_keep_best(
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def exact_substr(
+    docs: ray.data.Dataset,
+    *,
+    span_tokens: int = 20,
+    min_count: int = 2,
+    num_buckets: int = 64,
+    concurrency: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Substring-level exact dedup (fixed-window mode of Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*, §ExactSubstr):
+    every ``span_tokens``-token window whose token sequence occurs
+    >= ``min_count`` times ANYWHERE in the corpus (other documents or the
+    same one) is removed from EVERY occurrence; surviving tokens are
+    re-joined with single spaces. Catches templated boilerplate *inside*
+    otherwise-distinct documents — the spans exact-/line-dedup's fixed
+    units miss. Returns one row per input document:
+    (doc_id, n_tokens, n_removed, text_clean).
+
+    No suffix array is materialized. Dataflow (4 bucket shuffles, all
+    O(total tokens) rows):
+      1. span hashes: per-batch flat token array + doc index, window
+         hash = the MinHash shingle chain (``sm(...sm(sm(c_0)^c_1)...``)
+         over sha-derived word codes — L vectorized passes, never a
+         per-window string build;
+      2. per-batch (ghash, n) partials -> one bucket aggregate -> the
+         duplicated-span keys (a span repeated across the corpus ships
+         one stats row per batch, not per occurrence);
+      3. semi-join of span occurrences against the duplicated keys;
+      4. per-doc interval union (vectorized cummax run-merge: overlapping
+         windows collapse BEFORE the text join, so a fully-duplicated
+         document carries ONE run, not O(n_tokens) rows) -> one left
+         join to re-attach text -> bucketed per-doc rewrite.
+
+    Tokens are whitespace runs (``str.split()``), so ``text_clean`` is
+    whitespace-normalized for every doc — the SQL replay
+    (``docs_exact_substr``) groups the literal L-token gram strings and
+    rebuilds with ``string_agg(tok, ' ')``. Hash-vs-string grouping is
+    the exact_dedup fingerprint convention (collisions negligible,
+    2^-63-scale)."""
+    from flashray.datapipe.ml import _decide_bucketed
+    from flashray.joins import (
+        bucket_group_agg,
+        bucket_hash_join,
+        bucket_semi_join,
+    )
+
+    L = int(span_tokens)
+    if L < 1:
+        raise ValueError("span_tokens must be >= 1")
+    MASK63 = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+    I64 = pa.int64()
+
+    def _empty_spans() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=np.int64),
+                "pos": pd.Series(dtype=np.int64),
+                "ghash": pd.Series(dtype=np.int64),
+            }
+        )
+
+    def span_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.int64)
+        toks = [str(t).split() for t in df[text_col].fillna("")]
+        n = np.array([len(t) for t in toks], dtype=np.int64)
+        total = int(n.sum())
+        if total < L:
+            return _empty_spans()
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t]
+        )
+        codes = _word_codes(list(flat))
+        docix = np.repeat(np.arange(len(df), dtype=np.int64), n)
+        m = total - L + 1
+        valid = docix[:m] == docix[L - 1 : L - 1 + m]
+        if not valid.any():
+            return _empty_spans()
+        with np.errstate(over="ignore"):
+            acc = _splitmix64(codes[:m])
+            for k in range(1, L):
+                acc = _splitmix64(acc ^ codes[k : k + m])
+        cum = np.concatenate([[0], np.cumsum(n)])
+        gpos = np.flatnonzero(valid)
+        di = docix[gpos]
+        return pd.DataFrame(
+            {
+                id_col: ids[di],
+                "pos": (gpos - cum[di]).astype(np.int64),
+                "ghash": (acc[gpos] & MASK63).astype(np.int64),
+            }
+        )
+
+    spans = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(
+            span_rows,
+            batch_format="pandas",
+            concurrency=_util.pool_size(concurrency),
+        )
+        .materialize()
+    )
+
+    stats_part = spans.map_batches(
+        lambda df: df.groupby("ghash", as_index=False)
+        .size()
+        .rename(columns={"size": "n"}),
+        batch_format="pandas",
+    )
+    dup = bucket_group_agg(
+        stats_part, ["ghash"], {"n": ("n", "sum")}, num_buckets=num_buckets,
+    ).map_batches(
+        lambda b: b.filter(
+            pa.compute.greater_equal(b["n"], min_count)
+        ).select(["ghash"]),
+        batch_format="pyarrow",
+    )
+
+    occ = bucket_semi_join(
+        spans, dup, ["ghash"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema([(id_col, I64), ("pos", I64), ("ghash", I64)]),
+    )
+
+    def to_runs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    "run_s": pd.Series(dtype=np.int64),
+                    "run_e": pd.Series(dtype=np.int64),
+                }
+            )
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        e = g["pos"].to_numpy(dtype=np.int64) + L
+        # run break = new doc OR gap past the running max end (cummax is
+        # per-doc: the global shift(1) lands on the same doc's previous
+        # row everywhere `first` doesn't already force a break)
+        cme = (
+            pd.Series(e).groupby(g[id_col].to_numpy()).cummax().shift(1)
+        )
+        first = g[id_col].ne(g[id_col].shift(1)).to_numpy()
+        brk = first | (
+            g["pos"].to_numpy(dtype=np.int64) > cme.to_numpy()
+        )
+        rid = np.cumsum(brk)
+        out = pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(dtype=np.int64),
+                "run_s": g["pos"].to_numpy(dtype=np.int64),
+                "run_e": e,
+                "__rid": rid,
+            }
+        )
+        return out.groupby("__rid", as_index=False).agg(
+            **{
+                id_col: (id_col, "first"),
+                "run_s": ("run_s", "min"),
+                "run_e": ("run_e", "max"),
+            }
+        )[[id_col, "run_s", "run_e"]]
+
+    runs = _decide_bucketed(occ, to_runs, id_col, num_buckets)
+
+    base = docs.select_columns([id_col, text_col])
+    j = bucket_hash_join(
+        base, runs, [id_col],
+        how="left",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([(id_col, I64), (text_col, pa.string())]),
+        right_schema=pa.schema(
+            [(id_col, I64), ("run_s", I64), ("run_e", I64)]
+        ),
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        ids_, nts, nrs, cleans = [], [], [], []
+        for did, sub in g.groupby(id_col, sort=False):
+            toks = str(sub[text_col].iloc[0]).split()
+            nt = len(toks)
+            has = sub["run_s"].notna()
+            if not has.any():
+                ids_.append(did); nts.append(nt); nrs.append(0)
+                cleans.append(" ".join(toks))
+                continue
+            keep = np.ones(nt, dtype=bool)
+            for a, b in zip(
+                sub.loc[has, "run_s"].to_numpy(dtype=np.int64),
+                sub.loc[has, "run_e"].to_numpy(dtype=np.int64),
+            ):
+                keep[a:b] = False
+            ids_.append(did); nts.append(nt)
+            nrs.append(int((~keep).sum()))
+            cleans.append(" ".join(t for t, k in zip(toks, keep) if k))
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids_, dtype=np.int64),
+                "n_tokens": np.asarray(nts, dtype=np.int64),
+                "n_removed": np.asarray(nrs, dtype=np.int64),
+                "text_clean": pd.Series(cleans, dtype=object),
+            }
+        )
+
+    return _decide_bucketed(j, rebuild, id_col, num_buckets)

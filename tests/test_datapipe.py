@@ -1277,3 +1277,89 @@ def test_hashed_features_replay_and_shape():
         rd.from_pandas(docs), d=16, signed=False
     ).to_pandas()
     assert raw["value"].sum() == 7  # 4 + 3 tokens
+
+
+def _exact_substr_oracle(docs, L, min_count=2):
+    """Python replay: gram-string counting + interval removal."""
+    from collections import Counter
+
+    cnt = Counter()
+    toks = {int(r["doc_id"]): str(r["text"]).split()
+            for _, r in docs.iterrows()}
+    for ts in toks.values():
+        for i in range(len(ts) - L + 1):
+            cnt[" ".join(ts[i:i + L])] += 1
+    out = {}
+    for did, ts in toks.items():
+        keep = [True] * len(ts)
+        for i in range(len(ts) - L + 1):
+            if cnt[" ".join(ts[i:i + L])] >= min_count:
+                for p in range(i, i + L):
+                    keep[p] = False
+        kept = [t for t, k in zip(ts, keep) if k]
+        out[did] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+def test_exact_substr_removes_planted_boilerplate():
+    boiler = ("this content is provided as is without any warranty "
+              "of any kind either express or implied")
+    uniq = ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten",
+            "red orange yellow green blue indigo violet pink brown black"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                uniq[0] + " " + boiler,
+                boiler + " " + uniq[1],
+                uniq[2] + " " + boiler + " tail words here now",
+                "totally unrelated short document",
+            ],
+        }
+    )
+    got = (
+        dedup.exact_substr(rd.from_pandas(docs), span_tokens=8,
+                           num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = _exact_substr_oracle(docs, 8)
+    for _, r in got.iterrows():
+        w = want[int(r["doc_id"])]
+        assert (int(r["n_tokens"]), int(r["n_removed"]),
+                r["text_clean"]) == w, r["doc_id"]
+    # the boilerplate is gone from every doc, unique content survives
+    for _, r in got.iterrows():
+        assert "warranty" not in r["text_clean"]
+    assert "alpha beta gamma" in got.loc[0, "text_clean"]
+    assert got.loc[3, "n_removed"] == 0
+    assert got.loc[3, "text_clean"] == "totally unrelated short document"
+
+
+def test_exact_substr_random_matches_replay_and_partition_invariant():
+    rng = np.random.default_rng(77)
+    words = np.array("a b c d e f g h".split())
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(0, 40)))
+        for _ in range(50)
+    ]
+    texts[7] = ""  # empty doc keeps its row
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(50, dtype=np.int64), "text": texts}
+    )
+    want = _exact_substr_oracle(docs, 4)
+    a = (
+        dedup.exact_substr(rd.from_pandas(docs), span_tokens=4,
+                           num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a["doc_id"].tolist() == list(range(50))
+    for _, r in a.iterrows():
+        assert (int(r["n_tokens"]), int(r["n_removed"]),
+                r["text_clean"]) == want[int(r["doc_id"])], r["doc_id"]
+    b = (
+        dedup.exact_substr(rd.from_pandas(docs).repartition(7),
+                           span_tokens=4, num_buckets=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -3139,6 +3139,29 @@ def _q_docs_line_dedup(sf_dir: str):
     return out
 
 
+def _q_neighbor_sample_user(sf_dir: str):
+    """GraphSAGE-style fanout neighbor sampling (fanout=[3,2]) from the
+    two lowest user ids: per-hop deterministic top-k by
+    sha256('ns:'||src||':'||dst) priority — one edge scan + one tiny
+    top-k shuffle per hop, the edge table is never shuffled."""
+    from flashray import api
+
+    g = _user_graph(sf_dir, symmetrize=False)
+    vids = g.vertices_dataset(columns=["vertex_id"]).to_pandas()[
+        "vertex_id"
+    ]
+    seeds = sorted(vids.nsmallest(2).astype(int).tolist())
+    out = (
+        api.neighbor_sample(g, seeds, [3, 2], num_buckets=16)
+        .to_pandas()
+        .sort_values(["hop", "src", "dst"])
+        .reset_index(drop=True)
+    )
+    for c in ("hop", "src", "dst"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def _q_docs_exact_substr(sf_dir: str):
     """Substring-level exact dedup (Lee et al. 2022 ExactSubstr,
     fixed-window mode): every 8-token window occurring >= 2 times in the
@@ -3510,6 +3533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks_user": _q_node2vec_walks_user,
         "events_sliding_1h_15m": _q_events_sliding,
         "docs_exact_substr": _q_docs_exact_substr,
+        "neighbor_sample_user": _q_neighbor_sample_user,
     }
 
 
@@ -4610,6 +4634,41 @@ ball AS (SELECT DISTINCT v FROM r)
 SELECT e.src, e.dst FROM e
 JOIN ball x ON x.v = e.src JOIN ball y ON y.v = e.dst
 ORDER BY 1, 2""",
+        # GraphSAGE fanout sampling: per-hop ROW_NUMBER over the shared
+        # sha edge-priority, frontier = distinct sampled dst
+        "neighbor_sample_user": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+ep AS (SELECT src, dst,
+              CAST(CAST(concat('0x',
+                   substr(sha256('ns:' || CAST(src AS VARCHAR) || ':'
+                                 || CAST(dst AS VARCHAR)), 1, 16))
+                   AS UBIGINT) >> 1 AS BIGINT) AS pri
+       FROM e),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+seeds AS (SELECT u AS v FROM verts ORDER BY u LIMIT 2),
+h1 AS (SELECT src, dst FROM (
+         SELECT ep.src, ep.dst,
+                ROW_NUMBER() OVER (PARTITION BY ep.src
+                                   ORDER BY ep.pri, ep.dst) AS rn
+         FROM ep JOIN seeds s ON s.v = ep.src)
+       WHERE rn <= 3),
+f1 AS (SELECT DISTINCT dst AS v FROM h1),
+h2 AS (SELECT src, dst FROM (
+         SELECT ep.src, ep.dst,
+                ROW_NUMBER() OVER (PARTITION BY ep.src
+                                   ORDER BY ep.pri, ep.dst) AS rn
+         FROM ep JOIN f1 s ON s.v = ep.src)
+       WHERE rn <= 2)
+SELECT CAST(1 AS BIGINT) AS hop, CAST(src AS BIGINT) AS src,
+       CAST(dst AS BIGINT) AS dst FROM h1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(src AS BIGINT), CAST(dst AS BIGINT)
+FROM h2""",
         # C4-style record-unit dedup, word mode: unit counts + global-first
         # (min doc_id*1e6+pos) per word, keep rule replayed per occurrence,
         # per-doc reassembly via ORDER BY position string_agg

@@ -101,3 +101,100 @@ def window_graph(graph: Graph, t0, t1, path: str, **build_kwargs) -> Graph:
     build_kwargs.setdefault("num_partitions", graph.num_partitions)
     build_kwargs.setdefault("dedup", False)
     return build_graph(window_edges(graph, t0, t1), path, **build_kwargs)
+
+
+def neighbor_sample(
+    graph: Graph,
+    seeds,
+    fanout,
+    *,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """GraphSAGE-style fanout neighbor sampling (Hamilton et al. 2017,
+    *Inductive Representation Learning on Large Graphs* — the minibatch
+    neighborhood-prep operator graph-ML training pipelines run right
+    after :func:`egonet_edges`): hop ``h`` keeps, for every frontier
+    vertex, its ``fanout[h-1]`` DISTINCT out-neighbors with the
+    smallest ``sha256('ns:' || src || ':' || dst)`` priorities (dst
+    tiebreak) — the deterministic stand-in for uniform sampling,
+    identical across runs, input partitionings, and the SQL replay
+    (the repo-wide sha oracle convention, programs.MIS style). Returns
+    a Dataset (hop, src, dst); the hop-h frontier is the distinct dst
+    set sampled at hop h-1 (hop 0 = seeds). Vertices may re-enter
+    later frontiers — standard GraphSAGE semantics.
+
+    Partitioning assumption (documented per SURVEY §2.5): the frontier
+    is minibatch-sized by design (≤ |seeds|·Πfanout vertices) and
+    broadcasts once per hop via ``ray.put``; each hop is ONE
+    column-pruned edge scan + vectorized ``np.isin`` filter — the edge
+    table is never shuffled — plus a candidates-only distinct +
+    top-k-per-src bucket pass (map-side pruned to k rows per src per
+    batch by ``topk_per_group``)."""
+    import pandas as pd
+
+    from flashray.datapipe.sketches import _sha_u64
+    from flashray.joins import bucket_group_agg, topk_per_group
+
+    fanout = [int(k) for k in fanout]
+    if not fanout or any(k < 1 for k in fanout):
+        raise ValueError(f"fanout must be non-empty positive ints: {fanout}")
+    edges = graph.edges_dataset(columns=["src", "dst"])
+
+    def pri(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy(dtype=np.int64)
+        d = df["dst"].to_numpy(dtype=np.int64)
+        h = _sha_u64(
+            [f"ns:{int(a)}:{int(b)}" for a, b in zip(s, d)]
+        )
+        df = df.copy()
+        df["pri"] = (h >> np.uint64(1)).astype(np.int64)
+        return df
+
+    frontier = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    hops = []
+    for h, k in enumerate(fanout, start=1):
+        ref = ray.put(frontier)
+
+        def keep(b: pa.Table, _ref=ref) -> pa.Table:
+            f = ray.get(_ref)
+            s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.isin(s, f)
+            out = pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])})
+            # map-side distinct: multi-etype edges collapse per batch
+            return pa.Table.from_pandas(
+                out.to_pandas().drop_duplicates(["src", "dst"]),
+                preserve_index=False,
+            )
+
+        cand = bucket_group_agg(
+            edges.map_batches(keep, batch_format="pyarrow"),
+            ["src", "dst"],
+            None,
+            num_buckets=num_buckets,
+        ).map_batches(pri, batch_format="pandas")
+        sampled = topk_per_group(
+            cand, ["src"], ["pri", "dst"], k,
+            descending=False, num_buckets=num_buckets,
+        ).map_batches(
+            lambda df, _h=h: pd.DataFrame(
+                {
+                    "hop": np.full(len(df), _h, dtype=np.int64),
+                    "src": df["src"].to_numpy(dtype=np.int64),
+                    "dst": df["dst"].to_numpy(dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+        hops.append(sampled)
+        frontier = np.unique(
+            sampled.select_columns(["dst"]).to_pandas()["dst"].to_numpy(
+                dtype=np.int64
+            )
+        )
+        if len(frontier) == 0:
+            break
+    out = hops[0]
+    for s in hops[1:]:
+        out = out.union(s)
+    return out

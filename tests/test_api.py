@@ -133,3 +133,66 @@ def test_degree_assortativity_star_disassortative():
     e = rd.from_arrow(pa.table({"src": src, "dst": dst}))
     got = algorithms.degree_assortativity(e, num_buckets=4)
     assert got < 0
+
+
+def _ns_oracle(src, dst, seeds, fanout):
+    """Python replay of the sha-priority fanout sample."""
+    import hashlib
+
+    def pri(a, b):
+        h = int.from_bytes(
+            hashlib.sha256(f"ns:{a}:{b}".encode()).digest()[:8], "big"
+        )
+        return h >> 1
+
+    adj = {}
+    for a, b in set(zip(src.tolist(), dst.tolist())):
+        adj.setdefault(a, []).append(b)
+    frontier = sorted(set(int(s) for s in seeds))
+    rows = []
+    for h, k in enumerate(fanout, start=1):
+        nxt = set()
+        for u in frontier:
+            nbrs = sorted(adj.get(u, []), key=lambda v: (pri(u, v), v))[:k]
+            for v in nbrs:
+                rows.append((h, u, v))
+                nxt.add(v)
+        frontier = sorted(nxt)
+    return sorted(rows)
+
+
+def test_neighbor_sample_matches_sha_replay(er_graph):
+    g, (src, dst) = er_graph
+    seeds = [0, 1, 2]
+    got = (
+        api.neighbor_sample(g, seeds, [3, 2])
+        .to_pandas().sort_values(["hop", "src", "dst"])
+        .reset_index(drop=True)
+    )
+    want = _ns_oracle(src, dst, seeds, [3, 2])
+    assert list(map(tuple, got.to_numpy())) == want
+    # fanout respected: at most k sampled neighbors per (hop, src)
+    per = got.groupby(["hop", "src"]).size()
+    assert per[per.index.get_level_values("hop") == 1].max() <= 3
+    assert per[per.index.get_level_values("hop") == 2].max() <= 2
+
+
+def test_neighbor_sample_partition_invariant(er_graph, tmp_path):
+    g, (src, dst) = er_graph
+    g2 = build_graph_from_arrays(
+        src, dst, str(tmp_path / "er2"), num_partitions=2
+    )
+    a = (
+        api.neighbor_sample(g, [5, 9], [4, 3], num_buckets=4)
+        .to_pandas().sort_values(["hop", "src", "dst"])
+        .reset_index(drop=True)
+    )
+    b = (
+        api.neighbor_sample(g2, [5, 9], [4, 3], num_buckets=16)
+        .to_pandas().sort_values(["hop", "src", "dst"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

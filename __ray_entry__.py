@@ -955,6 +955,45 @@ def _q_lpa_communities_user(sf_dir: str):
     )
 
 
+def _q_louvain_user(sf_dir: str):
+    """Modularity-optimizing community detection: 2 synchronous parallel
+    Louvain local-move sweeps (Blondel et al. 2008 / Lu-Halappanavar
+    2015) over the SYMMETRIZED user-succession graph. Gains are the
+    INTEGER-scaled ΔQ numerators 2m·e_vC − k_v·(Σtot_C − k_v·[own]),
+    so the argmax (gain desc, stay-on-tie, smallest label) is bit-exact
+    in the round-unrolled SQL replay."""
+    from flashray.louvain import louvain_communities
+
+    edges = _user_succession_edges_cached(sf_dir)
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    labels = louvain_communities(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        sweeps=2,
+        num_buckets=16,
+    )
+    df = labels.to_pandas()
+    return (
+        pd.DataFrame(
+            {
+                "user_id": df["vertex_id"].astype(np.int64),
+                "label": df["label"].astype(np.int64),
+            }
+        )
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_link_prediction_user(sf_dir: str):
     """Link-prediction scores (common neighbors / Jaccard / Adamic-Adar)
     for every NON-edge pair at distance 2 in the symmetrized
@@ -3534,6 +3573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_1h_15m": _q_events_sliding,
         "docs_exact_substr": _q_docs_exact_substr,
         "neighbor_sample_user": _q_neighbor_sample_user,
+        "louvain_user": _q_louvain_user,
     }
 
 
@@ -3789,6 +3829,59 @@ a{i} AS MATERIALIZED (SELECT v, lab FROM (
        FROM c{i}) WHERE rn = 1),
 l{i} AS MATERIALIZED (SELECT l.v, COALESCE(a.lab, l.lab) AS lab
        FROM {prev} l LEFT JOIN a{i} a ON a.v = l.v)""")
+        prev = f"l{i}"
+    tail = f"""
+SELECT CAST(v AS BIGINT) AS user_id, CAST(lab AS BIGINT) AS label
+FROM {prev}"""
+    return head + "," + ",".join(stages) + tail
+
+
+def _louvain_sql(sweeps: int) -> str:
+    """Round-unrolled synchronous parallel Louvain over the symmetrized
+    user graph (weights 1): per sweep, neighbor-community affinities +
+    community degree totals + INTEGER gain
+    ``2m·ew − k_v·(tot_C − k_v·[C = own])`` + ROW_NUMBER argmax
+    (gain desc, stay-on-tie, label asc). A synthetic own-community
+    candidate (ew = 0) per vertex mirrors the Ray side's union row, so
+    isolated-own cases rank identically. Every stage MATERIALIZED."""
+    head = """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+e AS MATERIALIZED (SELECT src AS s, dst AS d FROM eu
+       UNION ALL SELECT dst, src FROM eu),
+k AS MATERIALIZED (SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS k
+       FROM e GROUP BY 1),
+tm AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM e),
+l0 AS MATERIALIZED (SELECT v, v AS lab FROM k)"""
+    stages = []
+    prev = "l0"
+    for i in range(1, int(sweeps) + 1):
+        stages.append(f"""
+c{i} AS MATERIALIZED (SELECT e.s AS v, l.lab AS cl,
+       CAST(COUNT(*) AS BIGINT) AS ew
+       FROM e JOIN {prev} l ON l.v = e.d WHERE e.s <> e.d GROUP BY 1, 2),
+t{i} AS MATERIALIZED (SELECT l.lab AS cl, CAST(SUM(k.k) AS BIGINT) AS tot
+       FROM {prev} l JOIN k ON k.v = l.v GROUP BY 1),
+cd{i} AS MATERIALIZED (
+       SELECT c.v, c.cl, c.ew, t.tot FROM c{i} c JOIN t{i} t USING (cl)
+       UNION ALL
+       SELECT l.v, l.lab, CAST(0 AS BIGINT), t.tot
+       FROM {prev} l JOIN t{i} t ON t.cl = l.lab),
+sc{i} AS MATERIALIZED (
+       SELECT cd.v, cd.cl,
+              tm.t * cd.ew
+                - k.k * (cd.tot - CASE WHEN cd.cl = l.lab
+                                       THEN k.k ELSE 0 END) AS sc,
+              CASE WHEN cd.cl = l.lab THEN 1 ELSE 0 END AS is_own
+       FROM cd{i} cd JOIN k ON k.v = cd.v
+            JOIN {prev} l ON l.v = cd.v, tm),
+l{i} AS MATERIALIZED (SELECT v, cl AS lab FROM (
+       SELECT v, cl, ROW_NUMBER() OVER (PARTITION BY v
+                     ORDER BY sc DESC, is_own DESC, cl) AS rn
+       FROM sc{i}) WHERE rn = 1)""")
         prev = f"l{i}"
     tail = f"""
 SELECT CAST(v AS BIGINT) AS user_id, CAST(lab AS BIGINT) AS label
@@ -4969,6 +5062,7 @@ FROM cn""",
         "coloring_user": _color_sql(20),
         # LPA communities: 3 unrolled synchronous sweeps (count + argmax)
         "lpa_communities_user": _lpa_sql(3),
+        "louvain_user": _louvain_sql(2),
         # modularity of the user_id%5 partition: integer sufficient
         # statistics (within-edges, community degrees), one float expr
         "modularity_user_mod5": """

@@ -1,0 +1,378 @@
+"""Modularity-optimizing community detection: synchronous parallel
+Louvain (Blondel et al. 2008, *Fast unfolding of communities in large
+networks*, with the synchronous-update parallelization of Lu/Halappanavar
+2015) as an iterated Ray-Data dataflow, multi-level via graph coarsening.
+
+Why not the superstep engine (the lpa.py rationale): the local-move
+update — argmax over per-neighbor-community modularity GAINS — needs a
+variable-width per-community partial map, not an elementwise semiring
+combine. The dataflow pays O(1) bucket shuffles per sweep (7: one
+edge-label join, four bounded aggregates/joins, one candidate join, one
+argmax), never per community.
+
+Deterministic semantics, per sweep (synchronous — every vertex evaluates
+against the PREVIOUS sweep's labels; all arithmetic is int64, so the SQL
+replay's argmax is bit-exact, the repo-wide integer-threshold
+convention):
+
+    gain'(v, C) = 2m·e_{v→C} − k_v·(Σtot_C − k_v·[C = lab(v)])
+
+(the standard ΔQ numerator scaled by (2m)² with the v-removed own
+community; e_{v→C} = Σ weight of v's non-self edges into C, k_v = v's
+weighted degree incl. self-loops, Σtot_C = Σ k over members, 2m = total
+row-weight of the symmetrized edge table). v adopts
+argmax_C gain' over {neighbor communities} ∪ {lab(v)}, ranked
+(gain' DESC, C = lab(v) DESC, C ASC) — a strictly-better new community
+wins, ties prefer staying, then the smallest label. Isolated /
+self-loop-only vertices keep their label via a synthesized own-community
+candidate row (ew = 0), never a null-padded join.
+
+Coarsening (``levels > 1``): communities contract to supervertices —
+A'_{CD} = Σ_{u∈C, v∈D} A_{uv} over the symmetrized rows, so an internal
+undirected edge lands twice in the self-loop A'_CC and every level
+preserves Σtot / 2m exactly (integer weights stay integer); the same
+sweep dataflow reruns on the weighted coarse graph and the final labels
+compose back through one bucket join per level.
+
+Overflow bound: |gain'| ≤ 2m·k_max — exact in int64 while
+2m·k_max < 2^63 (holds for any graph whose weighted edge count and hub
+degree product stays below ~9·10^18; raise ``levels`` cautiously past
+that, the contraction multiplies weights).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from flashray.joins import bucket_group_agg, bucket_hash_join
+
+_I64 = pa.int64()
+
+
+def _lab_schema() -> pa.Schema:
+    return pa.schema([("vertex_id", _I64), ("label", _I64), ("kv", _I64)])
+
+
+def _decide_by(ds, fn, key: str, num_buckets: int):
+    """All rows of one ``key`` must reach one ``fn`` call (the ml.py
+    _decide_bucketed shape, keyed generically)."""
+    from flashray.joins import _key_hash
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        b = b.replace_schema_metadata(None)
+        h = _key_hash(b, [key])
+        return b.append_column(
+            "__lbucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__lbucket")
+        .map_groups(
+            lambda g: fn(g.drop(columns=["__lbucket"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def _edge_table(edges, src_col, dst_col, weight_col):
+    def proj(b: pa.Table) -> pa.Table:
+        w = (
+            b[weight_col].cast(_I64)
+            if weight_col is not None
+            else pa.array(np.ones(b.num_rows, dtype=np.int64))
+        )
+        return pa.table(
+            {"s": b[src_col].cast(_I64), "d": b[dst_col].cast(_I64), "w": w}
+        )
+
+    return edges.map_batches(proj, batch_format="pyarrow").materialize()
+
+
+def _init_level(e, num_buckets):
+    """(labels, tm): labels = (vertex_id, label=v, kv) with kv = the
+    weighted out-degree (symmetric input ⇒ the degree), tm = Σw (= 2m)."""
+    deg = bucket_group_agg(
+        e.map_batches(
+            lambda b: pa.table({"vertex_id": b["s"], "w": b["w"]}),
+            batch_format="pyarrow",
+        ),
+        ["vertex_id"],
+        {"kv": ("w", "sum")},
+        num_buckets=num_buckets,
+    )
+    labels = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "vertex_id": b["vertex_id"],
+                "label": b["vertex_id"],
+                "kv": b["kv"].cast(_I64),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    tm = int(e.sum("w") or 0)
+    return labels, tm
+
+
+def _one_sweep(e, labels, tm, num_buckets):
+    """One synchronous local-move sweep; returns the new labels table."""
+    esch = pa.schema([("s", _I64), ("d", _I64), ("w", _I64)])
+
+    def noself(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        d = b["d"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(s != d))
+
+    # (1) v's weighted affinity to each neighboring community
+    msgs = bucket_hash_join(
+        e.map_batches(noself, batch_format="pyarrow"),
+        labels.map_batches(
+            lambda b: b.select(["vertex_id", "label"]),
+            batch_format="pyarrow",
+        ),
+        ["d"],
+        right_on=["vertex_id"],
+        num_buckets=num_buckets,
+        left_schema=esch,
+        right_schema=pa.schema([("vertex_id", _I64), ("label", _I64)]),
+    )
+
+    def aff_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "v": pd.Series(dtype=np.int64),
+                    "cl": pd.Series(dtype=np.int64),
+                    "ew": pd.Series(dtype=np.int64),
+                }
+            )
+        g = (
+            df.groupby(["s", "label"], sort=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "v": g["s"].to_numpy(dtype=np.int64),
+                "cl": g["label"].to_numpy(dtype=np.int64),
+                "ew": g["w"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    ew = bucket_group_agg(
+        msgs.map_batches(aff_partial, batch_format="pandas"),
+        ["v", "cl"],
+        {"ew": ("ew", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    # (2) community degree totals (map-side partial per batch)
+    tot = bucket_group_agg(
+        labels.map_batches(
+            lambda df: df.groupby("label", as_index=False).agg(
+                tot=("kv", "sum")
+            ),
+            batch_format="pandas",
+        ),
+        ["label"],
+        {"tot": ("tot", "sum")},
+        num_buckets=num_buckets,
+    )
+    tsch = pa.schema([("label", _I64), ("tot", _I64)])
+
+    # (3) per-vertex own-community context (own label, kv, tot_own)
+    ownt = bucket_hash_join(
+        labels, tot, ["label"],
+        num_buckets=num_buckets,
+        left_schema=_lab_schema(),
+        right_schema=tsch,
+    ).map_batches(
+        lambda b: b.rename_columns(
+            [
+                {"label": "own", "tot": "tot_own"}.get(c, c)
+                for c in b.column_names
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+    # (4) candidate rows with their community totals
+    ewt = bucket_hash_join(
+        ew, tot, ["cl"], right_on=["label"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("v", _I64), ("cl", _I64), ("ew", _I64)]),
+        right_schema=tsch,
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["tot_cl" if c == "tot" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    cand = bucket_hash_join(
+        ewt, ownt, ["v"], right_on=["vertex_id"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [("v", _I64), ("cl", _I64), ("ew", _I64), ("tot_cl", _I64)]
+        ),
+        right_schema=pa.schema(
+            [("vertex_id", _I64), ("own", _I64), ("kv", _I64),
+             ("tot_own", _I64)]
+        ),
+    )
+    # synthesized own-community candidates: cover vertices with no
+    # non-self edges AND vertices whose own community is absent from
+    # their neighbor set — all int64, never a null-padded outer join
+    own_syn = ownt.map_batches(
+        lambda b: pa.table(
+            {
+                "v": b["vertex_id"],
+                "cl": b["own"],
+                "ew": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "tot_cl": b["tot_own"],
+                "own": b["own"],
+                "kv": b["kv"],
+                "tot_own": b["tot_own"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cand = cand.map_batches(
+        lambda b: b.select(
+            ["v", "cl", "ew", "tot_cl", "own", "kv", "tot_own"]
+        ),
+        batch_format="pyarrow",
+    ).union(own_syn)
+
+    TM = np.int64(tm)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "vertex_id": pd.Series(dtype=np.int64),
+                    "label": pd.Series(dtype=np.int64),
+                    "kv": pd.Series(dtype=np.int64),
+                }
+            )
+        v = g["v"].to_numpy(dtype=np.int64)
+        cl = g["cl"].to_numpy(dtype=np.int64)
+        ewv = g["ew"].to_numpy(dtype=np.int64)
+        tot_cl = g["tot_cl"].to_numpy(dtype=np.int64)
+        own = g["own"].to_numpy(dtype=np.int64)
+        kv = g["kv"].to_numpy(dtype=np.int64)
+        is_own = cl == own
+        sc = TM * ewv - kv * (tot_cl - kv * is_own)
+        d = pd.DataFrame(
+            {
+                "vertex_id": v,
+                "label": cl,
+                "kv": kv,
+                "__sc": sc,
+                "__own": is_own.astype(np.int8),
+            }
+        )
+        d = d.sort_values(
+            ["vertex_id", "__sc", "__own", "label"],
+            ascending=[True, False, False, True],
+            kind="mergesort",
+        ).drop_duplicates("vertex_id")
+        return d[["vertex_id", "label", "kv"]].reset_index(drop=True)
+
+    return (
+        _decide_by(cand, pick, "v", num_buckets)
+        .repartition(num_buckets)
+        .materialize()
+    )
+
+
+def _contract(e, labels, num_buckets):
+    """Coarsen: A'_{CD} = Σ_{u∈C, v∈D} A_{uv} (both directions of every
+    internal edge fold into the C self-loop — Σtot and 2m preserved)."""
+    esch = pa.schema([("s", _I64), ("d", _I64), ("w", _I64)])
+    lmap = labels.map_batches(
+        lambda b: b.select(["vertex_id", "label"]), batch_format="pyarrow"
+    )
+    lsch = pa.schema([("vertex_id", _I64), ("label", _I64)])
+    j1 = bucket_hash_join(
+        e, lmap, ["s"], right_on=["vertex_id"],
+        num_buckets=num_buckets, left_schema=esch, right_schema=lsch,
+    ).map_batches(
+        lambda b: pa.table(
+            {"s": b["label"], "d": b["d"], "w": b["w"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = bucket_hash_join(
+        j1, lmap, ["d"], right_on=["vertex_id"],
+        num_buckets=num_buckets, left_schema=esch, right_schema=lsch,
+    ).map_batches(
+        lambda b: pa.table(
+            {"s": b["s"], "d": b["label"], "w": b["w"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return bucket_group_agg(
+        j2, ["s", "d"], {"w": ("w", "sum")}, num_buckets=num_buckets,
+    ).materialize()
+
+
+def louvain_communities(
+    edges: ray.data.Dataset,
+    *,
+    sweeps: int = 3,
+    levels: int = 1,
+    num_buckets: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> ray.data.Dataset:
+    """Run ``levels`` Louvain levels of ``sweeps`` synchronous local-move
+    rounds each over a SYMMETRIZED (src, dst[, weight]) edge Dataset;
+    between levels communities contract to weighted supervertices.
+    Returns a Dataset (vertex_id, label) over the ORIGINAL vertices —
+    feed it to :func:`flashray.algorithms.modularity` to score. Fixed
+    (sweeps, levels) budgets make the run deterministic and exactly
+    replayable in round-unrolled SQL (driver oracle ``louvain_user``,
+    levels=1)."""
+    e = _edge_table(edges, src_col, dst_col, weight_col)
+    labels, tm = _init_level(e, num_buckets)
+    mapping = None  # original vertex -> current-level community
+    lsch = pa.schema([("vertex_id", _I64), ("label", _I64)])
+    for lvl in range(int(levels)):
+        for _ in range(int(sweeps)):
+            labels = _one_sweep(e, labels, tm, num_buckets)
+        flat = labels.map_batches(
+            lambda b: b.select(["vertex_id", "label"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if mapping is None:
+            mapping = flat
+        else:
+            # compose: original -> old community -> new community
+            mapping = bucket_hash_join(
+                mapping.map_batches(
+                    lambda b: b.rename_columns(["vertex_id", "__mid"]),
+                    batch_format="pyarrow",
+                ),
+                flat,
+                ["__mid"],
+                right_on=["vertex_id"],
+                num_buckets=num_buckets,
+                left_schema=pa.schema(
+                    [("vertex_id", _I64), ("__mid", _I64)]
+                ),
+                right_schema=lsch,
+            ).map_batches(
+                lambda b: b.select(["vertex_id", "label"]),
+                batch_format="pyarrow",
+            ).materialize()
+        if lvl + 1 < int(levels):
+            e = _contract(e, labels, num_buckets)
+            labels, tm2 = _init_level(e, num_buckets)
+            assert tm2 == tm, "contraction must preserve 2m exactly"
+    return mapping

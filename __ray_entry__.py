@@ -3201,6 +3201,60 @@ def _q_neighbor_sample_user(sf_dir: str):
     return out
 
 
+_BPE_CACHE: dict = {}
+
+
+def _bpe_model(sf_dir: str):
+    """Memoized BPE model (8 merges) over documents — two queries share
+    the training run inside one driver sweep (the _user_graph idiom)."""
+    key = f"bpe8_{_tier(sf_dir)}"
+    if key not in _BPE_CACHE:
+        from flashray.datapipe.bpe import bpe_train
+
+        docs = _read_pq(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        _BPE_CACHE[key] = bpe_train(docs, num_merges=8, num_buckets=32)
+    return _BPE_CACHE[key]
+
+
+def _q_docs_bpe_merges(sf_dir: str):
+    """Corpus-trained codepoint-level BPE (Sennrich 2016): the 8-round
+    merge table — iterated pair-count bucket aggregates over the
+    (word, count) vocabulary, integer argmax (count desc, left, right).
+    The fixed-round SQL replay reproduces it bit-exactly (every round's
+    winning count is >= 2 at sweep scale, so the library's early-stop
+    never fires)."""
+    m = _bpe_model(sf_dir)["merges"].copy()
+    m = m.rename(columns={"count": "pair_count"})
+    for c in m.columns:
+        m[c] = m[c].astype(np.int64)
+    return m.sort_values("rank").reset_index(drop=True)
+
+
+def _q_docs_bpe_token_stats(sf_dir: str):
+    """Per-source token budgets in TRAINED BPE units vs whitespace
+    words — the unit-conversion stage mixture decisions need. One
+    word-explode pass + one join against the trained per-word BPE
+    lengths + one aggregate."""
+    from flashray.datapipe.bpe import bpe_token_stats
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    out = (
+        bpe_token_stats(docs, _bpe_model(sf_dir), by="source",
+                        num_buckets=32)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["n_words"] = out["n_words"].astype(np.int64)
+    out["n_bpe_tokens"] = out["n_bpe_tokens"].astype(np.int64)
+    return out[["source", "n_words", "n_bpe_tokens"]]
+
+
 def _q_docs_exact_substr(sf_dir: str):
     """Substring-level exact dedup (Lee et al. 2022 ExactSubstr,
     fixed-window mode): every 8-token window occurring >= 2 times in the
@@ -3574,6 +3628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_substr": _q_docs_exact_substr,
         "neighbor_sample_user": _q_neighbor_sample_user,
         "louvain_user": _q_louvain_user,
+        "docs_bpe_merges": _q_docs_bpe_merges,
+        "docs_bpe_token_stats": _q_docs_bpe_token_stats,
     }
 
 
@@ -3887,6 +3943,80 @@ l{i} AS MATERIALIZED (SELECT v, cl AS lab FROM (
 SELECT CAST(v AS BIGINT) AS user_id, CAST(lab AS BIGINT) AS label
 FROM {prev}"""
     return head + "," + ",".join(stages) + tail
+
+
+def _bpe_chain_sql(rounds: int) -> str:
+    """Round-unrolled codepoint-level BPE over the documents word
+    vocabulary: per round, weighted adjacent-pair counts + LIMIT 1
+    argmax (count desc, a, b) + the greedy leftmost-first rewrite —
+    merged positions are the ODD members of each consecutive-hit run
+    (ROW_NUMBER parity), consumed right-halves drop via NOT EXISTS,
+    positions reindex with ROW_NUMBER. Returns the WITH body up to
+    q{rounds} (the final per-word token table) + m{r} merge CTEs."""
+    head = """
+vw AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '')) AS word FROM documents),
+vc AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+       FROM vw GROUP BY 1),
+p0 AS (SELECT word, unnest(generate_series(1, length(word))) AS i
+       FROM vc),
+q0 AS MATERIALIZED (SELECT word, i,
+       CAST(unicode(substr(word, i, 1)) AS BIGINT) AS t FROM p0)"""
+    stages = []
+    prev = "q0"
+    for r in range(int(rounds)):
+        nid = 2_000_000 + r
+        stages.append(f"""
+pc{r} AS MATERIALIZED (SELECT x.t AS a, y.t AS b,
+       CAST(SUM(vc.wc) AS BIGINT) AS c
+       FROM {prev} x JOIN {prev} y ON y.word = x.word AND y.i = x.i + 1
+            JOIN vc ON vc.word = x.word
+       GROUP BY 1, 2),
+m{r} AS MATERIALIZED (SELECT a, b, c FROM pc{r}
+       ORDER BY c DESC, a, b LIMIT 1),
+h{r} AS MATERIALIZED (SELECT x.word, x.i
+       FROM {prev} x JOIN {prev} y ON y.word = x.word AND y.i = x.i + 1,
+            m{r} m
+       WHERE x.t = m.a AND y.t = m.b),
+g{r} AS (SELECT word, i,
+       i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+       FROM h{r}),
+mg{r} AS MATERIALIZED (SELECT word, i FROM (
+       SELECT word, i,
+              ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS wn
+       FROM g{r}) WHERE wn % 2 = 1),
+q{r + 1} AS MATERIALIZED (SELECT word,
+       ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS i, t FROM (
+       SELECT p.word, p.i,
+              CASE WHEN mg.i IS NOT NULL THEN {nid} ELSE p.t END AS t
+       FROM {prev} p LEFT JOIN mg{r} mg
+            ON mg.word = p.word AND mg.i = p.i
+       WHERE NOT EXISTS (SELECT 1 FROM mg{r} z
+                         WHERE z.word = p.word AND z.i = p.i - 1)))""")
+        prev = f"q{r + 1}"
+    return "WITH " + head + "," + ",".join(stages)
+
+
+def _bpe_merges_sql(rounds: int) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a AS left_id, b AS right_id,"
+        f" CAST({2_000_000 + r} AS BIGINT) AS new_id, c AS pair_count"
+        f" FROM m{r}"
+        for r in range(int(rounds))
+    )
+    return _bpe_chain_sql(rounds) + "\n" + union
+
+
+def _bpe_stats_sql(rounds: int) -> str:
+    return _bpe_chain_sql(rounds) + f""",
+dw AS (SELECT source,
+              unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '')) AS word FROM documents),
+wl AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS bl
+       FROM q{int(rounds)} GROUP BY 1)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wl.bl) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN wl USING (word) GROUP BY 1"""
 
 
 def _edges_keys_sql() -> str:
@@ -5063,6 +5193,8 @@ FROM cn""",
         # LPA communities: 3 unrolled synchronous sweeps (count + argmax)
         "lpa_communities_user": _lpa_sql(3),
         "louvain_user": _louvain_sql(2),
+        "docs_bpe_merges": _bpe_merges_sql(8),
+        "docs_bpe_token_stats": _bpe_stats_sql(8),
         # modularity of the user_id%5 partition: integer sufficient
         # statistics (within-edges, community degrees), one float expr
         "modularity_user_mod5": """

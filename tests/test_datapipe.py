@@ -1363,3 +1363,100 @@ def test_exact_substr_random_matches_replay_and_partition_invariant():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def _bpe_replay(texts, rounds):
+    """Sequential python replay of vocab-based BPE with the greedy
+    leftmost-first merge rule."""
+    from collections import Counter
+
+    words = Counter(" ".join(texts).split())
+    vocab = {w: [ord(c) for c in w] for w in words}
+    merges = []
+    for r in range(rounds):
+        pc = Counter()
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += words[w]
+        if not pc:
+            break
+        (a, b), c = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        if c < 2:
+            break
+        nid = 2_000_000 + r
+        merges.append((r, a, b, nid, c))
+        for w in vocab:
+            toks, out, i = vocab[w], [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(nid)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_replay_and_partition_invariant():
+    from flashray.datapipe import bpe
+
+    rng = np.random.default_rng(13)
+    base = ("the cat sat on the mat banana bandana the hat aaaa aa "
+            "running runner ran the").split()
+    texts = [
+        " ".join(rng.choice(base, size=rng.integers(3, 12)))
+        for _ in range(30)
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(30, dtype=np.int64), "text": texts}
+    )
+    want_m, want_v = _bpe_replay(texts, 8)
+    m = bpe.bpe_train(rd.from_pandas(docs), num_merges=8, num_buckets=4)
+    assert list(map(tuple, m["merges"].to_numpy())) == want_m
+    wt = m["word_tokens"].to_pandas()
+    for _, r in wt.iterrows():
+        assert int(r["n_bpe"]) == len(want_v[r["word"]]), r["word"]
+    # encode_word reproduces the training-time final sequences
+    for w in list(want_v)[:5]:
+        assert bpe.encode_word(w, m["merges"]) == want_v[w], w
+    # partition invariance
+    m2 = bpe.bpe_train(
+        rd.from_pandas(docs).repartition(7), num_merges=8, num_buckets=16
+    )
+    pd.testing.assert_frame_equal(m["merges"], m2["merges"])
+
+
+def test_bpe_token_stats_and_greedy_overlap_rule():
+    from flashray.datapipe import bpe
+
+    # 'aaaa' exercises the odd-position run rule: merge (a,a) lands at
+    # offsets 0 and 2 -> 2 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "source": ["x", "x", "y", "y"],
+            "text": ["aaaa aaaa", "aa aa", "aaaa banana", "banana banana"],
+        }
+    )
+    m = bpe.bpe_train(rd.from_pandas(docs), num_merges=3, num_buckets=4)
+    want_m, want_v = _bpe_replay(list(docs["text"]), 3)
+    assert list(map(tuple, m["merges"].to_numpy())) == want_m
+    st = (
+        bpe.bpe_token_stats(rd.from_pandas(docs), m, by="source",
+                            num_buckets=4)
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    from collections import Counter
+
+    for srow in st.itertuples():
+        words = Counter(
+            " ".join(docs.loc[docs["source"] == srow.source, "text"])
+            .split()
+        )
+        assert srow.n_words == sum(words.values())
+        assert srow.n_bpe_tokens == sum(
+            len(want_v[w]) * c for w, c in words.items()
+        )

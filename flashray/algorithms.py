@@ -618,7 +618,64 @@ def _edge_labels(und, labels, lab_t, lsch):
     )
 
 
-def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
+def _local_partition_prep(und_pdf, labels, allow_partial: bool):
+    """In-process mirror of :func:`_prep_partition_labels` (identical
+    dtype rules, duplicate rejection, coverage check and error texts)
+    plus the two inner endpoint-label joins. Returns
+    ``(edge_labels_df (lo, hi, label_lo, label), labeled_degrees_df
+    (vertex_id, deg, label))`` — the exact inputs the distributed
+    modularity/conductance folds consume."""
+    import pandas as pd
+
+    lpd = labels if isinstance(labels, pd.DataFrame) else labels.to_pandas()
+    lpd = lpd[["vertex_id", "label"]].copy()
+    if lpd["label"].dtype == object:
+        pass
+    elif np.issubdtype(lpd["label"].dtype, np.integer):
+        lpd["label"] = lpd["label"].astype(np.int64)
+    else:
+        raise ValueError(
+            f"label column must be integer or string, got "
+            f"{lpd['label'].dtype}"
+        )
+    lpd["vertex_id"] = lpd["vertex_id"].astype(np.int64)
+    lo = und_pdf["lo"].to_numpy(dtype=np.int64)
+    hi = und_pdf["hi"].to_numpy(dtype=np.int64)
+    vid, cnt = np.unique(np.concatenate([lo, hi]), return_counts=True)
+    if lpd["vertex_id"].duplicated().any():
+        raise ValueError(
+            "labels contain duplicate vertex_id rows — each vertex "
+            "must carry exactly one label (duplicates would "
+            "double-count rows in the per-community sums)"
+        )
+    if not allow_partial:
+        n_covered = int(np.isin(vid, lpd["vertex_id"].to_numpy()).sum())
+        if n_covered < len(vid):
+            raise ValueError(
+                f"labels cover {n_covered} of {len(vid)} non-isolated "
+                "vertices — pass allow_partial=True to score anyway "
+                "(edges at unlabeled vertices count as cut)"
+            )
+    deg = pd.DataFrame({"vertex_id": vid, "deg": cnt.astype(np.int64)})
+    j = (
+        und_pdf.merge(
+            lpd.rename(columns={"vertex_id": "lo", "label": "label_lo"}),
+            on="lo",
+        ).merge(
+            lpd.rename(columns={"vertex_id": "hi"}), on="hi"
+        )
+    )
+    dl = deg.merge(lpd, on="vertex_id")
+    return j, dl
+
+
+def modularity(
+    graph: Graph,
+    labels,
+    *,
+    allow_partial: bool = False,
+    local_threshold: int | None = 200_000,
+) -> float:
     """Newman modularity Q of ANY vertex labeling over the undirected
     (canonical, cross-etype-deduped) edge set:
     ``Q = Σ_c e_c/m − Σ_c (deg_c / 2m)²`` with e_c = within-community
@@ -646,6 +703,14 @@ def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
     m = und.count()
     if m == 0:
         return 0.0
+    if local_threshold and m <= local_threshold:
+        jl, dl = _local_partition_prep(und.to_pandas(), labels,
+                                       allow_partial)
+        e_in = int(
+            (jl["label_lo"].to_numpy() == jl["label"].to_numpy()).sum()
+        )
+        dc = dl.groupby("label")["deg"].sum().to_numpy(dtype=np.float64)
+        return float(e_in) / m - float((dc * dc).sum()) / (4.0 * m * m)
     I64 = pa.int64()
     labels, lab_t, lsch = _prep_partition_labels(und, labels, allow_partial)
     j = _edge_labels(und, labels, lab_t, lsch)
@@ -676,7 +741,13 @@ def modularity(graph: Graph, labels, *, allow_partial: bool = False) -> float:
     return float(e_in) / m - sq / (4.0 * m * m)
 
 
-def conductance(graph: Graph, labels, *, allow_partial: bool = False):
+def conductance(
+    graph: Graph,
+    labels,
+    *,
+    allow_partial: bool = False,
+    local_threshold: int | None = 200_000,
+):
     """Per-community conductance over the canonical undirected edge set:
     ``φ(c) = cut_c / min(vol_c, 2m − vol_c)`` with cut_c = edges with
     exactly one endpoint labeled c, vol_c = Σ degree over c, m =
@@ -706,6 +777,35 @@ def conductance(graph: Graph, labels, *, allow_partial: bool = False):
 
     und = _canonical_undirected(graph).materialize()
     m = und.count()
+    if local_threshold and 0 < m <= local_threshold:
+        import ray.data as rd
+
+        jl, dl = _local_partition_prep(und.to_pandas(), labels,
+                                       allow_partial)
+        same = jl["label_lo"].to_numpy() == jl["label"].to_numpy()
+        win = (
+            pd.Series(jl["label"].to_numpy()[same]).value_counts()
+        )
+        vols = dl.groupby("label")["deg"].sum()
+        vol = vols.to_numpy(dtype=np.int64)
+        within_v = (
+            win.reindex(vols.index, fill_value=0).to_numpy(dtype=np.int64)
+        )
+        cut = vol - 2 * within_v
+        den = np.minimum(vol, 2 * m - vol)
+        out = pd.DataFrame(
+            {
+                "label": vols.index.to_numpy(),
+                "cut_edges": cut,
+                "volume": vol,
+                "conductance": np.divide(
+                    cut, den, out=np.zeros(len(vol)), where=den > 0
+                ),
+            }
+        )
+        if np.issubdtype(out["label"].dtype, np.integer):
+            out["label"] = out["label"].astype(np.int64)
+        return rd.from_pandas(out)
     I64 = pa.int64()
     labels, lab_t, lsch = _prep_partition_labels(und, labels, allow_partial)
     j = _edge_labels(und, labels, lab_t, lsch)

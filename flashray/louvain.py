@@ -321,6 +321,75 @@ def _contract(e, labels, num_buckets):
     ).materialize()
 
 
+def _local_louvain(
+    pdf: pd.DataFrame, sweeps: int, levels: int
+) -> pd.DataFrame:
+    """In-process vectorized mirror of the distributed sweep rule
+    (IDENTICAL integer gains, tie order, synthetic own candidate, and
+    contraction) — the repo-wide hybrid policy's local kernel."""
+    s = pdf["s"].to_numpy(dtype=np.int64)
+    d = pdf["d"].to_numpy(dtype=np.int64)
+    w = pdf["w"].to_numpy(dtype=np.int64)
+    tm = int(w.sum())
+
+    def run_level(s, d, w):
+        verts = np.unique(s)  # symmetric input: every vertex is a src
+        si = np.searchsorted(verts, s)
+        di = np.searchsorted(verts, d)
+        n = len(verts)
+        k = np.zeros(n, dtype=np.int64)
+        np.add.at(k, si, w)  # int64-exact (bincount weights are float64)
+        lab = verts.copy()
+        ns = s != d
+        for _ in range(int(sweeps)):
+            ulab, linv = np.unique(lab, return_inverse=True)
+            L = len(ulab)
+            tot = np.zeros(L, dtype=np.int64)
+            np.add.at(tot, linv, k)
+            key = si[ns] * np.int64(L) + linv[di[ns]]
+            uk, kinv = np.unique(key, return_inverse=True)
+            ew = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(ew, kinv, w[ns])
+            av = (uk // L).astype(np.int64)
+            ac = (uk % L).astype(np.int64)
+            cav = np.concatenate([av, np.arange(n, dtype=np.int64)])
+            cac = np.concatenate([ac, linv])
+            cew = np.concatenate([ew, np.zeros(n, dtype=np.int64)])
+            is_own = cac == linv[cav]
+            sc = tm * cew - k[cav] * (tot[cac] - k[cav] * is_own)
+            order = np.lexsort((ulab[cac], ~is_own, -sc, cav))
+            first = np.r_[True, cav[order][1:] != cav[order][:-1]]
+            win = order[first]
+            lab = ulab[cac[win]]  # cav[order] ascending -> one per vertex
+        return verts, lab
+
+    verts, lab = run_level(s, d, w)
+    vmap = dict(zip(verts.tolist(), lab.tolist()))
+    for _ in range(int(levels) - 1):
+        li = np.searchsorted(verts, s)
+        ri = np.searchsorted(verts, d)
+        cs, cd = lab[li], lab[ri]
+        key_order = np.lexsort((cd, cs))
+        cs, cd, cw = cs[key_order], cd[key_order], w[key_order]
+        brk = np.r_[True, (cs[1:] != cs[:-1]) | (cd[1:] != cd[:-1])]
+        gid = np.cumsum(brk) - 1
+        s = cs[brk]
+        d = cd[brk]
+        w = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, dtype=np.int64)
+        np.add.at(w, gid, cw)
+        verts2, lab2 = run_level(s, d, w)
+        m2 = dict(zip(verts2.tolist(), lab2.tolist()))
+        vmap = {v: m2[c] for v, c in vmap.items()}
+        verts, lab = verts2, lab2
+    items = sorted(vmap.items())
+    return pd.DataFrame(
+        {
+            "vertex_id": np.array([a for a, _ in items], dtype=np.int64),
+            "label": np.array([b for _, b in items], dtype=np.int64),
+        }
+    )
+
+
 def louvain_communities(
     edges: ray.data.Dataset,
     *,
@@ -330,6 +399,7 @@ def louvain_communities(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    local_threshold: int | None = 200_000,
 ) -> ray.data.Dataset:
     """Run ``levels`` Louvain levels of ``sweeps`` synchronous local-move
     rounds each over a SYMMETRIZED (src, dst[, weight]) edge Dataset;
@@ -338,8 +408,15 @@ def louvain_communities(
     feed it to :func:`flashray.algorithms.modularity` to score. Fixed
     (sweeps, levels) budgets make the run deterministic and exactly
     replayable in round-unrolled SQL (driver oracle ``louvain_user``,
-    levels=1)."""
+    levels=1). Below ``local_threshold`` edge rows the IDENTICAL rule
+    runs as one in-process vectorized kernel (the repo-wide hybrid
+    policy — ~7 bucket shuffles per sweep amortize only past it);
+    0/None forces the distributed dataflow."""
     e = _edge_table(edges, src_col, dst_col, weight_col)
+    if local_threshold and e.count() <= local_threshold:
+        return ray.data.from_pandas(
+            _local_louvain(e.to_pandas(), sweeps, levels)
+        )
     labels, tm = _init_level(e, num_buckets)
     mapping = None  # original vertex -> current-level community
     lsch = pa.schema([("vertex_id", _I64), ("label", _I64)])

@@ -1001,8 +1001,40 @@ def transitivity(graph: Graph, *, num_buckets: int | None = None) -> float:
     return tri3 / wedges
 
 
+def _local_two_hop(und: pd.DataFrame) -> pd.DataFrame:
+    """In-process mirror of the two_hop_sizes dataflow (identical rule):
+    wedge pairs + direct edges, lexsort dedup, endpoint count fold."""
+    from flashray.joins import pairs_within_groups
+
+    lo = und["lo"].to_numpy(dtype=np.int64)
+    hi = und["hi"].to_numpy(dtype=np.int64)
+    center = np.concatenate([lo, hi])
+    leaf = np.concatenate([hi, lo])
+    order = np.lexsort((leaf, center))
+    a, b, _ = pairs_within_groups(center[order], leaf[order])
+    A = np.concatenate([a, lo])
+    B_ = np.concatenate([b, hi])
+    o2 = np.lexsort((B_, A))
+    A, B_ = A[o2], B_[o2]
+    keep = np.r_[True, (A[1:] != A[:-1]) | (B_[1:] != B_[:-1])]
+    A, B_ = A[keep], B_[keep]
+    vid, n2 = np.unique(np.concatenate([A, B_]), return_counts=True)
+    dvid, deg = np.unique(np.concatenate([lo, hi]), return_counts=True)
+    # every edge is also a distinct pair, so vid == dvid elementwise
+    return pd.DataFrame(
+        {
+            "vertex_id": vid.astype(np.int64),
+            "n2": n2.astype(np.int64),
+            "n1": deg.astype(np.int64),
+        }
+    )
+
+
 def two_hop_sizes(
-    graph: Graph, *, num_buckets: int | None = None
+    graph: Graph,
+    *,
+    num_buckets: int | None = None,
+    local_threshold: int | None = LOCAL_EDGE_THRESHOLD,
 ) -> ray.data.Dataset:
     """Distinct 2-hop neighborhood size per vertex: ``n1`` = |N(v)| and
     ``n2`` = |{u ≠ v : dist(v,u) ≤ 2}| on the undirected (canonical,
@@ -1015,9 +1047,13 @@ def two_hop_sizes(
     direct edges union in; ONE bucket dedup on (lo, hi) makes pairs
     distinct; per-vertex counts fold both endpoints. Pair volume is
     Σ_m deg(m)², so super-hub centers dominate — the same split/salt
-    limits as the wedge family apply (SURVEY §2.2 A7)."""
+    limits as the wedge family apply (SURVEY §2.2 A7). Below
+    ``local_threshold`` edges the identical wedge pass runs in-process
+    (the wedge-family hybrid rule)."""
     from flashray.joins import bucket_group_agg, pairs_within_groups
 
+    if local_threshold and graph.meta.num_edges <= local_threshold:
+        return ray.data.from_pandas(_local_two_hop(_local_und_pdf(graph)))
     B = num_buckets or max(16, graph.num_partitions)
     und = _canonical_undirected(graph).materialize()
 

@@ -722,6 +722,43 @@ def test_conductance_allow_partial_counts_unlabeled_as_cut(tmp_graphs):
         assert abs(row["conductance"] - want) < 1e-12, c
 
 
+def test_partition_metrics_local_distributed_agree(tmp_graphs):
+    """modularity/conductance hybrid: the in-process kernel and the
+    distributed dataflow produce identical scores and identical
+    validation errors."""
+    import pytest
+
+    graph, (src, dst) = tmp_graphs("er100", FIXES["er100"])
+    verts = sorted({int(v) for v in np.concatenate([src, dst])})
+    labels = pd.DataFrame(
+        {
+            "vertex_id": np.array(verts, dtype=np.int64),
+            "label": np.array([v % 3 for v in verts], dtype=np.int64),
+        }
+    )
+    q_loc = algorithms.modularity(graph, labels)
+    q_dist = algorithms.modularity(graph, labels, local_threshold=0)
+    assert abs(q_loc - q_dist) < 1e-12
+    c_loc = (
+        algorithms.conductance(graph, labels)
+        .to_pandas().sort_values("label").reset_index(drop=True)
+    )
+    c_dist = (
+        algorithms.conductance(graph, labels, local_threshold=0)
+        .to_pandas().sort_values("label").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(c_loc, c_dist)
+    # identical validation on both paths: duplicates and partial coverage
+    dup = pd.concat([labels, labels.head(1)], ignore_index=True)
+    for thr in (200_000, 0):
+        with pytest.raises(ValueError, match="duplicate vertex_id"):
+            algorithms.modularity(graph, dup, local_threshold=thr)
+        with pytest.raises(ValueError, match="labels cover"):
+            algorithms.conductance(
+                graph, labels.head(10), local_threshold=thr
+            )
+
+
 def test_percolation_curve_matches_bruteforce(tmp_path):
     """Hub removal by quantile-threshold rule vs a python union-find."""
     import math

@@ -136,9 +136,12 @@ def test_louvain_random_matches_replay_and_partition_invariant():
     )
     got = dict(zip(a["vertex_id"].astype(int), a["label"].astype(int)))
     assert got == want
+    # the distributed dataflow (hybrid local path disabled) agrees
+    # bit-exactly, under a different input partitioning
     b = (
         louvain_communities(
-            _sym_ds(src, dst).repartition(7), sweeps=3, num_buckets=16
+            _sym_ds(src, dst).repartition(7), sweeps=3, num_buckets=16,
+            local_threshold=0,
         )
         .to_pandas().sort_values("vertex_id").reset_index(drop=True)
     )
@@ -174,3 +177,12 @@ def test_louvain_two_levels_contraction_matches_replay():
         zip(got_df["vertex_id"].astype(int), got_df["label"].astype(int))
     )
     assert got == want
+    # distributed contraction path agrees with the local kernel
+    dist = (
+        louvain_communities(
+            _sym_ds(src, dst), sweeps=2, levels=2, num_buckets=4,
+            local_threshold=0,
+        )
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_df, dist)

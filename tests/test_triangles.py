@@ -419,6 +419,13 @@ def test_two_hop_sizes(graphs, name, fn):
         ball.discard(v)
         want[v] = (len(nb), len(ball))
     assert got == want
+    # the distributed dataflow (hybrid local path disabled) agrees
+    dist_df = triangles.two_hop_sizes(graph, local_threshold=0).to_pandas()
+    dist = {
+        int(r.vertex_id): (int(r.n1), int(r.n2))
+        for r in dist_df.itertuples()
+    }
+    assert dist == want
 
 
 def _bipartite_oracle(df, max_center_degree=None):

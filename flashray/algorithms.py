@@ -1251,6 +1251,58 @@ def percolation_curve(
 
     B = num_buckets or max(16, graph.num_partitions)
     und = _canonical_undirected(graph).materialize()
+    if local_threshold and und.count() <= local_threshold:
+        # full in-process mirror (identical quantile_disc threshold rule,
+        # strict-above removal, union-find giant): the per-fraction
+        # anti-join + sort machinery amortizes only past the threshold
+        import math
+
+        upd = und.to_pandas()
+        lo = upd["lo"].to_numpy(dtype=np.int64)
+        hi = upd["hi"].to_numpy(dtype=np.int64)
+        vid, cnt = np.unique(np.concatenate([lo, hi]), return_counts=True)
+        nv = len(vid)
+        sorted_deg = np.sort(cnt)
+        li = np.searchsorted(vid, lo)
+        hi_i = np.searchsorted(vid, hi)
+        rows = []
+        for f in fractions:
+            q = 1.0 - float(f)
+            idx = min(nv - 1, max(0, math.ceil(q * nv) - 1))
+            thr = int(sorted_deg[idx])
+            alive = cnt <= thr
+            n_removed = int(nv - alive.sum())
+            n_rem = nv - n_removed
+            em = alive[li] & alive[hi_i]
+            parent = np.arange(nv, dtype=np.int64)
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b2 in zip(li[em], hi_i[em]):
+                ra, rb = find(int(a)), find(int(b2))
+                if ra != rb:
+                    parent[ra] = rb
+            if em.any():
+                roots = np.fromiter(
+                    (find(int(i)) for i in range(nv)),
+                    dtype=np.int64, count=nv,
+                )
+                sizes = np.bincount(roots[alive], minlength=nv)
+                giant = int(sizes.max())
+            else:
+                giant = 1 if n_rem > 0 else 0
+            rows.append((float(f), thr, n_removed, int(n_rem), giant))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "fraction", "deg_thr", "n_removed", "n_remaining",
+                "giant_size",
+            ],
+        )
     deg = _deg_from_und(und).materialize()
     n_verts = deg.count()
     qs = sorted({1.0 - float(f) for f in fractions})

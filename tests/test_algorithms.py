@@ -814,3 +814,8 @@ def test_percolation_curve_matches_bruteforce(tmp_path):
         assert row["giant_size"] == giant, (f, row["giant_size"], giant)
     # the curve actually bites: removing 30% of hub-degree mass shrinks
     assert got.iloc[2]["giant_size"] < got.iloc[0]["giant_size"]
+    # distributed dataflow (hybrid local path disabled) agrees exactly
+    dist = algorithms.percolation_curve(
+        g, fracs, num_buckets=8, local_threshold=0
+    )
+    pd.testing.assert_frame_equal(got, dist)

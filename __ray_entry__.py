@@ -3255,6 +3255,30 @@ def _q_docs_bpe_token_stats(sf_dir: str):
     return out[["source", "n_words", "n_bpe_tokens"]]
 
 
+def _q_docs_bpe_pack(sf_dir: str):
+    """Sequence packing in TRAINED BPE units: per-doc BPE token counts
+    (zero-token docs keep a 0 row) laid out in doc_id order and cut
+    into 512-token packs — the token budget written in the unit the
+    tokenizer actually produces. One exact distributed prefix sum."""
+    from flashray.datapipe.bpe import bpe_doc_tokens
+    from flashray.datapipe.sketches import pack_sequences
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    dt = bpe_doc_tokens(docs, _bpe_model(sf_dir), num_buckets=32)
+    out = (
+        pack_sequences(dt, ["doc_id"], "n_bpe_tokens", 512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_bpe_tokens", "pack_id", "pack_offset"):
+        out[c] = out[c].astype(np.int64)
+    return out[["doc_id", "n_bpe_tokens", "pack_id", "pack_offset"]]
+
+
 def _q_docs_exact_substr(sf_dir: str):
     """Substring-level exact dedup (Lee et al. 2022 ExactSubstr,
     fixed-window mode): every 8-token window occurring >= 2 times in the
@@ -3630,6 +3654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_user": _q_louvain_user,
         "docs_bpe_merges": _q_docs_bpe_merges,
         "docs_bpe_token_stats": _q_docs_bpe_token_stats,
+        "docs_bpe_pack": _q_docs_bpe_pack,
     }
 
 
@@ -4017,6 +4042,30 @@ wl AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS bl
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(wl.bl) AS BIGINT) AS n_bpe_tokens
 FROM dw JOIN wl USING (word) GROUP BY 1"""
+
+
+def _bpe_pack_sql(rounds: int, seq_len: int) -> str:
+    return _bpe_chain_sql(rounds) + f""",
+dw AS (SELECT doc_id,
+              unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '')) AS word FROM documents),
+wl AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS bl
+       FROM q{int(rounds)} GROUP BY 1),
+dt AS (SELECT d.doc_id,
+              CAST(COALESCE(SUM(wl.bl), 0) AS BIGINT) AS n_bpe_tokens
+       FROM documents d
+       LEFT JOIN dw ON dw.doc_id = d.doc_id
+       LEFT JOIN wl ON wl.word = dw.word
+       GROUP BY 1),
+pre AS (SELECT doc_id, n_bpe_tokens,
+               COALESCE(SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS bef
+        FROM dt)
+SELECT doc_id, n_bpe_tokens,
+       CAST(bef // {int(seq_len)} AS BIGINT) AS pack_id,
+       CAST(bef % {int(seq_len)} AS BIGINT) AS pack_offset
+FROM pre"""
 
 
 def _edges_keys_sql() -> str:
@@ -5195,6 +5244,7 @@ FROM cn""",
         "louvain_user": _louvain_sql(2),
         "docs_bpe_merges": _bpe_merges_sql(8),
         "docs_bpe_token_stats": _bpe_stats_sql(8),
+        "docs_bpe_pack": _bpe_pack_sql(8, 512),
         # modularity of the user_id%5 partition: integer sufficient
         # statistics (within-edges, community degrees), one float expr
         "modularity_user_mod5": """

@@ -277,3 +277,106 @@ def bpe_token_stats(
          "n_bpe_tokens": ("n_bpe_tokens", "sum")},
         num_buckets=num_buckets,
     )
+
+
+def bpe_doc_tokens(
+    docs: ray.data.Dataset,
+    model: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-document token count in TRAINED BPE units: Dataset
+    (id_col, n_bpe_tokens) — one row per input doc, zero-token docs
+    included with 0. Feed to ``sketches.pack_sequences`` to pack
+    training sequences in the unit the token budget is written in.
+    Same dataflow as :func:`bpe_token_stats` keyed by the int64 doc id
+    (per-(doc, word) map-side pre-aggregation, one join against the
+    trained word-length table, one bucket aggregate), plus a zero-fill
+    union so empty docs keep their row."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").astype(str).str.split()
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            if int(n.sum())
+            else np.array([], dtype=object)
+        )
+        d = pd.DataFrame(
+            {
+                id_col: np.repeat(df[id_col].to_numpy(np.int64), n),
+                "word": flat,
+            }
+        )
+        return d.groupby([id_col, "word"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    gw = bucket_group_agg(
+        docs.map_batches(explode, batch_format="pandas"),
+        [id_col, "word"],
+        {"n": ("n", "sum")},
+        hash_keys=[id_col],
+        num_buckets=num_buckets,
+    )
+    S = pa.string()
+    j = bucket_hash_join(
+        gw,
+        model["word_tokens"].map_batches(
+            lambda b: b.select(["word", "n_bpe"]), batch_format="pyarrow"
+        ),
+        ["word"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [(id_col, pa.int64()), ("word", S), ("n", pa.int64())]
+        ),
+        right_schema=pa.schema([("word", S), ("n_bpe", pa.int64())]),
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                "n_bpe_tokens": df["n"].to_numpy(dtype=np.int64)
+                * df["n_bpe"].to_numpy(dtype=np.int64),
+            }
+        )
+        return d.groupby(id_col, as_index=False).sum()
+
+    counted = bucket_group_agg(
+        j.map_batches(fold, batch_format="pandas"),
+        [id_col],
+        {"n_bpe_tokens": ("n_bpe_tokens", "sum")},
+        num_buckets=num_buckets,
+    )
+    # zero-token docs never reach the join: anti-join the doc-id table
+    # and union zero rows so every input doc keeps exactly one row
+    from flashray.joins import bucket_semi_join
+
+    ids = docs.map_batches(
+        lambda b: pa.table({id_col: b[id_col].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    missing = bucket_semi_join(
+        ids,
+        counted.map_batches(
+            lambda b: b.select([id_col]), batch_format="pyarrow"
+        ),
+        [id_col],
+        anti=True,
+        num_buckets=num_buckets,
+        left_schema=pa.schema([(id_col, pa.int64())]),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                "n_bpe_tokens": pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return counted.union(missing)

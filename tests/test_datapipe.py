@@ -1460,3 +1460,25 @@ def test_bpe_token_stats_and_greedy_overlap_rule():
         assert srow.n_bpe_tokens == sum(
             len(want_v[w]) * c for w, c in words.items()
         )
+
+
+def test_bpe_doc_tokens_counts_and_zero_rows():
+    from flashray.datapipe import bpe
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": ["the cat", "the the hat", "", "banana", "cat cat cat"],
+        }
+    )
+    m = bpe.bpe_train(rd.from_pandas(docs), num_merges=4, num_buckets=4)
+    _, want_v = _bpe_replay(list(docs["text"]), 4)
+    got = (
+        bpe.bpe_doc_tokens(rd.from_pandas(docs), m, num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == list(range(5))
+    for i, txt in enumerate(docs["text"]):
+        want = sum(len(want_v[w]) for w in txt.split())
+        assert int(got.loc[i, "n_bpe_tokens"]) == want, i
+    assert int(got.loc[2, "n_bpe_tokens"]) == 0

@@ -3255,6 +3255,27 @@ def _q_docs_bpe_token_stats(sf_dir: str):
     return out[["source", "n_words", "n_bpe_tokens"]]
 
 
+def _q_dag_levels_user(sf_dir: str):
+    """Topological level (longest path from the sources) per vertex of
+    the user-succession DAG: monotone max-combine supersteps on the
+    engine (programs.DAGLevels); converges in longest-path supersteps,
+    raises on cyclic input. Oracle: recursive-CTE MAX-depth closure."""
+    from flashray.algorithms import dag_levels
+
+    g = _user_graph(sf_dir, symmetrize=False)
+    df = dag_levels(g)
+    return (
+        pd.DataFrame(
+            {
+                "user_id": df["vertex_id"].astype(np.int64),
+                "level": df["value"].astype(np.int64),
+            }
+        )
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_docs_bpe_pack(sf_dir: str):
     """Sequence packing in TRAINED BPE units: per-doc BPE token counts
     (zero-token docs keep a 0 row) laid out in doc_id order and cut
@@ -3655,6 +3676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": _q_docs_bpe_merges,
         "docs_bpe_token_stats": _q_docs_bpe_token_stats,
         "docs_bpe_pack": _q_docs_bpe_pack,
+        "dag_levels_user": _q_dag_levels_user,
     }
 
 
@@ -5245,6 +5267,24 @@ FROM cn""",
         "docs_bpe_merges": _bpe_merges_sql(8),
         "docs_bpe_token_stats": _bpe_stats_sql(8),
         "docs_bpe_pack": _bpe_pack_sql(8, 512),
+        # longest path from sources on the succession DAG: recursive
+        # closure carrying depth, MAX per vertex
+        "dag_levels_user": """
+WITH RECURSIVE
+b AS (SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+verts AS (SELECT DISTINCT u FROM
+          (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+r(v, d) AS (
+  SELECT u, 0 FROM verts
+  UNION
+  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v
+)
+SELECT CAST(v AS BIGINT) AS user_id, CAST(MAX(d) AS BIGINT) AS level
+FROM r GROUP BY 1""",
         # modularity of the user_id%5 partition: integer sufficient
         # statistics (within-edges, community degrees), one float expr
         "modularity_user_mod5": """

@@ -1358,3 +1358,29 @@ def percolation_curve(
             "giant_size": np.int64,
         }
     )
+
+
+def dag_levels(graph: Graph, *, max_iters: int = 10_000, out_dir=None,
+               checkpoint_dir=None, checkpoint_interval: int = 10,
+               resume: bool = False, actor_cpus=None):
+    """Topological level (longest-path depth from the sources) per
+    vertex of a DAG: (vertex_id, value). Raises ValueError when the
+    iteration cap is hit without convergence — the monotone max-combine
+    only fails to reach a fixpoint on cyclic input (or a path longer
+    than ``max_iters``); condense SCCs first for general graphs."""
+    from flashray.programs import DAGLevels
+
+    result = _frontier_loop(
+        graph, DAGLevels(), max_iters=max_iters, out_dir=out_dir,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        resume=resume, actor_cpus=actor_cpus,
+    )
+    lineage = getattr(result, "attrs", {}).get("lineage")
+    if lineage and lineage[-1].get("changed", 0) > 0:
+        raise ValueError(
+            f"dag_levels did not converge in {max_iters} supersteps — "
+            "the graph has a cycle (or a longer path); run "
+            "scc.condensation first"
+        )
+    return result

@@ -798,3 +798,43 @@ class DeltaPageRank(VertexProgram):
 
     def state_columns(self):
         return ["values", "pending", "active"]
+
+
+class DAGLevels(VertexProgram):
+    """Topological level / longest-path depth on a DAG (SURVEY §2.2
+    A-series complement — the critical-path stage index dependency and
+    curriculum schedulers run on after :mod:`flashray.scc`'s
+    condensation): ``level(v) = 0`` for in-degree-0 vertices, else
+    ``1 + max over in-neighbors`` — the length of the longest path
+    ending at v. Max-combine of ``level + 1`` along out-edges; on a DAG
+    the fixpoint arrives within longest-path-length supersteps (every
+    vertex seeds at 0 and levels only grow). Cyclic input never
+    converges — the :func:`flashray.algorithms.dag_levels` wrapper
+    raises at the iteration cap; run SCC condensation first for
+    general graphs.
+
+    ``stale_mirror_safe``: levels are monotone under max — a
+    one-superstep-late mirror delivery only delays convergence."""
+
+    combine = "max"
+    identity = 0  # real messages are level+1 >= 1; max(level, 0) = level
+    dtype = np.int64
+    frontier_only = True
+    stale_mirror_safe = True
+
+    def init_state(self, shard, N):
+        return {
+            "values": np.zeros(shard.nv, dtype=np.int64),
+            "active": np.ones(shard.nv, dtype=bool),
+        }
+
+    def signal(self, shard, state):
+        return state["values"] + 1
+
+    def apply(self, shard, state, agg, N):
+        new = np.maximum(state["values"], agg)
+        changed = new > state["values"]
+        state["values"] = new
+        state["active"] = changed
+        n = int(changed.sum())
+        return {"delta": float(n), "changed": n, "active": n}

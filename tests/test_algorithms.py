@@ -819,3 +819,41 @@ def test_percolation_curve_matches_bruteforce(tmp_path):
         g, fracs, num_buckets=8, local_threshold=0
     )
     pd.testing.assert_frame_equal(got, dist)
+
+
+def test_dag_levels_matches_longest_path_and_rejects_cycles(tmp_path):
+    # random DAG: edges only go low -> high
+    rng = np.random.default_rng(37)
+    src = rng.integers(0, 50, 300).astype(np.int64)
+    off = rng.integers(1, 8, 300).astype(np.int64)
+    dst = np.minimum(src + off, 59)
+    m = src != dst
+    src, dst = src[m], dst[m]
+    g = build_graph_from_arrays(
+        src, dst, str(tmp_path / "dag"), num_partitions=4
+    )
+    got = algorithms.dag_levels(g)
+    lev = dict(zip(got["vertex_id"].astype(int), got["value"].astype(int)))
+    # python longest-path via repeated relaxation
+    verts = sorted({int(v) for v in np.concatenate([src, dst])})
+    want = {v: 0 for v in verts}
+    for _ in range(len(verts)):
+        changed = False
+        for a, b in zip(src.tolist(), dst.tolist()):
+            if want[a] + 1 > want[b]:
+                want[b] = want[a] + 1
+                changed = True
+        if not changed:
+            break
+    assert lev == want
+    assert max(want.values()) > 2  # nontrivial depth
+    # a cycle must raise at the iteration cap
+    c_src = np.array([0, 1, 2], dtype=np.int64)
+    c_dst = np.array([1, 2, 0], dtype=np.int64)
+    gc = build_graph_from_arrays(
+        c_src, c_dst, str(tmp_path / "cyc"), num_partitions=2
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="cycle"):
+        algorithms.dag_levels(gc, max_iters=20)

@@ -203,6 +203,29 @@ def run_bench() -> dict:
     queries["random_walks"] = time.perf_counter() - t0
     extra["walk_rows"] = int(n_walk_rows)
 
+    # synchronous parallel Louvain (round 5): 2 sweeps on the symmetrized
+    # edge set — above the hybrid threshold this exercises the full
+    # 7-shuffle-per-sweep distributed dataflow
+    from flashray import joins
+    from flashray.louvain import louvain_communities
+
+    t0 = time.perf_counter()
+    sym_edges = g_sym.edges_dataset(columns=["src", "dst"])
+    lab = louvain_communities(sym_edges, sweeps=2, num_buckets=P)
+    n_comms = int(
+        joins.bucket_group_agg(
+            lab.map_batches(
+                lambda df: df[["label"]].drop_duplicates(),
+                batch_format="pandas",
+            ),
+            ["label"],
+            None,
+            num_buckets=P,
+        ).count()
+    )
+    queries["louvain"] = time.perf_counter() - t0
+    extra["louvain_communities"] = n_comms
+
     _datapipe_bench(queries, extra)
 
     # two-parallelism-level scaling evidence IN the machine-readable bench
@@ -310,6 +333,35 @@ def _datapipe_bench(queries: dict, extra: dict) -> None:
     surv = pretrain_corpus(docs, langs=("en",), concurrency=8).count()
     queries["pretrain_corpus"] = time.perf_counter() - t0
     extra["pretrain_survivors"] = int(surv)
+
+    # round-5 additions: substring-level exact dedup + corpus-trained BPE
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    es = dedup.exact_substr(docs, span_tokens=8, concurrency=8)
+    removed = int(
+        es.map_batches(
+            lambda df: df[["n_removed"]], batch_format="pandas"
+        ).sum("n_removed")
+        or 0
+    )
+    queries["exact_substr"] = time.perf_counter() - t0
+    extra["exact_substr_tokens_removed"] = removed
+
+    from flashray.datapipe import bpe
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    model = bpe.bpe_train(docs, num_merges=8)
+    wt = model["word_tokens"]
+    n_bpe = int(
+        wt.map_batches(
+            lambda df: df.assign(t=df["wcount"] * df["n_bpe"])[["t"]],
+            batch_format="pandas",
+        ).sum("t")
+        or 0
+    )
+    queries["bpe_train"] = time.perf_counter() - t0
+    extra["bpe_corpus_tokens"] = n_bpe
 
     emb = rd.read_parquet(emb_path)
     qvecs = None

@@ -307,13 +307,17 @@ def prototype_classify(
     ).to_pandas()
     if not len(parts):
         raise ValueError("prototype_classify over an empty dataset")
-    acc: dict[int, tuple[np.ndarray, int]] = {}
-    for _, r in parts.iterrows():
-        v = np.frombuffer(r["sums"], dtype=np.float64)
-        s, n = acc.get(int(r["lab"]), (0.0, 0))
-        acc[int(r["lab"])] = (s + v, n + int(r["n"]))
-    labels = np.array(sorted(acc), dtype=np.int64)
-    protos = np.stack([acc[int(l)][0] / acc[int(l)][1] for l in labels])
+    mats = np.stack(
+        [np.frombuffer(b, dtype=np.float64) for b in parts["sums"].to_numpy()]
+    )
+    labs = parts["lab"].to_numpy().astype(np.int64)
+    labels, inv = np.unique(labs, return_inverse=True)
+    sums = np.zeros((len(labels), mats.shape[1]))
+    np.add.at(sums, inv, mats)
+    cnts = np.bincount(
+        inv, weights=parts["n"].to_numpy().astype(np.float64)
+    )
+    protos = sums / cnts[:, None]
     ref = _ray.put(protos)
 
     def assign(b: pa.Table) -> pa.Table:

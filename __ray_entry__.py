@@ -994,6 +994,46 @@ def _q_louvain_user(sf_dir: str):
     )
 
 
+def _q_leiden_user(sf_dir: str):
+    """Louvain (2 sweeps) + Leiden connectivity refinement
+    (Traag/Waltman/van Eck 2019): every community is split into its
+    intra-community connected components, labeled by smallest vertex —
+    the refinement-phase guarantee that no returned community is
+    internally disconnected. SQL replay = the round-unrolled Louvain
+    body + a recursive min-root closure over equal-label edges."""
+    from flashray.louvain import leiden_refine, louvain_communities
+
+    edges = _user_succession_edges_cached(sf_dir)
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow")
+    labels = leiden_refine(
+        sym_edges,
+        louvain_communities(sym_edges, sweeps=2, num_buckets=16),
+        num_buckets=16,
+    )
+    df = labels.to_pandas()
+    return (
+        pd.DataFrame(
+            {
+                "user_id": df["vertex_id"].astype(np.int64),
+                "label": df["label"].astype(np.int64),
+            }
+        )
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_link_prediction_user(sf_dir: str):
     """Link-prediction scores (common neighbors / Jaccard / Adamic-Adar)
     for every NON-edge pair at distance 2 in the symmetrized
@@ -3682,6 +3722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": _q_docs_bpe_merges,
         "docs_bpe_pack": _q_docs_bpe_pack,
         "dag_levels_user": _q_dag_levels_user,
+        "leiden_user": _q_leiden_user,
     }
 
 
@@ -3944,14 +3985,19 @@ FROM {prev}"""
     return head + "," + ",".join(stages) + tail
 
 
-def _louvain_sql(sweeps: int) -> str:
+def _louvain_sql(sweeps: int, refined: bool = False) -> str:
     """Round-unrolled synchronous parallel Louvain over the symmetrized
     user graph (weights 1): per sweep, neighbor-community affinities +
     community degree totals + INTEGER gain
     ``2m·ew − k_v·(tot_C − k_v·[C = own])`` + ROW_NUMBER argmax
     (gain desc, stay-on-tie, label asc). A synthetic own-community
     candidate (ew = 0) per vertex mirrors the Ray side's union row, so
-    isolated-own cases rank identically. Every stage MATERIALIZED."""
+    isolated-own cases rank identically. Every stage MATERIALIZED.
+
+    ``refined=True`` appends the Leiden connectivity refinement: a
+    recursive min-root closure restricted to equal-label edges, so each
+    final community is an intra-community connected component labeled
+    by its smallest vertex (mirrors ``louvain.leiden_refine``)."""
     head = """
 WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
@@ -3991,6 +4037,17 @@ l{i} AS MATERIALIZED (SELECT v, cl AS lab FROM (
                      ORDER BY sc DESC, is_own DESC, cl) AS rn
        FROM sc{i}) WHERE rn = 1)""")
         prev = f"l{i}"
+    if refined:
+        body = head.replace("WITH", "WITH RECURSIVE", 1)
+        return body + "," + ",".join(stages) + f""",
+ie AS MATERIALIZED (SELECT e.s, e.d FROM e
+      JOIN {prev} a ON a.v = e.s JOIN {prev} c ON c.v = e.d
+      WHERE a.lab = c.lab AND e.s <> e.d),
+r AS (SELECT v, v AS root FROM {prev}
+      UNION
+      SELECT ie.d, r.root FROM r JOIN ie ON ie.s = r.v)
+SELECT CAST(v AS BIGINT) AS user_id, CAST(MIN(root) AS BIGINT) AS label
+FROM r GROUP BY 1"""
     tail = f"""
 SELECT CAST(v AS BIGINT) AS user_id, CAST(lab AS BIGINT) AS label
 FROM {prev}"""
@@ -5269,6 +5326,7 @@ FROM cn""",
         # LPA communities: 3 unrolled synchronous sweeps (count + argmax)
         "lpa_communities_user": _lpa_sql(3),
         "louvain_user": _louvain_sql(2),
+        "leiden_user": _louvain_sql(2, refined=True),
         "docs_bpe_merges": _bpe_merges_sql(8),
         "docs_bpe_token_stats": _bpe_stats_sql(8),
         "docs_bpe_pack": _bpe_pack_sql(8, 512),

@@ -186,3 +186,136 @@ def test_louvain_two_levels_contraction_matches_replay():
         .to_pandas().sort_values("vertex_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got_df, dist)
+
+
+def _refine_replay(edges_sym, labels):
+    """Python replay of leiden_refine: per community, connected
+    components over intra-community edges; label = component min."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges_sym:
+        if s == d or s not in labels or d not in labels:
+            continue
+        if labels[s] == labels[d]:
+            adj[s].add(d)
+            adj[d].add(s)
+    out = {}
+    for v in labels:
+        if v in out:
+            continue
+        comp, stack = {v}, [v]
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in comp:
+                    comp.add(w)
+                    stack.append(w)
+        m = min(comp)
+        for u in comp:
+            out[u] = m
+    return out
+
+
+def test_leiden_refine_splits_disconnected_community():
+    from flashray.louvain import leiden_refine
+
+    # one "community" (label 7) whose induced subgraph has two
+    # components {1,2} and {3,4} — the exact defect Leiden fixes
+    src = np.array([1, 3], dtype=np.int64)
+    dst = np.array([2, 4], dtype=np.int64)
+    labels = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "vertex_id": np.array([1, 2, 3, 4], dtype=np.int64),
+                "label": np.array([7, 7, 7, 7], dtype=np.int64),
+            }
+        )
+    )
+    got = (
+        leiden_refine(_sym_ds(src, dst), labels)
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    assert got["vertex_id"].tolist() == [1, 2, 3, 4]
+    assert got["label"].tolist() == [1, 1, 3, 3]
+
+
+def test_leiden_refine_distributed_matches_local_and_replay():
+    from flashray.louvain import leiden_refine
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 40, size=150).astype(np.int64)
+    dst = rng.randint(0, 40, size=150).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = _sym_ds(src, dst)
+    labels = louvain_communities(ds, sweeps=2, num_buckets=4)
+    lab_pdf = labels.to_pandas()
+    lmap = dict(zip(lab_pdf["vertex_id"].astype(int),
+                    lab_pdf["label"].astype(int)))
+    want = _refine_replay(
+        list(zip(src.tolist(), dst.tolist()))
+        + list(zip(dst.tolist(), src.tolist())),
+        lmap,
+    )
+    for thr in (200_000, None):  # local kernel vs distributed dataflow
+        got = (
+            leiden_refine(
+                ds,
+                rd.from_pandas(lab_pdf),
+                num_buckets=4,
+                local_threshold=thr,
+            )
+            .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+        )
+        assert dict(
+            zip(got["vertex_id"].astype(int), got["label"].astype(int))
+        ) == want
+
+
+def test_louvain_refine_kwarg_yields_connected_communities():
+    from flashray.louvain import leiden_refine
+
+    src, dst = _two_cliques()
+    got = (
+        louvain_communities(_sym_ds(src, dst), sweeps=4, num_buckets=4,
+                            refine=True)
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    lab = dict(zip(got["vertex_id"].astype(int), got["label"].astype(int)))
+    # refinement preserves the clean two-clique answer
+    assert len({lab[v] for v in range(5)}) == 1
+    assert len({lab[v] for v in range(10, 15)}) == 1
+    assert lab[0] != lab[10]
+    # labels follow the component-min convention
+    assert lab[0] == 0 and lab[10] == 10
+    # idempotent: refining an already-connected partition is a no-op
+    again = (
+        leiden_refine(_sym_ds(src, dst), rd.from_pandas(got),
+                      num_buckets=4)
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    assert again["label"].tolist() == got["label"].tolist()
+
+
+def test_leiden_refine_ignores_unlabeled_endpoints():
+    from flashray.louvain import leiden_refine
+
+    # edge 2-5 has an unlabeled endpoint (5): it cannot be
+    # intra-community; output covers exactly the labeled vertices
+    src = np.array([1, 2], dtype=np.int64)
+    dst = np.array([2, 5], dtype=np.int64)
+    labels = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "vertex_id": np.array([1, 2], dtype=np.int64),
+                "label": np.array([3, 3], dtype=np.int64),
+            }
+        )
+    )
+    got = (
+        leiden_refine(_sym_ds(src, dst), labels)
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    assert got["vertex_id"].tolist() == [1, 2]
+    assert got["label"].tolist() == [1, 1]

@@ -912,12 +912,10 @@ def embedding_diversity(
     ).to_pandas()
     if not len(parts) or parts["n"].sum() < 2:
         raise ValueError("embedding_diversity needs at least 2 vectors")
-    S = None
-    n = 0
-    for _, r in parts.iterrows():
-        v = np.frombuffer(r["s"], dtype=np.float64)
-        S = v if S is None else S + v
-        n += int(r["n"])
+    S = np.stack(
+        [np.frombuffer(b, dtype=np.float64) for b in parts["s"].to_numpy()]
+    ).sum(axis=0)
+    n = int(parts["n"].sum())
     mean_cos = (float(S @ S) - n) / (n * (n - 1))
     return pd.DataFrame(
         {"n": np.array([n], dtype=np.int64),

@@ -2625,6 +2625,35 @@ def _q_docs_mixture_report(sf_dir: str):
     return out
 
 
+def _q_docs_resample_mixture(sf_dir: str):
+    """Mixture resampling: downsample the corpus so per-lang token
+    shares target 2:1:1:1:1 (en:de:es:fr:zh). All-integer thresholds
+    (HUGEINT in the SQL replay) + sha hash-Bernoulli acceptance, so the
+    surviving doc set is bit-identical on both engines; compared as the
+    per-lang (n_docs, n_tokens) rollup."""
+    from flashray.datapipe.textstats import resample_mixture
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    out = resample_mixture(
+        docs,
+        {"en": 2, "de": 1, "es": 1, "fr": 1, "zh": 1},
+        group_col="lang",
+        num_buckets=8,
+    ).to_pandas()
+    agg = (
+        out.groupby("lang", as_index=False)
+        .agg(n_docs=("doc_id", "count"), n_tokens=("n_tokens", "sum"))
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    agg["n_tokens"] = agg["n_tokens"].astype(np.int64)
+    return agg
+
+
 def _q_docs_hashed_features(sf_dir: str):
     """Hashing-trick sparse features (d=64, signed): zero-shuffle
     per-doc encoding, sha-cell replayable in SQL."""
@@ -3723,6 +3752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_pack": _q_docs_bpe_pack,
         "dag_levels_user": _q_dag_levels_user,
         "leiden_user": _q_leiden_user,
+        "docs_resample_mixture": _q_docs_resample_mixture,
     }
 
 
@@ -5327,6 +5357,28 @@ FROM cn""",
         "lpa_communities_user": _lpa_sql(3),
         "louvain_user": _louvain_sql(2),
         "leiden_user": _louvain_sql(2, refined=True),
+        "docs_resample_mixture": """
+WITH d AS (SELECT doc_id, lang,
+        CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS t
+        FROM documents),
+w(lang, wt) AS (VALUES ('en', 2), ('de', 1), ('es', 1), ('fr', 1),
+                       ('zh', 1)),
+tg AS (SELECT d.lang, CAST(SUM(d.t) AS HUGEINT) AS T,
+              CAST(MAX(w.wt) AS HUGEINT) AS wt
+       FROM d JOIN w ON w.lang = d.lang GROUP BY 1),
+ws AS (SELECT CAST(SUM(wt) AS HUGEINT) AS W FROM tg),
+nn AS (SELECT MIN(T * ws.W // wt) AS N FROM tg, ws),
+thr AS (SELECT tg.lang,
+        (tg.wt * nn.N * CAST('18446744073709551616' AS HUGEINT))
+            // (ws.W * tg.T) AS thr
+        FROM tg, ws, nn),
+sel AS (SELECT d.lang, d.t FROM d JOIN thr ON thr.lang = d.lang
+        WHERE CAST(CAST(concat('0x', substr(sha256('mix|' ||
+              CAST(d.doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+              AS HUGEINT) < thr.thr)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS n_tokens
+FROM sel GROUP BY 1 ORDER BY 1""",
         "docs_bpe_merges": _bpe_merges_sql(8),
         "docs_bpe_token_stats": _bpe_stats_sql(8),
         "docs_bpe_pack": _bpe_pack_sql(8, 512),

@@ -1015,3 +1015,102 @@ def mixture_report(
         return df
 
     return agg.map_batches(share, batch_format="pandas")
+
+
+def resample_mixture(
+    docs,
+    weights: dict[str, int],
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    num_buckets: int = 64,
+):
+    """Deterministic downsample of a corpus to TARGET token-share ratios
+    (the mixture-adjustment step between `mixture_report` and training:
+    "resample so en:de:es:fr:zh token shares are 2:1:1:1:1"). Groups
+    absent from ``weights`` (or weighted 0) are dropped.
+
+    All arithmetic is EXACT INTEGER so the SQL replay is bit-identical
+    (the repo-wide integer-threshold convention; the oracle runs it in
+    HUGEINT):
+
+      W      = Σ weights
+      N      = min_g floor(T_g · W / w_g)   (largest feasible total
+               token budget given per-group supplies T_g — the binding
+               group is kept whole, every other group downsamples)
+      thr_g  = floor(w_g · N · 2⁶⁴ / (W · T_g))
+
+    and a document survives iff ``sha_u64(salt|doc_id) < thr_g`` — the
+    deterministic hash-Bernoulli acceptance used across the repo (no
+    RNG, identical under any partitioning). Expected surviving tokens
+    per group ≈ w_g·N/W, i.e. shares ∝ weights.
+
+    Dataflow: one map-side token-count partial + one O(groups) bucket
+    aggregate to the driver (thresholds are O(groups) ints), then one
+    streaming vectorized filter pass — the corpus itself never
+    collects. Returns a Dataset (id_col, group_col, n_tokens) of the
+    surviving documents."""
+    from flashray.datapipe.sketches import _sha_u64
+    from flashray.joins import bucket_group_agg
+
+    for g, w in weights.items():
+        if int(w) < 0:
+            raise ValueError(f"negative mixture weight for group {g!r}")
+    wpos = {str(g): int(w) for g, w in weights.items() if int(w) > 0}
+    if not wpos:
+        raise ValueError("resample_mixture needs at least one positive weight")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "g": df[group_col].astype(str),
+                "t": df[text_col].astype(str).str.findall(r"\S+").str.len()
+                .to_numpy(dtype=np.int64),
+            }
+        )
+        return d.groupby("g", as_index=False).agg(t=("t", "sum"))
+
+    totals = bucket_group_agg(
+        docs.select_columns([group_col, text_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["g"], {"t": ("t", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+    T = {str(g): int(t) for g, t in zip(totals["g"], totals["t"])}
+    empty = [g for g in wpos if T.get(g, 0) <= 0]
+    if empty:
+        raise ValueError(
+            f"mixture groups with no corpus tokens: {sorted(empty)}"
+        )
+    W = sum(wpos.values())
+    N = min((T[g] * W) // w for g, w in wpos.items())
+    thr = {g: (w * N * (1 << 64)) // (W * T[g]) for g, w in wpos.items()}
+    # thresholds that reach 2^64 mean p=1 (the binding group): split into
+    # a uint64-safe compare value + an accept-all flag so the filter pass
+    # stays fully vectorized
+    thr_u = {g: np.uint64(min(t, (1 << 64) - 1)) for g, t in thr.items()}
+    all_g = {g: t >= (1 << 64) for g, t in thr.items()}
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_col].astype(str)
+        t = (
+            df[text_col].astype(str).str.findall(r"\S+").str.len()
+            .to_numpy(dtype=np.int64)
+        )
+        h = _sha_u64([f"{salt}|{v}" for v in df[id_col].tolist()])
+        tv = g.map(thr_u).fillna(np.uint64(0)).to_numpy(dtype=np.uint64)
+        av = g.map(all_g).fillna(False).to_numpy(dtype=bool)
+        keep = av | (h < tv)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64)[keep],
+                group_col: g.to_numpy(dtype=object)[keep],
+                "n_tokens": t[keep],
+            }
+        )
+
+    return docs.select_columns([id_col, group_col, text_col]).map_batches(
+        filt, batch_format="pandas"
+    )

@@ -1482,3 +1482,66 @@ def test_bpe_doc_tokens_counts_and_zero_rows():
         want = sum(len(want_v[w]) for w in txt.split())
         assert int(got.loc[i, "n_bpe_tokens"]) == want, i
     assert int(got.loc[2, "n_bpe_tokens"]) == 0
+
+
+def test_resample_mixture_matches_integer_replay():
+    import hashlib
+
+    rows = []
+    for i in range(80):
+        lang = "en" if i % 3 else "de"
+        # varying token counts so group totals differ
+        rows.append((i, lang, " ".join(f"w{j}" for j in range(3 + i % 7))))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    ds = rd.from_pandas(pdf)
+    got = (
+        textstats.resample_mixture(
+            ds, {"en": 2, "de": 1}, group_col="lang", num_buckets=4
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    # exact integer replay
+    toks = pdf["text"].str.split().str.len()
+    T = pdf.assign(t=toks).groupby("lang")["t"].sum().to_dict()
+    W = 3
+    N = min(T["en"] * W // 2, T["de"] * W // 1)
+    thr = {g: (w * N * (1 << 64)) // (W * T[g])
+           for g, w in {"en": 2, "de": 1}.items()}
+    keep = []
+    for i, lang, text in rows:
+        h = int.from_bytes(
+            hashlib.sha256(f"mix|{i}".encode()).digest()[:8], "big"
+        )
+        if h < thr[lang]:
+            keep.append((i, lang, len(text.split())))
+    want = pd.DataFrame(keep, columns=["doc_id", "lang", "n_tokens"])
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    # the binding group (de has w=1 but ~1/3 of docs) keeps p=1 or the
+    # en group downsamples towards the 2:1 target — achieved shares move
+    # the right way vs the raw corpus
+    ach = got.groupby("lang")["n_tokens"].sum()
+    assert ach["en"] <= T["en"] and ach["de"] <= T["de"]
+
+
+def test_resample_mixture_drops_unweighted_groups_and_validates():
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "lang": ["en"] * 5 + ["zz"] * 5,
+            "text": ["a b c"] * 10,
+        }
+    )
+    ds = rd.from_pandas(pdf)
+    got = textstats.resample_mixture(
+        ds, {"en": 1}, group_col="lang", num_buckets=2
+    ).to_pandas()
+    assert set(got["lang"]) <= {"en"}
+    # the single weighted group is binding: p=1, everything kept
+    assert sorted(got["doc_id"]) == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        textstats.resample_mixture(ds, {"en": -1}, group_col="lang")
+    with pytest.raises(ValueError):
+        textstats.resample_mixture(ds, {"nope": 1}, group_col="lang")

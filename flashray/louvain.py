@@ -119,6 +119,139 @@ def _init_level(e, num_buckets):
     return labels, tm
 
 
+def _make_pick(tm):
+    """The per-vertex argmax (gain desc, stay-on-tie, label asc) shared
+    by the join and broadcast sweep paths — ONE rule, two dataflows."""
+    TM = np.int64(tm)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "vertex_id": pd.Series(dtype=np.int64),
+                    "label": pd.Series(dtype=np.int64),
+                    "kv": pd.Series(dtype=np.int64),
+                }
+            )
+        v = g["v"].to_numpy(dtype=np.int64)
+        cl = g["cl"].to_numpy(dtype=np.int64)
+        ewv = g["ew"].to_numpy(dtype=np.int64)
+        tot_cl = g["tot_cl"].to_numpy(dtype=np.int64)
+        own = g["own"].to_numpy(dtype=np.int64)
+        kv = g["kv"].to_numpy(dtype=np.int64)
+        is_own = cl == own
+        sc = TM * ewv - kv * (tot_cl - kv * is_own)
+        d = pd.DataFrame(
+            {
+                "vertex_id": v,
+                "label": cl,
+                "kv": kv,
+                "__sc": sc,
+                "__own": is_own.astype(np.int8),
+            }
+        )
+        d = d.sort_values(
+            ["vertex_id", "__sc", "__own", "label"],
+            ascending=[True, False, False, True],
+            kind="mergesort",
+        ).drop_duplicates("vertex_id")
+        return d[["vertex_id", "label", "kv"]].reset_index(drop=True)
+
+    return pick
+
+
+def _one_sweep_broadcast(e, labels, tm, num_buckets):
+    """One synchronous local-move sweep with the per-vertex (label, kv)
+    table BROADCAST via ``ray.put`` instead of joined: every worker
+    reads the O(V) state zero-copy from the object store, so the sweep
+    pays TWO bucket shuffles (the (v, cl) affinity aggregate + the
+    per-vertex argmax) instead of the join path's seven. Candidates and
+    the pick rule are BIT-IDENTICAL to :func:`_one_sweep` (agreement
+    test in tests/test_louvain.py); `louvain_communities` routes here
+    below ``broadcast_threshold`` vertices — the repo-wide 'broadcast
+    the small side, shuffle the big one' policy — and falls back to the
+    all-join dataflow above it (a billion-vertex graph's vertex state
+    no longer fits a broadcast)."""
+    import ray as _ray
+
+    lab_pdf = labels.to_pandas()
+    vs = lab_pdf["vertex_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(vs, kind="stable")
+    vs = vs[order]
+    lv = lab_pdf["label"].to_numpy(dtype=np.int64)[order]
+    kv = lab_pdf["kv"].to_numpy(dtype=np.int64)[order]
+    ulab, linv = np.unique(lv, return_inverse=True)
+    tot = np.zeros(len(ulab), dtype=np.int64)
+    np.add.at(tot, linv, kv)
+    ref = _ray.put((vs, lv, kv, ulab, tot))
+
+    def aff_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vs_, lv_, _kv, _ul, _tot = _ray.get(ref)
+        s = df["s"].to_numpy(dtype=np.int64)
+        d = df["d"].to_numpy(dtype=np.int64)
+        w = df["w"].to_numpy(dtype=np.int64)
+        ns = s != d
+        s, d, w = s[ns], d[ns], w[ns]
+        cl = lv_[np.searchsorted(vs_, d)]
+        return (
+            pd.DataFrame({"v": s, "cl": cl, "ew": w})
+            .groupby(["v", "cl"], as_index=False, sort=False)["ew"]
+            .sum()
+        )
+
+    ew = bucket_group_agg(
+        e.map_batches(aff_partial, batch_format="pandas"),
+        ["v", "cl"],
+        {"ew": ("ew", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def to_cand(df: pd.DataFrame) -> pd.DataFrame:
+        vs_, lv_, kv_, ulab_, tot_ = _ray.get(ref)
+        v = df["v"].to_numpy(dtype=np.int64)
+        cl = df["cl"].to_numpy(dtype=np.int64)
+        pv = np.searchsorted(vs_, v)
+        own = lv_[pv]
+        return pd.DataFrame(
+            {
+                "v": v,
+                "cl": cl,
+                "ew": df["ew"].to_numpy(dtype=np.int64),
+                "tot_cl": tot_[np.searchsorted(ulab_, cl)],
+                "own": own,
+                "kv": kv_[pv],
+                "tot_own": tot_[np.searchsorted(ulab_, own)],
+            }
+        )
+
+    def own_syn_b(df: pd.DataFrame) -> pd.DataFrame:
+        vs_, lv_, kv_, ulab_, tot_ = _ray.get(ref)
+        v = df["vertex_id"].to_numpy(dtype=np.int64)
+        pv = np.searchsorted(vs_, v)
+        own = lv_[pv]
+        tot_own = tot_[np.searchsorted(ulab_, own)]
+        return pd.DataFrame(
+            {
+                "v": v,
+                "cl": own,
+                "ew": np.zeros(len(v), dtype=np.int64),
+                "tot_cl": tot_own,
+                "own": own,
+                "kv": kv_[pv],
+                "tot_own": tot_own,
+            }
+        )
+
+    cand = ew.map_batches(to_cand, batch_format="pandas").union(
+        labels.map_batches(own_syn_b, batch_format="pandas")
+    )
+    return (
+        _decide_by(cand, _make_pick(tm), "v", num_buckets)
+        .repartition(num_buckets)
+        .materialize()
+    )
+
+
 def _one_sweep(e, labels, tm, num_buckets):
     """One synchronous local-move sweep; returns the new labels table."""
     esch = pa.schema([("s", _I64), ("d", _I64), ("w", _I64)])
@@ -248,43 +381,8 @@ def _one_sweep(e, labels, tm, num_buckets):
         batch_format="pyarrow",
     ).union(own_syn)
 
-    TM = np.int64(tm)
-
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    "vertex_id": pd.Series(dtype=np.int64),
-                    "label": pd.Series(dtype=np.int64),
-                    "kv": pd.Series(dtype=np.int64),
-                }
-            )
-        v = g["v"].to_numpy(dtype=np.int64)
-        cl = g["cl"].to_numpy(dtype=np.int64)
-        ewv = g["ew"].to_numpy(dtype=np.int64)
-        tot_cl = g["tot_cl"].to_numpy(dtype=np.int64)
-        own = g["own"].to_numpy(dtype=np.int64)
-        kv = g["kv"].to_numpy(dtype=np.int64)
-        is_own = cl == own
-        sc = TM * ewv - kv * (tot_cl - kv * is_own)
-        d = pd.DataFrame(
-            {
-                "vertex_id": v,
-                "label": cl,
-                "kv": kv,
-                "__sc": sc,
-                "__own": is_own.astype(np.int8),
-            }
-        )
-        d = d.sort_values(
-            ["vertex_id", "__sc", "__own", "label"],
-            ascending=[True, False, False, True],
-            kind="mergesort",
-        ).drop_duplicates("vertex_id")
-        return d[["vertex_id", "label", "kv"]].reset_index(drop=True)
-
     return (
-        _decide_by(cand, pick, "v", num_buckets)
+        _decide_by(cand, _make_pick(tm), "v", num_buckets)
         .repartition(num_buckets)
         .materialize()
     )
@@ -400,6 +498,7 @@ def louvain_communities(
     dst_col: str = "dst",
     weight_col: str | None = None,
     local_threshold: int | None = 200_000,
+    broadcast_threshold: int | None = 5_000_000,
     refine: bool = False,
 ) -> ray.data.Dataset:
     """Run ``levels`` Louvain levels of ``sweeps`` synchronous local-move
@@ -412,7 +511,12 @@ def louvain_communities(
     levels=1). Below ``local_threshold`` edge rows the IDENTICAL rule
     runs as one in-process vectorized kernel (the repo-wide hybrid
     policy — ~7 bucket shuffles per sweep amortize only past it);
-    0/None forces the distributed dataflow. ``refine=True`` applies the
+    0/None forces the distributed dataflow. On the distributed path the
+    per-level sweep broadcasts the O(V) vertex state via ``ray.put``
+    while the level has <= ``broadcast_threshold`` vertices (2 bucket
+    shuffles per sweep) and switches to the all-join dataflow (7
+    shuffles, no driver-resident state) above it — the same rule,
+    agreement-tested. ``refine=True`` applies the
     Leiden connectivity refinement (:func:`leiden_refine`) to the final
     labels: each community is split into its intra-community connected
     components, so every returned community is internally connected."""
@@ -429,8 +533,15 @@ def louvain_communities(
     mapping = None  # original vertex -> current-level community
     lsch = pa.schema([("vertex_id", _I64), ("label", _I64)])
     for lvl in range(int(levels)):
+        # broadcast the O(V) vertex state when it fits (2 shuffles per
+        # sweep); join it when it doesn't (7 shuffles, no driver state)
+        sweep = (
+            _one_sweep_broadcast
+            if broadcast_threshold and labels.count() <= broadcast_threshold
+            else _one_sweep
+        )
         for _ in range(int(sweeps)):
-            labels = _one_sweep(e, labels, tm, num_buckets)
+            labels = sweep(e, labels, tm, num_buckets)
         flat = labels.map_batches(
             lambda b: b.select(["vertex_id", "label"]),
             batch_format="pyarrow",

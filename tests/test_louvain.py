@@ -136,8 +136,8 @@ def test_louvain_random_matches_replay_and_partition_invariant():
     )
     got = dict(zip(a["vertex_id"].astype(int), a["label"].astype(int)))
     assert got == want
-    # the distributed dataflow (hybrid local path disabled) agrees
-    # bit-exactly, under a different input partitioning
+    # the distributed BROADCAST sweep path (hybrid local path disabled)
+    # agrees bit-exactly, under a different input partitioning
     b = (
         louvain_communities(
             _sym_ds(src, dst).repartition(7), sweeps=3, num_buckets=16,
@@ -146,6 +146,15 @@ def test_louvain_random_matches_replay_and_partition_invariant():
         .to_pandas().sort_values("vertex_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+    # and the all-JOIN sweep path (broadcast also disabled) agrees too
+    c = (
+        louvain_communities(
+            _sym_ds(src, dst), sweeps=3, num_buckets=4,
+            local_threshold=0, broadcast_threshold=0,
+        )
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, c)
 
 
 def test_louvain_two_levels_contraction_matches_replay():

@@ -1077,6 +1077,7 @@ def exact_substr(
     min_count: int = 2,
     num_buckets: int = 64,
     concurrency: int = 4,
+    broadcast_threshold: int | None = 2_000_000,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> ray.data.Dataset:
@@ -1090,8 +1091,13 @@ def exact_substr(
     units miss. Returns one row per input document:
     (doc_id, n_tokens, n_removed, text_clean).
 
-    No suffix array is materialized. Dataflow (4 bucket shuffles, all
-    O(total tokens) rows):
+    No suffix array is materialized. Below ``broadcast_threshold`` rows
+    the duplicated-key set and the merged-run table are BROADCAST via
+    ``ray.put`` (they are O(repeated spans) / O(boilerplate regions),
+    tiny next to the corpus), cutting the dataflow to 2 bucket shuffles
+    (span-stats aggregate + per-doc run grouping) with a shuffle-free
+    streaming rewrite; above it the full join dataflow runs (4 bucket
+    shuffles, all O(total tokens) rows):
       1. span hashes: per-batch flat token array + doc index, window
          hash = the MinHash shingle chain (``sm(...sm(sm(c_0)^c_1)...``)
          over sha-derived word codes — L vectorized passes, never a
@@ -1189,11 +1195,33 @@ def exact_substr(
         batch_format="pyarrow",
     )
 
-    occ = bucket_semi_join(
-        spans, dup, ["ghash"],
-        num_buckets=num_buckets,
-        left_schema=pa.schema([(id_col, I64), ("pos", I64), ("ghash", I64)]),
-    )
+    # the duplicated-span key set is usually TINY relative to the corpus
+    # (only spans repeated >= min_count ship a key): below the threshold,
+    # broadcast it via ray.put and filter map-side — one shuffle saved;
+    # above it, the bucketed semi-join (boilerplate-saturated corpora)
+    dup = dup.materialize()
+    if broadcast_threshold and dup.count() <= broadcast_threshold:
+        dk = np.sort(dup.to_pandas()["ghash"].to_numpy(dtype=np.int64))
+        dref = ray.put(dk)
+
+        def occ_filter(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(dref)
+            g = df["ghash"].to_numpy(dtype=np.int64)
+            p = np.searchsorted(keys, g)
+            hit = (p < len(keys)) & (
+                keys[np.minimum(p, max(len(keys) - 1, 0))] == g
+            ) if len(keys) else np.zeros(len(g), dtype=bool)
+            return df[hit]
+
+        occ = spans.map_batches(occ_filter, batch_format="pandas")
+    else:
+        occ = bucket_semi_join(
+            spans, dup, ["ghash"],
+            num_buckets=num_buckets,
+            left_schema=pa.schema(
+                [(id_col, I64), ("pos", I64), ("ghash", I64)]
+            ),
+        )
 
     def to_runs(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -1233,9 +1261,57 @@ def exact_substr(
             }
         )[[id_col, "run_s", "run_e"]]
 
-    runs = _decide_bucketed(occ, to_runs, id_col, num_buckets)
+    runs = _decide_bucketed(occ, to_runs, id_col, num_buckets).materialize()
 
     base = docs.select_columns([id_col, text_col])
+    # the merged-run table is O(distinct boilerplate regions), usually
+    # far smaller than the corpus: below the threshold broadcast it and
+    # rewrite docs in ONE shuffle-free streaming pass (saves the text
+    # re-attach join + the per-doc grouping shuffle)
+    if broadcast_threshold and runs.count() <= broadcast_threshold:
+        rp = runs.to_pandas().sort_values(
+            [id_col, "run_s"], kind="mergesort"
+        )
+        rref = ray.put(
+            (
+                rp[id_col].to_numpy(dtype=np.int64),
+                rp["run_s"].to_numpy(dtype=np.int64),
+                rp["run_e"].to_numpy(dtype=np.int64),
+            )
+        )
+
+        def rebuild_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            rid_, rs_, re_ = ray.get(rref)
+            ids_, nts, nrs, cleans = [], [], [], []
+            for did, text in zip(
+                df[id_col].to_numpy(dtype=np.int64),
+                df[text_col].fillna(""),
+            ):
+                toks = str(text).split()
+                nt = len(toks)
+                lo = np.searchsorted(rid_, did, side="left")
+                hi = np.searchsorted(rid_, did, side="right")
+                if lo == hi:
+                    ids_.append(did); nts.append(nt); nrs.append(0)
+                    cleans.append(" ".join(toks))
+                    continue
+                keep = np.ones(nt, dtype=bool)
+                for a, b in zip(rs_[lo:hi], re_[lo:hi]):
+                    keep[a:b] = False
+                ids_.append(did); nts.append(nt)
+                nrs.append(int((~keep).sum()))
+                cleans.append(" ".join(t for t, k in zip(toks, keep) if k))
+            return pd.DataFrame(
+                {
+                    id_col: np.asarray(ids_, dtype=np.int64),
+                    "n_tokens": np.asarray(nts, dtype=np.int64),
+                    "n_removed": np.asarray(nrs, dtype=np.int64),
+                    "text_clean": pd.Series(cleans, dtype=object),
+                }
+            )
+
+        return base.map_batches(rebuild_bcast, batch_format="pandas")
+
     j = bucket_hash_join(
         base, runs, [id_col],
         how="left",

@@ -1363,6 +1363,13 @@ def test_exact_substr_random_matches_replay_and_partition_invariant():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+    # the all-join fallback (broadcast disabled) agrees bit-exactly
+    c = (
+        dedup.exact_substr(rd.from_pandas(docs), span_tokens=4,
+                           num_buckets=4, broadcast_threshold=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, c)
 
 
 def _bpe_replay(texts, rounds):

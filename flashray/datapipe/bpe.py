@@ -93,19 +93,82 @@ def encode_word(word: str, merges: pd.DataFrame) -> list[int]:
     return flat.tolist()
 
 
+def _bpe_train_local(vdf: pd.DataFrame, num_merges: int) -> dict:
+    """In-process merge loop over the collapsed (word, wcount, toks)
+    vocabulary — the SAME ``_flatten``/``_greedy_merge_flat`` kernels the
+    distributed rounds run per batch, applied to the whole vocab at once
+    (batch boundaries never affect pair counts or the rewrite, so the
+    result is bit-identical — agreement-tested)."""
+    merges = []
+    for r in range(int(num_merges)):
+        flat, _, wix = _flatten(vdf["toks"])
+        if len(flat) < 2:
+            break
+        m = wix[:-1] == wix[1:]
+        wc = vdf["wcount"].to_numpy(dtype=np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "a": flat[:-1][m],
+                    "b": flat[1:][m],
+                    "c": wc[wix[:-1][m]],
+                }
+            )
+            .groupby(["a", "b"], as_index=False)["c"]
+            .sum()
+        )
+        if not len(g):
+            break
+        best = g.sort_values(
+            ["c", "a", "b"], ascending=[False, True, True]
+        ).iloc[0]
+        a, b, c = int(best["a"]), int(best["b"]), int(best["c"])
+        if c < 2:
+            break
+        nid = NEW_ID_BASE + r
+        merges.append((r, a, b, nid, c))
+        flat, wix = _greedy_merge_flat(flat, wix, a, b, nid)
+        vdf = vdf.assign(toks=_rebuild_lists(flat, wix, len(vdf)))
+    word_tokens = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "word": vdf["word"].to_numpy(dtype=object),
+                "wcount": vdf["wcount"].to_numpy(dtype=np.int64),
+                "n_bpe": vdf["toks"].str.len().to_numpy(dtype=np.int64),
+            }
+        )
+    )
+    return {
+        "merges": pd.DataFrame(
+            merges,
+            columns=["rank", "left_id", "right_id", "new_id", "count"],
+        ).astype(np.int64),
+        "word_tokens": word_tokens,
+    }
+
+
 def bpe_train(
     docs: ray.data.Dataset,
     *,
     num_merges: int = 8,
     text_col: str = "text",
     num_buckets: int = 64,
+    local_threshold: int | None = 2_000_000,
 ) -> dict:
     """Train codepoint-level BPE on the whitespace-token vocabulary of
     ``docs``. Returns ``{"merges": pd.DataFrame(rank, left_id, right_id,
     new_id, count) — the model, driver-small; "word_tokens": Dataset
     (word, wcount, n_bpe) — every distinct corpus word with its
     occurrence count and final BPE token count}``. Training may stop
-    early when no pair occurs twice."""
+    early when no pair occurs twice.
+
+    The corpus collapses ONCE (distributed) to the (word, wcount)
+    vocabulary; when that vocab is <= ``local_threshold`` rows the merge
+    rounds run in-process on the driver (the repo-wide hybrid policy —
+    the vocab of even a web-scale corpus is millions of rows, not
+    billions, and each distributed round otherwise pays a fixed bucket
+    shuffle), bit-identical to the distributed rounds; 0/None forces the
+    per-round distributed dataflow."""
 
     def word_partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].fillna("").astype(str).str.split()
@@ -130,6 +193,9 @@ def bpe_train(
         ),
         batch_format="pandas",
     ).materialize()
+
+    if local_threshold and vocab.count() <= local_threshold:
+        return _bpe_train_local(vocab.to_pandas(), num_merges)
 
     merges = []
     for r in range(int(num_merges)):

@@ -1434,6 +1434,18 @@ def test_bpe_train_matches_replay_and_partition_invariant():
         rd.from_pandas(docs).repartition(7), num_merges=8, num_buckets=16
     )
     pd.testing.assert_frame_equal(m["merges"], m2["merges"])
+    # the per-round distributed dataflow (local path disabled) agrees
+    m3 = bpe.bpe_train(
+        rd.from_pandas(docs), num_merges=8, num_buckets=4,
+        local_threshold=0,
+    )
+    pd.testing.assert_frame_equal(m["merges"], m3["merges"])
+    wt3 = m3["word_tokens"].to_pandas().sort_values("word").reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        wt.sort_values("word").reset_index(drop=True), wt3
+    )
 
 
 def test_bpe_token_stats_and_greedy_overlap_rule():

@@ -43,8 +43,12 @@ def pretrain_corpus(
     dedup winner is the global lowest id among copies, kept or not), so
     the three passes run independently — one content-hash bucket
     shuffle (dedup), two stateless actor-pool passes (quality, langid)
-    — and intersect through two id semi-joins. Nothing re-reads text
-    after its pass and no stage depends on another's output order.
+    — and intersect through two id semi-joins (streamed corpora) or a
+    broadcast map-side id intersection (pinned-size corpora — the id
+    sets are O(docs) int64s, so below ``materialize_threshold`` they
+    ship once via ray.put and the two shuffles disappear). Nothing
+    re-reads text after its pass and no stage depends on another's
+    output order.
 
     The (id, text) projection is pinned in the object store ONLY below
     ``materialize_threshold`` rows (the repo-wide hybrid idiom): small
@@ -58,10 +62,11 @@ def pretrain_corpus(
     from flashray.joins import bucket_semi_join
 
     base = docs.select_columns([id_col, text_col])
-    if (
+    small = (
         materialize_threshold is not None
         and base.count() <= materialize_threshold
-    ):
+    )
+    if small:
         base = base.materialize()
 
     keep_ids = exact_dedup(
@@ -102,6 +107,32 @@ def pretrain_corpus(
         batch_format="pandas",
         concurrency=_util.pool_size(concurrency),
     ).map_batches(lang_gate, batch_format="pandas")
+
+    if small:
+        # the survivor id sets are O(docs) int64s: on a pinned-size corpus
+        # broadcast them via ray.put and intersect map-side — the two
+        # bucket semi-joins disappear (same keep rule, agreement via the
+        # docs_pretrain_corpus oracle + pipeline tests)
+        import ray as _ray
+
+        kset = np.sort(keep_ids.to_pandas()[id_col].to_numpy(np.int64))
+        qset = np.sort(q_ids.to_pandas()[id_col].to_numpy(np.int64))
+        ref = _ray.put((kset, qset))
+
+        def _in_sorted(keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
+            if not len(keys):
+                return np.zeros(len(ids), dtype=bool)
+            p = np.searchsorted(keys, ids)
+            return (p < len(keys)) & (
+                keys[np.minimum(p, len(keys) - 1)] == ids
+            )
+
+        def gate_ids(df: pd.DataFrame) -> pd.DataFrame:
+            ks, qs = _ray.get(ref)
+            ids = df[id_col].to_numpy(dtype=np.int64)
+            return df[_in_sorted(ks, ids) & _in_sorted(qs, ids)]
+
+        return lang.map_batches(gate_ids, batch_format="pandas")
 
     lsch = pa.schema([(id_col, pa.int64()), ("lang_pred", pa.string())])
     out = bucket_semi_join(

@@ -194,6 +194,21 @@ class _StepSink:
         return first.union(*rest) if rest else first
 
 
+def _csr_arrays(e: ray.data.Dataset):
+    """Collapse the edge table to CSR-style arrays (sorted unique srcs,
+    per-src [start, end) into the (src, dst)-sorted dst array) for the
+    broadcast walk path."""
+    ep = e.to_pandas()
+    s = ep["src"].to_numpy(dtype=np.int64)
+    d = ep["dst"].to_numpy(dtype=np.int64)
+    o = np.lexsort((d, s))
+    s, d = s[o], d[o]
+    srt = np.unique(s)
+    return srt, np.searchsorted(s, srt, side="left"), np.searchsorted(
+        s, srt, side="right"
+    ), d
+
+
 def random_walks(
     edges: ray.data.Dataset,
     *,
@@ -205,6 +220,7 @@ def random_walks(
     src_col: str = "src",
     dst_col: str = "dst",
     out_dir: str | None = None,
+    csr_threshold: int | None = 20_000_000,
 ) -> ray.data.Dataset:
     """Generate ``walks_per_vertex`` deterministic walks of up to
     ``walk_len`` steps from every vertex. Returns a Dataset of rows
@@ -213,7 +229,17 @@ def random_walks(
     :func:`corpus_pandas` on small graphs; write to parquet for a
     training corpus otherwise). ``out_dir`` streams each step's rows to
     ``out_dir/step_t/`` parquet instead of holding them in the object
-    store."""
+    store.
+
+    Below ``csr_threshold`` edge rows the adjacency is broadcast ONCE
+    as CSR arrays via ``ray.put`` (workers read it zero-copy from the
+    object store — the FlashGraph CSR-residency idea on the Dataset
+    path) and every step is a single shuffle-free ``map_batches`` over
+    the frontier: each walk's argmin-(priority, dst) choice is local to
+    its row. Above the threshold each step pays the bucket join + the
+    per-walk grouping shuffle (the adjacency no longer fits a
+    broadcast). Both paths compute the IDENTICAL next vertex
+    (agreement-tested)."""
     e = _edges_i64(edges, src_col, dst_col)
     wpv = int(walks_per_vertex)
     frontier = _seed_frontier(e, wpv, num_buckets, with_prev=False)
@@ -222,6 +248,66 @@ def random_walks(
 
     fr_schema = pa.schema([("walk_id", _I64), ("v", _I64)])
     e_schema = pa.schema([("src", _I64), ("dst", _I64)])
+
+    if csr_threshold and e.count() <= csr_threshold:
+        import ray as _ray
+
+        ref = _ray.put(_csr_arrays(e))
+
+        def _empty_frontier() -> pa.Table:
+            return pa.table(
+                {
+                    "walk_id": pa.array([], type=_I64),
+                    "v": pa.array([], type=_I64),
+                }
+            )
+
+        for t in range(1, int(walk_len) + 1):
+
+            def step(b: pa.Table, _t=t) -> pa.Table:
+                srt_, st_, en_, dst_ = _ray.get(ref)
+                w = b["walk_id"].to_numpy(zero_copy_only=False)
+                v = b["v"].to_numpy(zero_copy_only=False)
+                if not len(w) or not len(srt_):
+                    return _empty_frontier()
+                p = np.searchsorted(srt_, v)
+                has = (p < len(srt_)) & (
+                    srt_[np.minimum(p, len(srt_) - 1)] == v
+                )
+                w, p = w[has], p[has]  # dead-end walks end naturally
+                if not len(w):
+                    return _empty_frontier()
+                deg = en_[p] - st_[p]
+                tot = int(deg.sum())
+                seg = np.repeat(np.arange(len(w), dtype=np.int64), deg)
+                starts = np.concatenate(
+                    [[0], np.cumsum(deg)[:-1]]
+                ).astype(np.int64)
+                idx = (
+                    np.repeat(st_[p], deg)
+                    + np.arange(tot, dtype=np.int64)
+                    - np.repeat(starts, deg)
+                )
+                nb = dst_[idx]
+                pri = _priority(w[seg], _t, nb, salt, hash_fn)
+                order = np.lexsort((nb, pri, seg))
+                first = np.r_[True, seg[order][1:] != seg[order][:-1]]
+                win = order[first]
+                return pa.table(
+                    {
+                        "walk_id": pa.array(w[seg[win]], type=_I64),
+                        "v": pa.array(nb[win], type=_I64),
+                    }
+                )
+
+            frontier = frontier.map_batches(
+                step, batch_format="pyarrow"
+            ).materialize()
+            if frontier.count() == 0:
+                break
+            sink.add(_frontier_rows(frontier, t), t)
+
+        return sink.result()
 
     for t in range(1, int(walk_len) + 1):
         cand = bucket_hash_join(

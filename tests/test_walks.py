@@ -85,6 +85,12 @@ def test_walks_partition_invariant_and_multiwalk():
     w0 = list(a[a["walk_id"] == 0]["vertex_id"])
     w1 = list(a[a["walk_id"] == 1]["vertex_id"])
     assert w0[0] == w1[0] == 0
+    # the per-step join dataflow (broadcast-CSR path disabled) agrees
+    c = walks.corpus_pandas(walks.random_walks(
+        rd.from_pandas(df), walk_len=6, walks_per_vertex=3,
+        csr_threshold=0,
+    ))
+    pd.testing.assert_frame_equal(a, c)
 
 
 def _replay_node2vec(src, dst, walk_len, p, q, salt=""):

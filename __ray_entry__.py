@@ -3587,6 +3587,30 @@ def _q_events_markov(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_four_cliques_user(sf_dir: str):
+    """Per-vertex 4-clique participation counts over the symmetrized
+    user-succession graph: the triangle wedge dataflow extended one clique
+    order up (adjacent center pairs sharing a closing edge — each 4-clique
+    found exactly once). Oracle: 6-way canonical-edge self-join."""
+    from flashray import triangles as tri
+
+    g = _user_graph(sf_dir, symmetrize=True)
+    df = tri.four_cliques(g).to_pandas()
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype=np.int64),
+                "cliques4": pd.Series([], dtype=np.int64),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "user_id": df["vertex_id"].astype(np.int64),
+            "cliques4": df["cliques4"].astype(np.int64),
+        }
+    ).sort_values("user_id").reset_index(drop=True)
+
+
 def _q_two_hop_user(sf_dir: str):
     """Distinct ≤2-hop neighborhood size per vertex of the user graph
     (wedge-pair dedup dataflow). Output (user_id, n1, n2)."""
@@ -3753,6 +3777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_levels_user": _q_dag_levels_user,
         "leiden_user": _q_leiden_user,
         "docs_resample_mixture": _q_docs_resample_mixture,
+        "four_cliques_user": _q_four_cliques_user,
     }
 
 
@@ -5335,6 +5360,28 @@ FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id""",
         # = depth + 1 idempotent margin — fewer rounds keeps the unrolled
         # statement small enough that no DuckDB build chokes on it
         "ktruss_user": _ktruss_sql(4, 4),
+        # 4-cliques: canonical edges are already (src < dst), so quadruples
+        # p<q<r<s with all six edges present enumerate each clique once;
+        # per-vertex counts = unpivot the 4 member columns
+        "four_cliques_user": """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+q AS (
+  SELECT e1.src AS p, e1.dst AS qv, e2.dst AS r, e3.dst AS s
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst > e2.dst
+  JOIN e e4 ON e4.src = e1.dst AND e4.dst = e2.dst
+  JOIN e e5 ON e5.src = e1.dst AND e5.dst = e3.dst
+  JOIN e e6 ON e6.src = e2.dst AND e6.dst = e3.dst
+),
+m AS (SELECT p AS v FROM q UNION ALL SELECT qv FROM q
+      UNION ALL SELECT r FROM q UNION ALL SELECT s FROM q)
+SELECT CAST(v AS BIGINT) AS user_id, COUNT(*) AS cliques4
+FROM m GROUP BY 1 ORDER BY 1""",
         "katz_user": _katz_sql(0.0625, 6),
         "eigenvector_user": _eigenvector_sql(4),
         "hits_user": _hits_sql(2),

@@ -1313,3 +1313,194 @@ def triangle_count_sampled(
         "p": float(p),
         "threshold": int(thr),
     }
+
+
+# ---------------------------------------------------------------------------
+# 4-clique counting (k-clique k=4 on the triangle machinery)
+# ---------------------------------------------------------------------------
+#
+# A 4-clique {p,q,r,s} in (deg,id) orientation p<q<r<s contains exactly two
+# triangles whose CLOSING edge is (r,s): (p;r,s) and (q;r,s) — their centers
+# p,q are adjacent. No other closing edge of the clique carries two of its
+# centers, so: 4-cliques == adjacent center pairs among triangles grouped by
+# closing edge, each clique found EXACTLY once. This reuses the wedge
+# dataflow wholesale: one extra groupby on the closing edge + one extra
+# bucketed semi-join against the oriented edge set — no new shuffle shapes.
+
+
+def _center_pair_codes(
+    w1: np.ndarray, w2: np.ndarray, c: np.ndarray
+) -> pd.DataFrame:
+    """Pairs of triangle centers sharing a closing edge (vectorized).
+
+    Input rows are closed wedges (w1, w2, center); output rows are
+    candidate 4-cliques (lo, hi, e1, e2) where (lo, hi) = the center pair
+    (id-canonical, pending the adjacency probe) and (e1, e2) = the shared
+    closing edge. Centers are distinct per closing edge (triangles are
+    unique), so pairs_within_groups emits each unordered pair once."""
+    if len(w1) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return pd.DataFrame({"lo": z, "hi": z, "e1": z, "e2": z})
+    order = np.lexsort((c, w2, w1))
+    w1s, w2s, cs = w1[order], w2[order], c[order]
+    change = np.empty(len(w1s), dtype=bool)
+    change[0] = True
+    change[1:] = (w1s[1:] != w1s[:-1]) | (w2s[1:] != w2s[:-1])
+    code = np.cumsum(change) - 1
+    c1, c2, codep = pairs_within_groups(code, cs)
+    starts = np.flatnonzero(change)
+    return pd.DataFrame(
+        {
+            "lo": c1,  # ascending within group -> already id-canonical
+            "hi": c2,
+            "e1": w1s[starts][codep],
+            "e2": w2s[starts][codep],
+        }
+    )
+
+
+def _local_four_clique_counts(und: pd.DataFrame) -> pd.DataFrame:
+    """In-process mirror of the distributed 4-clique dataflow (same
+    orientation, same center-pair rule, same adjacency probe)."""
+    lo = und["lo"].to_numpy(dtype=np.int64)
+    hi = und["hi"].to_numpy(dtype=np.int64)
+    w1, w2, c = _local_closed_wedges(lo, hi)
+    cand = _center_pair_codes(w1, w2, c)
+    if not len(cand):
+        return pd.DataFrame(
+            {
+                "vertex_id": np.zeros(0, dtype=np.int64),
+                "cliques4": np.zeros(0, dtype=np.int64),
+            }
+        )
+    ids = np.unique(np.concatenate([lo, hi]))
+    nv = len(ids)
+    ekey = np.sort(
+        np.searchsorted(ids, np.minimum(lo, hi)) * nv
+        + np.searchsorted(ids, np.maximum(lo, hi))
+    )
+    pkey = (
+        np.searchsorted(ids, cand["lo"].to_numpy()) * nv
+        + np.searchsorted(ids, cand["hi"].to_numpy())
+    )
+    pos = np.searchsorted(ekey, pkey)
+    adj = (pos < len(ekey)) & (ekey[np.minimum(pos, len(ekey) - 1)] == pkey)
+    kept = cand[adj]
+    members = np.concatenate(
+        [
+            kept["lo"].to_numpy(),
+            kept["hi"].to_numpy(),
+            kept["e1"].to_numpy(),
+            kept["e2"].to_numpy(),
+        ]
+    )
+    vid, cnt = np.unique(members, return_counts=True)
+    return pd.DataFrame(
+        {"vertex_id": vid.astype(np.int64), "cliques4": cnt.astype(np.int64)}
+    )
+
+
+def four_cliques(
+    graph: Graph,
+    *,
+    num_buckets: int | None = None,
+    local_threshold: int | None = LOCAL_EDGE_THRESHOLD,
+) -> ray.data.Dataset:
+    """Per-vertex 4-clique participation counts: Dataset
+    (vertex_id, cliques4); vertices in no 4-clique are absent.
+
+    Distributed path (reference parity: SURVEY.md §2.2 A5's
+    neighborhood-intersection family, extended one clique order up):
+    oriented edges -> closed wedges (the triangle dataflow, reused) ->
+    groupby closing edge -> vectorized center-pair expansion -> one
+    bucketed hash-join against the oriented edge set. Each 4-clique
+    survives exactly once (see module note above), so per-vertex counts
+    are a flat member expansion + bucketed sum. Cost beyond triangles:
+    one groupby shuffle of the triangle list + one bucket join — both
+    O(#triangles), the standard k-clique-counting lower envelope."""
+    if local_threshold and graph.meta.num_edges <= local_threshold:
+        pdf = _local_four_clique_counts(_local_und_pdf(graph))
+        # explicit schema: from_pandas on an EMPTY frame drops columns
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vertex_id": pa.array(
+                        pdf["vertex_id"].to_numpy(), type=pa.int64()
+                    ),
+                    "cliques4": pa.array(
+                        pdf["cliques4"].to_numpy(), type=pa.int64()
+                    ),
+                }
+            )
+        )
+    B = num_buckets or max(16, graph.num_partitions)
+    oriented = _oriented_edges(graph, B).materialize()
+    closed = _closed_from_oriented(oriented, B)
+
+    def bucket_by_edge(b: pa.Table) -> pa.Table:
+        w1 = b["w1"].to_numpy(zero_copy_only=False)
+        w2 = b["w2"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hb = (
+                w1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ^ w2.astype(np.uint64)
+            ) % np.uint64(B)
+        return b.append_column("ebucket", pa.array(hb.astype(np.int64)))
+
+    def center_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return _center_pair_codes(
+            g["w1"].to_numpy(dtype=np.int64),
+            g["w2"].to_numpy(dtype=np.int64),
+            g["center"].to_numpy(dtype=np.int64),
+        )
+
+    cand = (
+        closed.map_batches(
+            bucket_by_edge, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("ebucket")
+        .map_groups(center_pairs, batch_format="pandas")
+    )
+
+    def okey(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": np.minimum(a, bb), "hi": np.maximum(a, bb)})
+
+    probe = oriented.map_batches(okey, batch_format="pyarrow")
+    I64 = pa.int64()
+    cliq = bucket_hash_join(
+        cand, probe, ["lo", "hi"], num_buckets=B,
+        left_schema=pa.schema(
+            [("lo", I64), ("hi", I64), ("e1", I64), ("e2", I64)]
+        ),
+        right_schema=pa.schema([("lo", I64), ("hi", I64)]),
+    )
+
+    def to_members(b: pa.Table) -> pa.Table:
+        cols = [
+            b[c].to_numpy(zero_copy_only=False) for c in ("lo", "hi", "e1", "e2")
+        ]
+        m = np.concatenate(cols)
+        return pa.table(
+            {
+                "vertex_id": m,
+                "cliques4": np.ones(len(m), dtype=np.int64),
+            }
+        )
+
+    from flashray.joins import bucket_group_agg
+
+    return bucket_group_agg(
+        cliq.map_batches(
+            to_members, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["vertex_id"],
+        {"cliques4": ("cliques4", "sum")},
+    )
+
+
+def four_clique_count(graph: Graph, **kw) -> int:
+    """Total number of 4-cliques (each clique has exactly 4 members)."""
+    df = four_cliques(graph, **kw).to_pandas()
+    return int(df["cliques4"].sum()) // 4 if len(df) else 0

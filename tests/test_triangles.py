@@ -597,3 +597,86 @@ def test_triangle_count_sampled_splitmix_mode(tmp_path):
             )) < out["threshold"]
         }
     assert out["sampled_triangles"] == _tri_brute(kept)
+
+
+def _brute_four_cliques(src, dst):
+    """O(V^4)-free brute force: enumerate 4-subsets of each vertex's
+    neighborhood via itertools over the (small) fixture graphs."""
+    from itertools import combinations
+
+    adj = {}
+    for s, d in zip(src, dst):
+        if s == d:
+            continue
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    verts = sorted(adj)
+    counts = {}
+    for quad in combinations(verts, 4):
+        if all(
+            b in adj[a] for a, b in combinations(quad, 2)
+        ):
+            for v in quad:
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def _dense_er_edges(n: int = 40, p: float = 0.25, seed: int = 7):
+    """Dense enough that 4-cliques actually occur (er100 has none)."""
+    rng = np.random.default_rng(seed)
+    a, b = np.triu_indices(n, k=1)
+    m = rng.random(len(a)) < p
+    lo, hi = a[m].astype(np.int64), b[m].astype(np.int64)
+    return np.concatenate([lo, hi]), np.concatenate([hi, lo])
+
+
+def test_four_cliques_er(graphs):
+    graph, (src, dst) = graphs("er40dense", _dense_er_edges)
+    want = _brute_four_cliques(src, dst)
+    assert sum(want.values()) > 0  # fixture must actually contain 4-cliques
+    got_df = triangles.four_cliques(graph).to_pandas()
+    got = (
+        dict(
+            zip(got_df["vertex_id"].astype(int), got_df["cliques4"].astype(int))
+        )
+        if len(got_df)
+        else {}
+    )
+    assert got == want
+    assert triangles.four_clique_count(graph) == sum(want.values()) // 4
+
+
+def test_four_cliques_k5_planted(graphs):
+    def k5_plus_tail():
+        src, dst = [], []
+        for a in range(5):
+            for b in range(a + 1, 5):
+                src += [a, b]
+                dst += [b, a]
+        # a tail that is in triangles but no 4-clique
+        src += [4, 10, 10, 11, 11, 4]
+        dst += [10, 4, 11, 10, 4, 11]
+        return np.array(src, dtype=np.int64), np.array(dst, dtype=np.int64)
+
+    graph, (src, dst) = graphs("k5tail", k5_plus_tail)
+    df = triangles.four_cliques(graph).to_pandas()
+    got = dict(zip(df["vertex_id"].astype(int), df["cliques4"].astype(int)))
+    # K5: C(4,3)=4 cliques through each member, 5 total
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    assert triangles.four_clique_count(graph) == 5
+
+
+def test_four_cliques_distributed_matches_local(graphs):
+    graph, _ = graphs("er40dense", _dense_er_edges)
+
+    def norm(ds):
+        df = ds.to_pandas()
+        if not len(df):
+            return {}
+        return dict(
+            zip(df["vertex_id"].astype(int), df["cliques4"].astype(int))
+        )
+
+    assert norm(
+        triangles.four_cliques(graph, local_threshold=0)
+    ) == norm(triangles.four_cliques(graph))

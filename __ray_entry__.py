@@ -1434,6 +1434,48 @@ def _q_embeddings_knn(sf_dir: str):
     return res[["rank", "vec_id"]]
 
 
+def _q_docs_minhash_decontaminate(sf_dir: str):
+    """NEAR-dup decontamination: docs with doc_id % 10 == 0 form the eval
+    suite; train docs whose MinHash-estimated Jaccard vs any eval doc is
+    ≥ 0.8 are flagged. The fixture's planted near-dups (true J ≥ 0.9) sit
+    far above everything else (≤ 0.31), so the estimator names exactly the
+    true-J ≥ 0.5 cross-split pairs — the oracle computes those exactly.
+    Output (doc_id, eval_id) sorted."""
+    from flashray.datapipe.dedup import minhash_decontaminate
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).materialize()
+
+    def is_eval(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 10 == 0))
+
+    def not_eval(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 10 != 0))
+
+    flagged = minhash_decontaminate(
+        ds.map_batches(not_eval, batch_format="pyarrow"),
+        ds.map_batches(is_eval, batch_format="pyarrow"),
+        threshold=0.8,
+        concurrency=4,
+    ).to_pandas()
+    if not len(flagged):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype=np.int64),
+                "eval_id": pd.Series(dtype=np.int64),
+            }
+        )
+    return (
+        flagged[["doc_id", "eval_id"]]
+        .astype(np.int64)
+        .sort_values(["doc_id", "eval_id"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_minhash_dup_groups(sf_dir: str):
     import ray.data as rd
 
@@ -3778,6 +3820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leiden_user": _q_leiden_user,
         "docs_resample_mixture": _q_docs_resample_mixture,
         "four_cliques_user": _q_four_cliques_user,
+        "docs_minhash_decontaminate": _q_docs_minhash_decontaminate,
     }
 
 
@@ -5748,6 +5791,14 @@ SELECT 'turn:' || t.conv_id || ':' || t.turn_idx AS vertex_key,
                       AND t.turn_idx >= 1
             THEN cl.L - 1 - t.turn_idx ELSE 0 END AS DOUBLE) AS bc
 FROM t JOIN cl ON cl.conv_id = t.conv_id""",
+        # cross-split near-dup pairs via the same exact-Jaccard ground
+        # truth as minhash_dup_groups (the estimator's wide fixture margin
+        # makes the ≥0.5 true-J set identical to the ≥0.8 estimated set)
+        "docs_minhash_decontaminate": f"""
+WITH {_true_jaccard_pairs_sql(0.5).lstrip()}
+SELECT CAST(CASE WHEN a % 10 = 0 THEN b ELSE a END AS BIGINT) AS doc_id,
+       CAST(CASE WHEN a % 10 = 0 THEN a ELSE b END AS BIGINT) AS eval_id
+FROM jpairs WHERE (a % 10 = 0) <> (b % 10 = 0) ORDER BY 1, 2""",
         "minhash_dup_groups": f"""
 WITH RECURSIVE {_true_jaccard_pairs_sql(0.5).lstrip()},
 ed AS (SELECT a AS x, b AS y FROM jpairs

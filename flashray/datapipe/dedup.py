@@ -992,6 +992,123 @@ def decontaminate(
     return j.map_batches(fill, batch_format="pandas")
 
 
+def _bucket_cross_pairs(group: pd.DataFrame, *, threshold: float) -> pd.DataFrame:
+    """Cross-side verification within one LSH bucket: estimated Jaccard
+    (signature agreement) between every train-side and eval-side row.
+    Chunked over train rows so a hot bucket never builds an
+    O(train × eval × perm) boolean tensor in one piece."""
+    t = group[group["side"] == 0]
+    e = group[group["side"] == 1]
+    if not len(t) or not len(e):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "eval_id": pd.Series(dtype="int64"),
+                "similarity": pd.Series(dtype="float64"),
+            }
+        )
+    tids = t["doc_id"].to_numpy()
+    eids = e["doc_id"].to_numpy()
+    tsig = np.stack(t["signature"].to_numpy()).astype(np.uint64)
+    esig = np.stack(e["signature"].to_numpy()).astype(np.uint64)
+    out = []
+    CHUNK = 256
+    for s in range(0, len(tids), CHUNK):
+        agree = (tsig[s : s + CHUNK, None, :] == esig[None, :, :]).mean(axis=2)
+        ti, ej = np.nonzero(agree >= threshold)
+        if len(ti):
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": tids[s + ti].astype(np.int64),
+                        "eval_id": eids[ej].astype(np.int64),
+                        "similarity": agree[ti, ej],
+                    }
+                )
+            )
+    if not out:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "eval_id": pd.Series(dtype="int64"),
+                "similarity": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def minhash_decontaminate(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """NEAR-duplicate cross-corpus decontamination: flag candidate docs
+    whose MinHash signature collides with any benchmark/eval doc in an LSH
+    band AND whose estimated Jaccard ≥ threshold. Complements
+    :func:`decontaminate` (exact n-gram hits): paraphrased or lightly
+    edited benchmark leakage shares high Jaccard without sharing long
+    exact n-grams. Returns one row per flagged (doc_id, eval_id) pair with
+    the max estimated similarity across colliding bands.
+
+    100-TB shape: both corpora stream through the signature actor pool,
+    band rows hash-partition by bucket (ONE shuffle of 16-byte rows ×
+    bands), verification is per-bucket vectorized agreement, and the pair
+    table collapses through one bucketed aggregate — the benchmark side is
+    never broadcast or collected, so an arbitrarily large eval suite costs
+    the same shuffle as the train side."""
+    if bands is None:
+        bands = _auto_bands(num_perm, threshold)
+    rows_per_band = num_perm // bands
+
+    def sig_pipeline(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
+        sigs = ds.select_columns([id_col, text_col]).map_batches(
+            MinHashSignatures,
+            fn_constructor_kwargs={
+                "text_col": text_col,
+                "num_perm": num_perm,
+                "shingle_n": shingle_n,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=_util.pool_size(concurrency),
+        )
+        banded = sigs.map_batches(
+            _band_rows,
+            fn_kwargs={
+                "id_col": id_col,
+                "bands": bands,
+                "rows_per_band": rows_per_band,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return banded.map_batches(
+            lambda b, s=side: b.append_column(
+                "side", pa.array(np.full(b.num_rows, s, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+
+    both = sig_pipeline(docs, 0).union(sig_pipeline(benchmark, 1))
+    pairs = both.groupby("bucket").map_groups(
+        _bucket_cross_pairs,
+        fn_kwargs={"threshold": threshold},
+        batch_format="pandas",
+    )
+    from flashray.joins import bucket_group_agg
+
+    return bucket_group_agg(
+        pairs, ["doc_id", "eval_id"], {"similarity": ("similarity", "max")}
+    )
+
+
 def dedup_keep_best(
     ds: ray.data.Dataset,
     *,

@@ -1564,3 +1564,37 @@ def test_resample_mixture_drops_unweighted_groups_and_validates():
         textstats.resample_mixture(ds, {"en": -1}, group_col="lang")
     with pytest.raises(ValueError):
         textstats.resample_mixture(ds, {"nope": 1}, group_col="lang")
+
+
+def test_minhash_decontaminate_cross_corpus():
+    df = _docs_with_dups()
+    # eval suite = one exact copy and one near-dup partner of base docs,
+    # plus one unrelated doc; train = everything else
+    eval_ids = {1, 8, 15}
+    ev = df[df["doc_id"].isin(eval_ids)]
+    tr = df[~df["doc_id"].isin(eval_ids)]
+    flagged = dedup.minhash_decontaminate(
+        rd.from_pandas(tr), rd.from_pandas(ev), threshold=0.5, concurrency=2
+    ).to_pandas()
+    got = set(zip(flagged["doc_id"].astype(int), flagged["eval_id"].astype(int)))
+    # doc 0 (exact copy of eval 1) and doc 2 (near-dup) must be flagged
+    assert (0, 1) in got and (2, 1) in got
+    # eval 8 (near-dup of base 6/7) must flag both train copies
+    assert (6, 8) in got and (7, 8) in got
+    # unrelated eval doc 15 must flag nothing, no unrelated train docs appear
+    assert all(d < 12 for d, _ in got)
+    assert all(e != 15 for _, e in got)
+    # similarity column present, within [0, 1], exact copy pair at 1.0
+    sim = dict(zip(zip(flagged["doc_id"].astype(int), flagged["eval_id"].astype(int)), flagged["similarity"]))
+    assert sim[(0, 1)] == 1.0
+    assert all(0.0 <= s <= 1.0 for s in sim.values())
+
+
+def test_minhash_decontaminate_no_collisions():
+    df = _docs_with_dups()
+    ev = df[df["doc_id"] >= 12]  # unrelated docs only
+    tr = df[df["doc_id"] < 4]
+    flagged = dedup.minhash_decontaminate(
+        rd.from_pandas(tr), rd.from_pandas(ev), threshold=0.5, concurrency=2
+    ).to_pandas()
+    assert len(flagged) == 0

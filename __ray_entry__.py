@@ -1592,6 +1592,29 @@ def _q_embeddings_kmeans(sf_dir: str):
     return out[["vec_id", "cluster"]]
 
 
+def _q_embeddings_pq_codes(sf_dir: str):
+    """Product-quantization codes (m=8 subspaces × k=4 cells, one Lloyd
+    round from the 4 lowest-id seed rows — the embeddings_kmeans protocol
+    applied per subspace) packed into one int64. The SQL oracle replays
+    every subspace's round with list_distance over list slices. Output
+    (vec_id, pq_code), exact."""
+    from flashray.datapipe import pq
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    cb = pq.pq_train(
+        ds, m=8, k=4, iters=1, init="lowest_ids", concurrency=4
+    )
+    out = pq.pq_encode(ds, cb, concurrency=4).to_pandas()
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["pq_code"] = out["pq_code"].astype(np.int64)
+    return out[["vec_id", "pq_code"]].sort_values("vec_id").reset_index(
+        drop=True
+    )
+
+
 def _q_embeddings_semdedup(sf_dir: str):
     """SemDeDup (kmeans clusters + within-cluster cosine prune, lowest-id
     keep rule) over the embeddings table: same k=4 one-Lloyd-round
@@ -3821,6 +3844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_resample_mixture": _q_docs_resample_mixture,
         "four_cliques_user": _q_four_cliques_user,
         "docs_minhash_decontaminate": _q_docs_minhash_decontaminate,
+        "embeddings_pq_codes": _q_embeddings_pq_codes,
     }
 
 
@@ -4371,6 +4395,65 @@ aug AS (
   FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 100
   WHERE e1.vec_id >= 50 AND e1.vec_id < 100
 )"""
+
+
+def _pq_sql(m: int = 8, k: int = 4, d: int = 64) -> str:
+    """Per-subspace replay of the embeddings_kmeans one-Lloyd-round
+    oracle over list slices v[s·sub+1 : (s+1)·sub]; codes packed base-k
+    exactly like flashray.datapipe.pq.pq_encode."""
+    sub = d // m
+    parts = [
+        "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[])"
+        " AS v FROM embeddings)"
+    ]
+    packs = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"sub{s} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS v"
+            " FROM emb)"
+        )
+        parts.append(
+            f"seeds{s} AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)"
+            f" - 1 AS BIGINT) AS cl, v FROM"
+            f" (SELECT vec_id, v FROM sub{s} ORDER BY vec_id LIMIT {k}))"
+        )
+        parts.append(
+            f"a1_{s} AS (SELECT e.vec_id, e.v,"
+            f" (SELECT s.cl FROM seeds{s} s"
+            f" ORDER BY list_distance(e.v, s.v), s.cl LIMIT 1) AS cl"
+            f" FROM sub{s} e)"
+        )
+        parts.append(
+            f"m{s} AS (SELECT cl, pos, AVG(val) AS mv FROM"
+            f" (SELECT cl, unnest(v) AS val, generate_subscripts(v, 1)"
+            f" AS pos FROM a1_{s}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c1_{s} AS (SELECT cl, list(mv ORDER BY pos) AS v FROM m{s}"
+            " GROUP BY 1)"
+        )
+        parts.append(
+            f"cents{s} AS (SELECT s.cl, COALESCE(c1_{s}.v, s.v) AS v"
+            f" FROM seeds{s} s LEFT JOIN c1_{s} ON c1_{s}.cl = s.cl)"
+        )
+        parts.append(
+            f"a2_{s} AS MATERIALIZED (SELECT e.vec_id,"
+            f" (SELECT c.cl FROM cents{s} c"
+            f" ORDER BY list_distance(e.v, c.v), c.cl LIMIT 1) AS cl"
+            f" FROM sub{s} e)"
+        )
+        packs.append(f"a2_{s}.cl * {k ** s}")
+    joins = " ".join(
+        f"JOIN a2_{s} ON a2_{s}.vec_id = a2_0.vec_id" for s in range(1, m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(a2_0.vec_id AS BIGINT) AS vec_id,"
+        f" CAST({' + '.join(packs)} AS BIGINT) AS pq_code"
+        f" FROM a2_0 {joins} ORDER BY 1"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6074,6 +6157,7 @@ FROM base b LEFT JOIN words w USING (doc_id)
 LEFT JOIN topw tw ON tw.doc_id = b.doc_id
 LEFT JOIN topb tb ON tb.doc_id = b.doc_id
 LEFT JOIN topt tt ON tt.doc_id = b.doc_id""",
+        "embeddings_pq_codes": _pq_sql(8, 4, 64),
         "embeddings_kmeans": """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),

@@ -2739,6 +2739,35 @@ def _q_docs_hashed_features(sf_dir: str):
     return out
 
 
+def _q_docs_dsir_weights(sf_dir: str):
+    """DSIR importance weights: target = lang='en' docs, raw = the whole
+    corpus; hashed word-bigram models (d=1024 cells, sha convention),
+    add-one smoothing, per-doc log-likelihood-ratio sums. Zero-shuffle
+    dataflow; the oracle replays the cell counts and ratio sums in SQL.
+    Output (doc_id, logweight) at 6 dp."""
+    from flashray.datapipe.ml import dsir_weights
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    ).materialize()
+
+    def en_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(b["lang"], "en"))
+
+    out = dsir_weights(
+        docs, docs.map_batches(en_only, batch_format="pyarrow"),
+        n=2, d=1024, concurrency=4,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["logweight"] = out["logweight"].round(6)
+    return out[["doc_id", "logweight"]].sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
 def _q_docs_nb_confusion(sf_dir: str):
     """Evaluation stage: confusion matrix of the NB language classifier
     vs the true lang labels — classify, one id join to attach truth,
@@ -3845,6 +3874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "four_cliques_user": _q_four_cliques_user,
         "docs_minhash_decontaminate": _q_docs_minhash_decontaminate,
         "embeddings_pq_codes": _q_embeddings_pq_codes,
+        "docs_dsir_weights": _q_docs_dsir_weights,
     }
 
 
@@ -4725,6 +4755,35 @@ SELECT source, lang, n_docs, n_tokens,
        ROUND(n_tokens * 1.0 / GREATEST(tot.s, 1), 6) AS token_share
 FROM g, tot""",
         # hashing trick: sha cell + parity sign recomputed per token
+        # DSIR replay: hashed-bigram cell counts for target (lang='en')
+        # and raw (all docs), add-one log-ratio per cell, per-doc sum
+        "docs_dsir_weights": """
+WITH wl AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                                       w -> w <> '') AS w FROM documents),
+bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+       FROM (SELECT doc_id,
+                    unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i,
+                    w
+             FROM wl)),
+cells AS (SELECT doc_id,
+                 CAST(CAST(concat('0x', substr(sha256('dsir|' || g), 1, 16))
+                      AS UBIGINT) % 1024 AS BIGINT) AS cell
+          FROM bg),
+tf AS (SELECT doc_id, cell, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM cells GROUP BY 1, 2),
+tcnt AS (SELECT cell, SUM(tf) AS c FROM tf JOIN documents USING (doc_id)
+         WHERE lang = 'en' GROUP BY 1),
+rcnt AS (SELECT cell, SUM(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tcnt) AS t,
+               (SELECT COALESCE(SUM(c), 0) FROM rcnt) AS r),
+lr AS (SELECT r.cell,
+              ln((COALESCE(t.c, 0) + 1.0) / (tot.t + 1024))
+                - ln((r.c + 1.0) / (tot.r + 1024)) AS lr
+       FROM rcnt r LEFT JOIN tcnt t ON t.cell = r.cell, tot),
+w AS (SELECT tf.doc_id, SUM(tf.tf * lr.lr) AS w
+      FROM tf JOIN lr ON lr.cell = tf.cell GROUP BY 1)
+SELECT d.doc_id, ROUND(COALESCE(w.w, 0.0), 6) AS logweight
+FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id ORDER BY 1""",
         "docs_hashed_features": """
 WITH tok AS (SELECT doc_id,
                     unnest(regexp_extract_all(text, '\\S+')) AS token

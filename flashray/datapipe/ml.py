@@ -434,3 +434,145 @@ def hashed_features(
         return out[out["value"] != 0]
 
     return docs.map_batches(feats, batch_format="pandas")
+
+
+def _doc_ngram_cells(
+    df: pd.DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    d: int,
+    salt: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc hashed word-n-gram cell counts, completed in-batch:
+    returns (doc_ids_per_row, cell, count) sparse arrays. Cell =
+    sha64(salt|gram) % d — the hashed_features/CMS register convention,
+    SQL-replayable."""
+    from flashray.datapipe.sketches import _sha_u64
+
+    toks = df[text_col].astype(str).str.findall(_TOK)
+    ids = df[id_col].to_numpy().astype(np.int64)
+    out_id, out_cell, out_cnt = [], [], []
+    grams_all, gram_doc = [], []
+    for did, ws in zip(ids, toks):
+        if len(ws) < n:
+            continue
+        gs = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        grams_all.extend(gs)
+        gram_doc.extend([did] * len(gs))
+    if not grams_all:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    uniq, inv = np.unique(np.asarray(grams_all, dtype=object),
+                          return_inverse=True)
+    cells = (_sha_u64([f"{salt}|{g}" for g in uniq]) % np.uint64(d)).astype(
+        np.int64
+    )[inv]
+    pdf = pd.DataFrame(
+        {"doc": np.asarray(gram_doc, dtype=np.int64), "cell": cells}
+    )
+    agg = pdf.groupby(["doc", "cell"], as_index=False).size()
+    return (
+        agg["doc"].to_numpy(dtype=np.int64),
+        agg["cell"].to_numpy(dtype=np.int64),
+        agg["size"].to_numpy(dtype=np.int64),
+    )
+
+
+def _corpus_cell_counts(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    d: int,
+    salt: str,
+) -> np.ndarray:
+    """Global hashed-cell count vector (length d) for a corpus: per-batch
+    in-batch counts (one length-d partial per batch, never a per-gram
+    row shuffle), folded on the driver — O(d · blocks) driver data, d is
+    a CONFIG constant, so this is scale-free in corpus size."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, cell, cnt = _doc_ngram_cells(
+            df, id_col=id_col, text_col=text_col, n=n, d=d, salt=salt
+        )
+        vec = np.bincount(cell, weights=cnt, minlength=d).astype(np.int64)
+        nz = np.flatnonzero(vec)
+        return pd.DataFrame({"cell": nz.astype(np.int64),
+                             "cnt": vec[nz]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    vec = np.zeros(d, dtype=np.int64)
+    if len(parts):
+        np.add.at(vec, parts["cell"].to_numpy(), parts["cnt"].to_numpy())
+    return vec
+
+
+def dsir_weights(
+    raw: ray.data.Dataset,
+    target: ray.data.Dataset,
+    *,
+    n: int = 2,
+    d: int = 10_000,
+    salt: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — public
+    knowledge): score every raw document by the log-likelihood ratio of
+    a hashed word-n-gram unigram model fit on the TARGET corpus vs one
+    fit on the RAW corpus,
+
+        logweight(doc) = Σ_cells tf(doc, c) · [ln p̂_target(c) − ln p̂_raw(c)]
+
+    with add-one smoothing over the d hash cells. High-weight docs look
+    like the target distribution; resample/threshold on the weights to
+    select pretraining data.
+
+    100-TB shape: hashed cells make the feature space a FIXED d — both
+    corpus models are one streaming pass each emitting length-d partial
+    vectors (no vocabulary shuffle, no per-gram rows leaving the batch),
+    the log-ratio vector broadcasts once via ray.put (d·8 bytes,
+    config-bounded), and scoring is a third streaming pass whose per-doc
+    sums complete in-batch — ZERO shuffles end-to-end. Docs with fewer
+    than n tokens score 0.0 (no cells)."""
+    tvec = _corpus_cell_counts(
+        target, id_col=id_col, text_col=text_col, n=n, d=d, salt=salt
+    )
+    rvec = _corpus_cell_counts(
+        raw, id_col=id_col, text_col=text_col, n=n, d=d, salt=salt
+    )
+    T, R = int(tvec.sum()), int(rvec.sum())
+    lr = np.log((tvec + 1.0) / (T + d)) - np.log((rvec + 1.0) / (R + d))
+    lref = ray.put(lr)
+
+    class _Score:
+        def __init__(self):
+            self.lr = ray.get(lref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[id_col].to_numpy().astype(np.int64)
+            rid, cell, cnt = _doc_ngram_cells(
+                df, id_col=id_col, text_col=text_col, n=n, d=d, salt=salt
+            )
+            w = np.zeros(len(ids))
+            if len(rid):
+                pos = {int(v): i for i, v in enumerate(ids)}
+                idx = np.fromiter(
+                    (pos[int(v)] for v in rid), dtype=np.int64,
+                    count=len(rid),
+                )
+                np.add.at(w, idx, cnt * self.lr[cell])
+            return pd.DataFrame({id_col: ids, "logweight": w})
+
+    from flashray.datapipe import _util
+
+    return raw.map_batches(
+        _Score,
+        batch_format="pandas",
+        concurrency=_util.pool_size(concurrency),
+    )

@@ -1598,3 +1598,37 @@ def test_minhash_decontaminate_no_collisions():
         rd.from_pandas(tr), rd.from_pandas(ev), threshold=0.5, concurrency=2
     ).to_pandas()
     assert len(flagged) == 0
+
+
+def test_dsir_weights_prefer_target_like_docs():
+    from flashray.datapipe.ml import dsir_weights
+
+    target_texts = [f"alpha beta gamma delta run {i}" for i in range(20)]
+    raw = []
+    # 10 docs that look like the target, 10 that don't, 1 too short
+    for i in range(10):
+        raw.append({"doc_id": i, "text": f"alpha beta gamma delta run {i}"})
+    for i in range(10, 20):
+        raw.append({"doc_id": i, "text": f"zig zag zoom totally different {i}"})
+    raw.append({"doc_id": 99, "text": "single"})
+    tgt = pd.DataFrame(
+        {"doc_id": np.arange(100, 120, dtype=np.int64), "text": target_texts}
+    )
+    out = (
+        dsir_weights(
+            rd.from_pandas(pd.DataFrame(raw)),
+            rd.from_pandas(tgt),
+            n=2,
+            d=512,
+            concurrency=2,
+        )
+        .to_pandas()
+        .set_index("doc_id")["logweight"]
+    )
+    like = out.loc[range(10)].to_numpy()
+    unlike = out.loc[range(10, 20)].to_numpy()
+    assert like.min() > unlike.max()
+    # a doc with < n tokens has no cells -> exactly 0
+    assert out.loc[99] == 0.0
+    # every raw doc gets a row
+    assert len(out) == 21

@@ -409,6 +409,37 @@ def _datapipe_bench(queries: dict, extra: dict) -> None:
     extra["ivf_bytes_total"] = total
     extra["ivf_read_fraction"] = round(probed / max(total, 1), 3)
 
+    # round-5 additions: PQ compressed ANN + DSIR selection weights
+    from flashray.datapipe import pq as _pq
+
+    t0 = time.perf_counter()
+    cb = _pq.pq_train(
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+        m=8, k=16, iters=2, init="hash", concurrency=8,
+    )
+    codes = _pq.pq_encode(
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+        cb, concurrency=8,
+    ).materialize()
+    extra["pq_code_rows"] = int(codes.count())
+    queries["pq_build"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _pq.pq_knn_rerank(
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+        codes, qvecs, cb, k_neighbors=10, shortlist=100, concurrency=8,
+    )
+    queries["pq_knn_rerank"] = time.perf_counter() - t0
+
+    from flashray.datapipe.ml import dsir_weights
+
+    t0 = time.perf_counter()
+    dall = rd.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
+    w = dsir_weights(
+        dall, dall.filter(expr="lang == 'en'"), n=2, d=4096, concurrency=8
+    )
+    extra["dsir_rows"] = int(w.count())
+    queries["dsir_weights"] = time.perf_counter() - t0
+
     # relational/temporal operators over the events table
     ev_path = os.path.join(SF_DIR, "events.parquet")
     if not os.path.exists(ev_path):

@@ -260,6 +260,17 @@ def _local_tri_counts(und: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# Below this many EDGES the oriented edge set broadcasts once as sorted
+# arrays (ids, CSR offsets, adjacency, canonical edge keys — ~40 B/edge)
+# and the wedge expansion + closing-edge probe run SHUFFLE-FREE inside
+# map_batches (the walks.py CSR-broadcast idiom): the two all-to-alls of
+# the join dataflow (wedge groupby + closure join) disappear, and the
+# O(Σ deg²)-bounded wedge work stays distributed across the actor pool —
+# unlike LOCAL_EDGE_THRESHOLD's single-threaded kernel. Above the limit
+# the partitioned join dataflow is unchanged.
+BROADCAST_CSR_EDGE_LIMIT = 20_000_000
+
+
 def _closed_wedges(graph: Graph, num_buckets: int) -> ray.data.Dataset:
     # oriented feeds BOTH the wedge expansion and the closing-edge probe;
     # materialize so the canonical-dedup shuffle (+ orientation joins on
@@ -267,7 +278,88 @@ def _closed_wedges(graph: Graph, num_buckets: int) -> ray.data.Dataset:
     # E × 16 B of (a, b) int64 pairs in the object store (spillable) —
     # far cheaper than re-running a full shuffle at 100× scale.
     oriented = _oriented_edges(graph, num_buckets).materialize()
+    if graph.meta.num_edges <= BROADCAST_CSR_EDGE_LIMIT:
+        return _closed_from_oriented_broadcast(oriented)
     return _closed_from_oriented(oriented, num_buckets)
+
+
+def _closed_from_oriented_broadcast(
+    oriented: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Shuffle-free closed-wedge pass: collapse the (already materialized)
+    oriented edge set once, broadcast (sorted-by-(a,b) arrays + canonical
+    edge keys) via ray.put, then map over the SAME oriented blocks — each
+    edge (a, b) pairs b with every LATER out-neighbor c of a (sorted
+    adjacency ⇒ each unordered pair once, w1 < w2 by construction), and
+    the closing probe is one searchsorted into the broadcast key array.
+    Output schema/rows identical to _closed_from_oriented."""
+    opd = oriented.to_pandas()
+    a0 = opd["a"].to_numpy(dtype=np.int64)
+    b0 = opd["b"].to_numpy(dtype=np.int64)
+    if not len(a0):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "w1": pa.array([], type=pa.int64()),
+                    "w2": pa.array([], type=pa.int64()),
+                    "center": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    ids = np.unique(np.concatenate([a0, b0]))
+    nv = len(ids)
+    ca = np.searchsorted(ids, a0)
+    cb = np.searchsorted(ids, b0)
+    order = np.lexsort((cb, ca))
+    ca_s, cb_s = ca[order], cb[order]
+    indptr = np.searchsorted(ca_s, np.arange(nv + 1))
+    edge_sorted = ca_s * nv + cb_s  # ascending (lexsort)
+    ekey = np.sort(
+        np.minimum(ca_s, cb_s) * nv + np.maximum(ca_s, cb_s)
+    )
+    ref = ray.put((ids, indptr, cb_s, edge_sorted, ekey, nv))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids_, indptr_, adj, es_, ek_, nv_ = _ray.get(ref)
+        aa = np.searchsorted(ids_, batch["a"].to_numpy(zero_copy_only=False))
+        bb = np.searchsorted(ids_, batch["b"].to_numpy(zero_copy_only=False))
+        # this edge's global position in the (a, b)-sorted order; partners
+        # are the strictly-later out-neighbors of a
+        pos = np.searchsorted(es_, aa * nv_ + bb)
+        starts = pos + 1
+        ends = indptr_[aa + 1]
+        n = ends - starts
+        total = int(n.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], type=pa.int64()),
+                    "w2": pa.array([], type=pa.int64()),
+                    "center": pa.array([], type=pa.int64()),
+                }
+            )
+        gidx = np.repeat(np.arange(len(aa)), n)
+        off = np.concatenate([[0], np.cumsum(n)[:-1]])
+        flat = np.arange(total) - off[gidx] + starts[gidx]
+        w1 = np.repeat(bb, n)  # adj sorted ascending ⇒ w1 < w2
+        w2 = adj[flat]
+        center = np.repeat(aa, n)
+        wkey = w1 * nv_ + w2
+        p = np.searchsorted(ek_, wkey)
+        closed = (p < len(ek_)) & (ek_[np.minimum(p, len(ek_) - 1)] == wkey)
+        return pa.table(
+            {
+                "w1": pa.array(ids_[w1[closed]]),
+                "w2": pa.array(ids_[w2[closed]]),
+                "center": pa.array(ids_[center[closed]]),
+            }
+        )
+
+    return oriented.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _closed_from_oriented(
@@ -1435,7 +1527,10 @@ def four_cliques(
         )
     B = num_buckets or max(16, graph.num_partitions)
     oriented = _oriented_edges(graph, B).materialize()
-    closed = _closed_from_oriented(oriented, B)
+    if graph.meta.num_edges <= BROADCAST_CSR_EDGE_LIMIT:
+        closed = _closed_from_oriented_broadcast(oriented)
+    else:
+        closed = _closed_from_oriented(oriented, B)
 
     def bucket_by_edge(b: pa.Table) -> pa.Table:
         w1 = b["w1"].to_numpy(zero_copy_only=False)

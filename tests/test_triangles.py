@@ -680,3 +680,34 @@ def test_four_cliques_distributed_matches_local(graphs):
     assert norm(
         triangles.four_cliques(graph, local_threshold=0)
     ) == norm(triangles.four_cliques(graph))
+
+
+def test_closed_wedges_broadcast_matches_join_path(graphs, monkeypatch):
+    """Three-way agreement: local kernel == broadcast shuffle-free pass ==
+    partitioned join dataflow, across the whole wedge family."""
+    graph, _ = graphs("er40dense", _dense_er_edges)
+
+    def counts(ds):
+        df = ds.to_pandas()
+        if not len(df):
+            return {}
+        cols = [c for c in df.columns]
+        key = cols[0]
+        return {
+            tuple(r): 1 for r in df.sort_values(cols).itertuples(index=False)
+        }
+
+    results = {}
+    for mode, limit in [("broadcast", 10**9), ("join", 0)]:
+        monkeypatch.setattr(triangles, "BROADCAST_CSR_EDGE_LIMIT", limit)
+        results[mode] = {
+            "tri": counts(triangles.triangles(graph, local_threshold=0)),
+            "sup": counts(triangles.edge_support(graph, local_threshold=0)),
+            "fc": counts(triangles.four_cliques(graph, local_threshold=0)),
+        }
+    local = {
+        "tri": counts(triangles.triangles(graph)),
+        "sup": counts(triangles.edge_support(graph)),
+        "fc": counts(triangles.four_cliques(graph)),
+    }
+    assert results["broadcast"] == results["join"] == local

@@ -1476,6 +1476,24 @@ def _q_docs_minhash_decontaminate(sf_dir: str):
     )
 
 
+def _q_events_user_distinct_hll(sf_dir: str):
+    """Per-user approximate distinct event count (mergeable HLL registers,
+    p=8): map-side per-key partial registers, one register-merge groupby —
+    the COUNT DISTINCT per key that never ships raw values. Oracle
+    recomputes every user's registers and the estimator in SQL (the
+    hyperball replay shape). Output (user_id, approx_distinct) at 6 dp."""
+    from flashray.datapipe.sketches import approx_distinct_by_key
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id"],
+    )
+    out = approx_distinct_by_key(ev, "user_id", "event_id", p=8).to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["approx_distinct"] = out["approx_distinct"].round(6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_minhash_dup_groups(sf_dir: str):
     import ray.data as rd
 
@@ -3875,6 +3893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_decontaminate": _q_docs_minhash_decontaminate,
         "embeddings_pq_codes": _q_embeddings_pq_codes,
         "docs_dsir_weights": _q_docs_dsir_weights,
+        "events_user_distinct_hll": _q_events_user_distinct_hll,
     }
 
 
@@ -4581,6 +4600,34 @@ SELECT src AS user_id,
        ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
                   THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS ball_est
 FROM est""",
+        # per-user HLL registers (p=8): same sha hashes, same register
+        # layout and estimator as sketches.approx_distinct_by_key
+        "events_user_distinct_hll": """
+WITH h AS (SELECT DISTINCT user_id,
+        CAST(concat('0x', substr(sha256(CAST(event_id AS VARCHAR)), 1, 16))
+             AS UBIGINT) AS hv
+      FROM events),
+parts AS (SELECT user_id, CAST(hv >> 56 AS BIGINT) AS idx,
+                 CAST(hv & ((CAST(1 AS UBIGINT) << 56) - 1) AS BIGINT) AS rem
+          FROM h),
+bl AS (SELECT user_id, idx,
+              CASE WHEN rem = 0 THEN 57
+                   ELSE 57 - ((SELECT MAX(k) FROM generate_series(0, 55) t(k)
+                               WHERE (CAST(1 AS BIGINT) << k) <= rem) + 1)
+              END AS rank
+       FROM parts),
+regs AS (SELECT user_id, idx, MAX(rank) AS rr FROM bl GROUP BY 1, 2),
+agg AS (SELECT user_id, COUNT(*) AS nz, SUM(POWER(2.0, -rr)) AS s
+        FROM regs GROUP BY 1),
+est AS (SELECT user_id, 256 - nz AS zeros,
+               (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0
+                 / (s + (256 - nz) * 1.0) AS raw
+        FROM agg)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6)
+         AS approx_distinct
+FROM est ORDER BY 1""",
         # deterministic random walks: the recursive term re-chooses each
         # step's successor as argmin sha256('walk:step:dst') over the
         # current vertex's out-edges — exactly the engine's rule

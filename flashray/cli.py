@@ -17,10 +17,14 @@ import sys
 import time
 
 
-def _init_ray(num_cpus: int | None):
+def _init_ray(num_cpus: int | None) -> bool:
+    """Init Ray if no session exists; returns whether THIS call owns the
+    session (an embedding caller's session — e.g. pytest's fixture — must
+    not be torn down by a CLI command)."""
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(
             address="local",
             num_cpus=num_cpus,
@@ -31,10 +35,11 @@ def _init_ray(num_cpus: int | None):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return owned
 
 
 def cmd_build(args) -> int:
-    _init_ray(args.num_cpus)
+    owned = _init_ray(args.num_cpus)
     import ray
     import ray.data as rd
 
@@ -66,12 +71,13 @@ def cmd_build(args) -> int:
             }
         )
     )
-    ray.shutdown()
+    if owned:
+        ray.shutdown()
     return 0
 
 
 def cmd_run(args) -> int:
-    _init_ray(args.num_cpus)
+    owned = _init_ray(args.num_cpus)
     import ray
 
     from flashray import algorithms, betweenness, scc, triangles
@@ -125,7 +131,8 @@ def cmd_run(args) -> int:
     else:
         summary["result"] = res
     print(json.dumps(summary, default=str))
-    ray.shutdown()
+    if owned:
+        ray.shutdown()
     return 0
 
 

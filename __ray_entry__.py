@@ -3699,6 +3699,48 @@ def _q_events_markov(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_pagerank_incremental_user(sf_dir: str):
+    """Incremental analytics after ingest (the north-rule resumability
+    story end-to-end): PageRank converges on a deterministic 2/3 edge
+    subset ((src+dst)%3 != 0, 6 fixed supersteps), the remaining edges
+    arrive via build.add_edges semantics (here: the full cached graph),
+    and iteration WARM-STARTS from the prior scores for 4 more supersteps
+    — the whole two-phase trajectory is SQL-unrollable, so the oracle is
+    exact. Output (user_id, rank_x_n) at 6 dp, N = full-graph order."""
+    import shutil
+
+    from flashray import algorithms
+    from flashray.build import build_graph
+
+    edges = _user_succession_edges_cached(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((s + d) % 3 != 0))
+
+    path = os.path.join(_CACHE_ROOT, "graphs", f"pr_inc_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    gp = build_graph(
+        edges.map_batches(partial, batch_format="pyarrow").map_batches(
+            _succ_edge_schema, batch_format="pyarrow"
+        ),
+        path,
+        num_partitions=4,
+        symmetrize=False,
+    )
+    prior = algorithms.pagerank(gp, eps=0.0, max_iters=6)
+    ga = _user_graph(sf_dir, symmetrize=False)
+    df = algorithms.pagerank(ga, eps=0.0, max_iters=4, warm_start=prior)
+    out = pd.DataFrame(
+        {
+            "user_id": df["vertex_id"].astype(np.int64),
+            "rank_x_n": (df["value"] * ga.meta.num_vertices).round(6),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_four_cliques_user(sf_dir: str):
     """Per-vertex 4-clique participation counts over the symmetrized
     user-succession graph: the triangle wedge dataflow extended one clique
@@ -3894,6 +3936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pq_codes": _q_embeddings_pq_codes,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "events_user_distinct_hll": _q_events_user_distinct_hll,
+        "pagerank_incremental_user": _q_pagerank_incremental_user,
     }
 
 
@@ -4444,6 +4487,64 @@ aug AS (
   FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 100
   WHERE e1.vec_id >= 50 AND e1.vec_id < 100
 )"""
+
+
+def _pagerank_incremental_sql(iters1: int = 6, iters2: int = 4) -> str:
+    """Two-phase unrolled recurrence over the user-succession graph:
+    phase 1 = iters1 power steps on the (src+dst)%3 != 0 edge subset
+    (init 1/N1), phase 2 = iters2 steps on the FULL edge set warm-started
+    from phase 1 (missing vertices at 1/N2) — the exact trajectory of
+    pagerank(warm_start=prior)."""
+    head = """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+ea AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+ep AS MATERIALIZED (SELECT src, dst FROM ea WHERE (src + dst) % 3 <> 0),
+odp AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM ep GROUP BY 1),
+vp AS MATERIALIZED (SELECT DISTINCT u AS v FROM
+     (SELECT src AS u FROM ep UNION SELECT dst FROM ep)),
+np AS MATERIALIZED (SELECT COUNT(*) AS n FROM vp),
+p0 AS MATERIALIZED (SELECT v, 1.0 / np.n AS r FROM vp CROSS JOIN np)"""
+    parts = [head]
+    for i in range(1, iters1 + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT vp.v,"
+            f" 0.15 / np.n + 0.85 * COALESCE(s.c, 0) AS r"
+            f" FROM vp CROSS JOIN np LEFT JOIN ("
+            f"SELECT e.dst AS k, SUM(r.r / od.od) AS c"
+            f" FROM ep e JOIN p{i-1} r ON e.src = r.v"
+            f" JOIN odp od ON od.src = e.src GROUP BY 1) s ON s.k = vp.v)"
+        )
+    parts.append(
+        "oda AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM ea GROUP BY 1)"
+    )
+    parts.append(
+        "va AS MATERIALIZED (SELECT DISTINCT u AS v FROM"
+        " (SELECT src AS u FROM ea UNION SELECT dst FROM ea))"
+    )
+    parts.append("na AS MATERIALIZED (SELECT COUNT(*) AS n FROM va)")
+    parts.append(
+        f"w0 AS MATERIALIZED (SELECT va.v,"
+        f" COALESCE(p{iters1}.r, 1.0 / na.n) AS r"
+        f" FROM va CROSS JOIN na LEFT JOIN p{iters1} ON p{iters1}.v = va.v)"
+    )
+    for i in range(1, iters2 + 1):
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT va.v,"
+            f" 0.15 / na.n + 0.85 * COALESCE(s.c, 0) AS r"
+            f" FROM va CROSS JOIN na LEFT JOIN ("
+            f"SELECT e.dst AS k, SUM(r.r / od.od) AS c"
+            f" FROM ea e JOIN w{i-1} r ON e.src = r.v"
+            f" JOIN oda od ON od.src = e.src GROUP BY 1) s ON s.k = va.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(v AS BIGINT) AS user_id,"
+        f" ROUND(r * na.n, 6) AS rank_x_n"
+        f" FROM w{iters2} CROSS JOIN na ORDER BY 1"
+    )
 
 
 def _pq_sql(m: int = 8, k: int = 4, d: int = 64) -> str:
@@ -5930,6 +6031,7 @@ SELECT CAST(ROW_NUMBER() OVER (
 FROM embeddings e, q
 ORDER BY 1 LIMIT 10""",
         "pagerank": _pagerank_sql(weighted=False),
+        "pagerank_incremental_user": _pagerank_incremental_sql(6, 4),
         "pagerank_personalized": _ppr_sql(),
         "pagerank_weighted": _pagerank_sql(weighted=True),
         "pagerank_push": f"""

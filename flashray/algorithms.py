@@ -65,12 +65,36 @@ def pagerank(
     checkpoint_interval: int = 5,
     resume: bool = False,
     actor_cpus: float | None = None,
+    warm_start=None,
 ):
     """A1/A2. ``mode='pull'`` = dense power iteration (compute_pagerank);
     ``mode='push'`` = delta/frontier PageRank (compute_pagerank2).
-    ``weighted=True`` distributes rank proportionally to edge weights."""
+    ``weighted=True`` distributes rank proportionally to edge weights.
+
+    ``warm_start``: a prior (vertex_id, value) DataFrame — e.g. the
+    converged scores of the graph BEFORE an :func:`build.add_edges`
+    ingest. Iteration starts from those scores (new vertices at 1/N), so
+    a small edge delta converges in a few supersteps instead of a cold
+    power iteration; the fixed point is identical (power iteration is
+    contraction-convergent from any start). Same-layout restarts should
+    use ``checkpoint_dir``/``resume`` instead — warm_start is the
+    CROSS-layout path (partition count or vertex set changed)."""
+    if warm_start is not None:
+        if mode != "pull":
+            raise ValueError("warm_start requires mode='pull'")
+        import ray as _ray
+
+        ws = warm_start.sort_values("vertex_id")
+        iv = _ray.put(
+            (
+                ws["vertex_id"].to_numpy(dtype=np.int64),
+                ws["value"].to_numpy(dtype=np.float64),
+            )
+        )
+    else:
+        iv = None
     prog = (
-        PageRank(damping, weighted=weighted)
+        PageRank(damping, weighted=weighted, init_values=iv)
         if mode == "pull"
         else DeltaPageRank(damping, tol=eps * 1e-3)
     )

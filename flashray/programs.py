@@ -89,14 +89,34 @@ class PageRank(VertexProgram):
     stale_mirror_safe = True  # fixpoint iteration; converges to the same
     # fixpoint under uniformly-delayed mirror delivery
 
-    def __init__(self, damping: float = 0.85, weighted: bool = False):
+    def __init__(
+        self,
+        damping: float = 0.85,
+        weighted: bool = False,
+        init_values=None,
+    ):
         self.damping = damping
         self.weighted = weighted
         self.use_weights = weighted
+        # warm start: (sorted ids, values) tuple or a ray.ObjectRef to one
+        # (pass a ref so the O(V) prior ships through the object store
+        # once, not inside every actor's pickled program)
+        self.init_values = init_values
 
     def init_state(self, shard, N):
+        v = np.full(shard.nv, 1.0 / max(N, 1))
+        if self.init_values is not None:
+            import ray as _ray
+
+            iv = self.init_values
+            ids, vals = _ray.get(iv) if isinstance(iv, _ray.ObjectRef) else iv
+            pos = np.searchsorted(ids, shard.vertex_ids)
+            hit = (pos < len(ids)) & (
+                ids[np.minimum(pos, len(ids) - 1)] == shard.vertex_ids
+            )
+            v[hit] = vals[pos[hit]]
         return {
-            "values": np.full(shard.nv, 1.0 / max(N, 1)),
+            "values": v,
             "active": np.ones(shard.nv, dtype=bool),
         }
 

@@ -3741,6 +3741,55 @@ def _q_pagerank_incremental_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_wcc_incremental_reply(sf_dir: str):
+    """Incremental WCC after edge ingest (the resumability story for the
+    A3 family): the symmetrized reply graph is built from a deterministic
+    ~2/3 edge subset ((src+dst)%3 != 0 — conversations shatter into chain
+    segments), WCC converges, the withheld edges arrive via
+    build.add_edges, and hash-min WARM-STARTS from the prior labels
+    (algorithms.wcc(warm_start=...)) — the flood only has to cross the new
+    bridge edges. The fixpoint equals a cold full-graph WCC, so the oracle
+    is exact: per-turn component size = conversation length (reply chains).
+    Output (vertex_key, component_size) over convs with >= 2 turns."""
+    import shutil
+
+    from flashray import algorithms, extract
+    from flashray.build import add_edges, build_graph
+
+    edges = extract.extract_edges(
+        _transcripts_ds(sf_dir), etypes=("reply",)
+    ).materialize()
+
+    def split(keep_first: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            m = ((s + d) % 3 != 0) == keep_first
+            return b.filter(pa.array(m))
+
+        return fn
+
+    path = os.path.join(_CACHE_ROOT, "graphs", f"wccinc_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(
+        edges.map_batches(split(True), batch_format="pyarrow"),
+        path,
+        num_partitions=4,
+        symmetrize=True,
+    )
+    prior = algorithms.wcc(g)
+    g = add_edges(g, edges.map_batches(split(False), batch_format="pyarrow"))
+    df = algorithms.wcc(g, warm_start=prior)
+    sizes = df.groupby("value").size().rename("component_size").reset_index()
+    out = _keyed(df.merge(sizes, on="value"), sf_dir)
+    out["component_size"] = out["component_size"].astype(np.int64)
+    return (
+        out[["vertex_key", "component_size"]]
+        .sort_values("vertex_key")
+        .reset_index(drop=True)
+    )
+
+
 def _q_four_cliques_user(sf_dir: str):
     """Per-vertex 4-clique participation counts over the symmetrized
     user-succession graph: the triangle wedge dataflow extended one clique
@@ -3937,6 +3986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": _q_docs_dsir_weights,
         "events_user_distinct_hll": _q_events_user_distinct_hll,
         "pagerank_incremental_user": _q_pagerank_incremental_user,
+        "wcc_incremental_reply": _q_wcc_incremental_reply,
     }
 
 
@@ -6032,6 +6082,15 @@ FROM embeddings e, q
 ORDER BY 1 LIMIT 10""",
         "pagerank": _pagerank_sql(weighted=False),
         "pagerank_incremental_user": _pagerank_incremental_sql(6, 4),
+        # incremental WCC converges to the full-graph components, and reply
+        # chains make those per-conversation — size = conversation length
+        "wcc_incremental_reply": f"""
+WITH t AS ({_tsql()}),
+cl AS (SELECT conv_id, COUNT(*) AS L FROM t GROUP BY 1)
+SELECT 'turn:' || t.conv_id || ':' || t.turn_idx AS vertex_key,
+       CAST(cl.L AS BIGINT) AS component_size
+FROM t JOIN cl ON cl.conv_id = t.conv_id WHERE cl.L >= 2
+ORDER BY 1""",
         "pagerank_personalized": _ppr_sql(),
         "pagerank_weighted": _pagerank_sql(weighted=True),
         "pagerank_push": f"""

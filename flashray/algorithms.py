@@ -299,13 +299,35 @@ def _frontier_loop(
 
 
 def wcc(graph: Graph, *, max_iters: int = 200, out_dir=None, checkpoint_dir=None,
-        checkpoint_interval: int = 5, resume: bool = False, actor_cpus=None):
+        checkpoint_interval: int = 5, resume: bool = False, actor_cpus=None,
+        warm_start=None):
     """A3: weakly connected components (hash-min label propagation);
     ``value`` = min vertex id of the component. Expects a symmetrized graph
-    for the undirected-WCC semantics (libgraph-algs/wcc.cpp)."""
+    for the undirected-WCC semantics (libgraph-algs/wcc.cpp).
+
+    ``warm_start``: a prior (vertex_id, value) DataFrame — the converged
+    components of the graph BEFORE an :func:`build.add_edges` ingest.
+    Labels start at min(own id, prior label) so the min flood only has to
+    cross the NEW edges between pre-flooded components; the fixpoint is
+    identical (prior labels are min-ids of subsets of the merged
+    components). Same-layout restarts should use ``checkpoint_dir`` /
+    ``resume``; warm_start is the CROSS-layout path."""
+    if warm_start is not None:
+        import ray as _ray
+
+        ws = warm_start.sort_values("vertex_id")
+        iv = _ray.put(
+            (
+                ws["vertex_id"].to_numpy(dtype=np.int64),
+                ws["value"].to_numpy(dtype=np.int64),
+            )
+        )
+    else:
+        iv = None
     return _frontier_loop(
-        graph, MinLabel(None), max_iters=max_iters, out_dir=out_dir,
-        checkpoint_dir=checkpoint_dir, checkpoint_interval=checkpoint_interval,
+        graph, MinLabel(None, init_values=iv), max_iters=max_iters,
+        out_dir=out_dir, checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
         resume=resume, actor_cpus=actor_cpus,
     )
 

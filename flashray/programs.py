@@ -402,14 +402,36 @@ class MinLabel(VertexProgram):
     stale_mirror_safe = True  # idempotent min flood: a delayed min never
     # changes the fixpoint, and messages carry values (not rounds)
 
-    def __init__(self, seeds: dict | None = None):
-        # seeds: vertex_id -> int label; None = WCC (label = own id)
+    def __init__(self, seeds: dict | None = None, init_values=None):
+        # seeds: vertex_id -> int label; None = WCC (label = own id).
+        # init_values (WCC mode only): (sorted ids, labels) tuple or a
+        # ray.ObjectRef to one — the converged labels of the graph BEFORE
+        # an add_edges ingest. Hash-min converges to min(initial labels
+        # over the component); prior labels are min-ids of prior
+        # components (subsets of the merged ones), so the fixpoint is
+        # identical to a cold run — reached in fewer supersteps because
+        # labels are already flooded within every pre-ingest component.
         self.seeds = seeds
+        self.init_values = init_values
 
     def init_state(self, shard, N):
         if self.seeds is None:
             values = shard.vertex_ids.copy()
             active = np.ones(shard.nv, dtype=bool)
+            if self.init_values is not None:
+                import ray as _ray
+
+                iv = self.init_values
+                ids, labs = (
+                    _ray.get(iv) if isinstance(iv, _ray.ObjectRef) else iv
+                )
+                pos = np.searchsorted(ids, shard.vertex_ids)
+                hit = (pos < len(ids)) & (
+                    ids[np.minimum(pos, len(ids) - 1)] == shard.vertex_ids
+                )
+                values[hit] = np.minimum(
+                    values[hit], labs[pos[hit]].astype(np.int64)
+                )
         else:
             values = np.full(shard.nv, INT_IDENTITY, dtype=np.int64)
             active = np.zeros(shard.nv, dtype=bool)

@@ -156,3 +156,49 @@ def test_pagerank_warm_start_new_vertices_default(tmp_path):
 
     with _pytest.raises(ValueError):
         algorithms.pagerank(g, mode="push", warm_start=prior)
+
+
+def test_wcc_warm_start_after_ingest(tmp_path):
+    """Warm-starting WCC from the pre-ingest converged labels reaches the
+    SAME components as a cold run on the updated graph — in no more (and
+    on this fixture strictly fewer) supersteps. Fixture: a long path graph
+    split into segments; the withheld bridge edges merge the segments, so
+    a cold run needs O(path length) min-flood rounds while the warm run
+    only floods across the new bridges."""
+    n = 64
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    bridge = (src + 1) % 8 == 0  # every 8th edge withheld: 8 segments
+    g = build_graph(
+        _edges_ds(src[~bridge], dst[~bridge]), str(tmp_path / "wccinc"),
+        num_partitions=4, symmetrize=True,
+    )
+    prior = algorithms.wcc(g)
+    assert prior["value"].nunique() == 8
+    g = add_edges(g, _edges_ds(src[bridge], dst[bridge]))
+
+    cold = algorithms.wcc(g)
+    warm = algorithms.wcc(g, warm_start=prior)
+    c = cold.sort_values("vertex_id").reset_index(drop=True)
+    w = warm.sort_values("vertex_id").reset_index(drop=True)
+    assert (c["vertex_id"] == w["vertex_id"]).all()
+    assert (c["value"] == w["value"]).all()
+    assert (w["value"] == 0).all()  # one merged component, min id 0
+    assert len(w.attrs["lineage"]) < len(c.attrs["lineage"])
+
+
+def test_wcc_warm_start_new_vertices(tmp_path):
+    """Vertices absent from the prior label themselves (own id) and still
+    converge to the cold components."""
+    g = build_graph(
+        _edges_ds([0, 1], [1, 2]), str(tmp_path / "wccnv"),
+        num_partitions=2, symmetrize=True,
+    )
+    prior = algorithms.wcc(g)
+    g = add_edges(g, _edges_ds([5, 6], [6, 7]))  # disjoint new component
+    cold = algorithms.wcc(g)
+    warm = algorithms.wcc(g, warm_start=prior)
+    c = cold.sort_values("vertex_id").reset_index(drop=True)
+    w = warm.sort_values("vertex_id").reset_index(drop=True)
+    assert (c["value"] == w["value"]).all()
+    assert set(w["value"]) == {0, 5}

@@ -1365,6 +1365,38 @@ def _q_docs_decontaminate(sf_dir: str):
     return out
 
 
+def _q_docs_bloom_decontaminate(sf_dir: str):
+    """Decontamination behind the broadcast Bloom prefilter: docs with
+    doc_id % 40 == 1 form the benchmark, every other doc is scored by its
+    distinct word 4-grams hitting the benchmark set. The Bloom pass only
+    changes WHERE grams are filtered (in-batch against a 1 MiB broadcast
+    bitset vs a corpus-wide n-gram shuffle) — never the answer, since the
+    flagged candidates are string-verified exactly; the oracle is the
+    plain exact-join replay."""
+    from flashray.datapipe.dedup import bloom_decontaminate
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).materialize()
+
+    def is_bench(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 40 == 1))
+
+    def not_bench(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 40 != 1))
+
+    bench = ds.map_batches(is_bench, batch_format="pyarrow")
+    cand = ds.map_batches(not_bench, batch_format="pyarrow")
+    return (
+        bloom_decontaminate(cand, bench, n=4, m_bits=1 << 20, k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_docs_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -3931,6 +3963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": _q_docs_chunks,
         "docs_quality_percentile": _q_docs_quality_percentile,
         "docs_decontaminate": _q_docs_decontaminate,
+        "docs_bloom_decontaminate": _q_docs_bloom_decontaminate,
         "docs_hash_split": _q_docs_hash_split,
         "docs_lm_logprob": _q_docs_lm_logprob,
         "docs_frequent_terms": _q_docs_frequent_terms,
@@ -4825,6 +4858,24 @@ hits AS (SELECT doc_id, COUNT(*) AS n_hits
 SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 50 <> 0""",
+        # the Bloom prefilter is exact-verified, so the oracle is the same
+        # plain n-gram join (n=4, benchmark = doc_id % 40 == 1)
+        "docs_bloom_decontaminate": """
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '') AS ws
+           FROM documents),
+g AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 2)) AS i FROM t),
+ng AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                      || ws[i+3] AS ngram
+       FROM g),
+bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 40 = 1),
+cand AS (SELECT DISTINCT doc_id, ngram FROM ng WHERE doc_id % 40 <> 1),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits
+         FROM cand JOIN bench USING (ngram) GROUP BY 1)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 40 <> 1""",
         # exact-quantile gate: same avg_token_len formula as docs_quality,
         # quantile_disc(0.25) cut, >= filter on the exact float64 values
         "docs_quality_percentile": """

@@ -992,6 +992,210 @@ def decontaminate(
     return j.map_batches(fill, batch_format="pandas")
 
 
+def _window_hashes(codes: np.ndarray, n: int) -> np.ndarray:
+    """Positional n-gram hashes (the :func:`_shingle_hashes` recurrence
+    WITHOUT the trailing distinct): entry i hashes ``codes[i : i + n]``,
+    so a flagged window maps straight back to its gram string."""
+    with np.errstate(over="ignore"):
+        acc = _splitmix64(codes[: len(codes) - n + 1])
+        for i in range(1, n):
+            acc = _splitmix64(acc ^ codes[i : len(codes) - n + 1 + i])
+    return acc
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k Bloom bit positions per hash via double hashing
+    (h1 + i·h2 mod m, m a power of two); shape (k, len(h))."""
+    h1 = h & np.uint64(0xFFFF_FFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd → full-period stride
+    mask = np.uint64(m_bits - 1)
+    out = np.empty((k, len(h)), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            out[i] = (h1 + np.uint64(i) * h2) & mask
+    return out
+
+
+class _BloomCandidateGrams:
+    """Actor-pool stage: tests every document n-gram against a broadcast
+    Bloom bitset (fetched from the object store ONCE per actor — a
+    zero-copy shared-memory numpy view, never re-shipped per batch) and
+    emits only the flagged DISTINCT (doc_id, ngram) rows."""
+
+    def __init__(self, bits_ref, *, n, k, m_bits, id_col, text_col):
+        self.bits = ray.get(bits_ref)
+        self.n, self.k, self.m_bits = n, k, m_bits
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = self.n
+        out_id, out_ng = [], []
+        for d, text in zip(
+            df[self.id_col].to_numpy(), df[self.text_col].astype(str)
+        ):
+            ws = text.split()
+            if len(ws) < n:
+                continue
+            h = _window_hashes(_word_codes(ws), n)
+            pos = _bloom_positions(h, self.m_bits, self.k)
+            member = np.ones(len(h), dtype=bool)
+            for i in range(self.k):
+                p = pos[i]
+                member &= (
+                    self.bits[(p >> np.uint64(3)).astype(np.int64)]
+                    >> (p & np.uint64(7)).astype(np.uint8)
+                ) & np.uint8(1) == 1
+            if not member.any():
+                continue
+            grams = sorted(
+                {" ".join(ws[j : j + n]) for j in np.flatnonzero(member)}
+            )
+            out_id.extend([int(d)] * len(grams))
+            out_ng.extend(grams)
+        return pd.DataFrame(
+            {"doc_id": pd.Series(out_id, dtype=np.int64),
+             "ngram": pd.Series(out_ng, dtype=str)}
+        )
+
+
+def bloom_decontaminate(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 23,
+    k: int = 4,
+    num_buckets: int = 64,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Benchmark decontamination behind a broadcast Bloom prefilter —
+    same contract and EXACT same output as :func:`decontaminate`
+    ((doc_id, n_hits) per candidate doc), different 100-TB shape.
+
+    :func:`decontaminate` ships every distinct corpus n-gram through the
+    hash-partitioned join — correct, but the shuffled volume scales with
+    the CORPUS (the 100-TB side). Here the benchmark's n-grams are folded
+    into an m_bits Bloom bitset (one streaming pass, one ~m_bits/8-byte
+    partial per block, OR-fold on the driver — 1 MiB at the default), the
+    bitset is broadcast once via ``ray.put``, and an actor pool tests
+    corpus grams in-batch: only Bloom-flagged grams (true hits + the
+    ~(1-e^{-kN/m})^k false-positive sliver) enter the exact string join
+    that removes false positives. The shuffle volume now scales with the
+    CONTAMINATION, not the corpus. No false negatives: a Bloom filter
+    never misses an inserted key, so exactness vs ``decontaminate`` holds
+    for any (m_bits, k) — undersized filters only cost verify traffic.
+
+    m_bits must be a power of two (bit positions are masked, not mod'd)."""
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    I64 = pa.int64()
+
+    def partial_bits(df: pd.DataFrame) -> pd.DataFrame:
+        buf = np.zeros(m_bits // 8, dtype=np.uint8)
+        for text in df[text_col].astype(str):
+            ws = text.split()
+            if len(ws) < n:
+                continue
+            h = _window_hashes(_word_codes(ws), n)
+            pos = _bloom_positions(h, m_bits, k).reshape(-1)
+            np.bitwise_or.at(
+                buf,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                ),
+            )
+        return pd.DataFrame({"bits": [buf.tobytes()]})
+
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in (
+        benchmark.select_columns([text_col])
+        .map_batches(partial_bits, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+    ):
+        for raw in b["bits"]:
+            bits |= np.frombuffer(raw, dtype=np.uint8)
+    bits_ref = ray.put(bits)
+
+    cand_ng = docs.select_columns([id_col, text_col]).map_batches(
+        _BloomCandidateGrams,
+        fn_constructor_kwargs={
+            "bits_ref": bits_ref,
+            "n": n,
+            "k": k,
+            "m_bits": m_bits,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+        batch_format="pandas",
+        concurrency=_util.pool_size(concurrency),
+    )
+
+    def bench_ngrams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split()
+        out = set()
+        for ws in toks:
+            if len(ws) < n:
+                continue
+            out.update(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
+        return pd.DataFrame({"ngram": pd.Series(sorted(out), dtype=str)})
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    bench_ng = bucket_group_agg(
+        benchmark.select_columns([text_col]).map_batches(
+            bench_ngrams, batch_format="pandas"
+        ),
+        ["ngram"],
+        None,
+        num_buckets=num_buckets,
+    )
+    hits = bucket_hash_join(
+        cand_ng,
+        bench_ng,
+        ["ngram"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("doc_id", I64), ("ngram", pa.string())]),
+        right_schema=pa.schema([("ngram", pa.string())]),
+    )
+    per_doc = bucket_group_agg(
+        hits.map_batches(
+            lambda b: b.select(["doc_id"]).append_column(
+                "n_hits", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+        {"n_hits": ("n_hits", "sum")},
+        num_buckets=num_buckets,
+    )
+    all_ids = docs.map_batches(
+        lambda b: pa.table({"doc_id": b[id_col].cast(I64)}),
+        batch_format="pyarrow",
+    )
+    j = bucket_hash_join(
+        all_ids,
+        per_doc,
+        ["doc_id"],
+        how="left",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("doc_id", I64)]),
+        right_schema=pa.schema([("doc_id", I64), ("n_hits", I64)]),
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "n_hits": df["n_hits"].fillna(0).to_numpy().astype(np.int64),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pandas")
+
+
 def _bucket_cross_pairs(group: pd.DataFrame, *, threshold: float) -> pd.DataFrame:
     """Cross-side verification within one LSH bucket: estimated Jaccard
     (signature agreement) between every train-side and eval-side row.

@@ -613,6 +613,44 @@ def test_decontaminate_matches_python():
     assert got["n_hits"].sum() > 0  # fixture actually contaminates
 
 
+def test_bloom_decontaminate_matches_exact():
+    """bloom_decontaminate == decontaminate on the same fixture, both at a
+    comfortable filter size and at a pathologically tiny one (m_bits=256 →
+    the bitset saturates, nearly every gram is a Bloom candidate) — the
+    exact verify join removes every false positive, so the output is
+    identical either way."""
+    from flashray.datapipe.dedup import bloom_decontaminate, decontaminate
+
+    rng = np.random.default_rng(35)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+        for _ in range(80)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+    bench = rd.from_pandas(df[df["doc_id"] % 8 == 0])
+    cand = rd.from_pandas(df[df["doc_id"] % 8 != 0])
+
+    def run(fn, **kw):
+        return (
+            fn(cand, bench, n=3, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    want = run(decontaminate)
+    assert want["n_hits"].sum() > 0
+    for m_bits in (1 << 16, 256):
+        got = run(bloom_decontaminate, m_bits=m_bits, k=3)
+        pd.testing.assert_frame_equal(got, want)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_decontaminate(cand, bench, m_bits=1000)
+
+
 def test_dedup_keep_best_picks_max_quality_min_id():
     from flashray.datapipe.dedup import dedup_keep_best
 

@@ -3773,6 +3773,27 @@ def _q_pagerank_incremental_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_onion_reply_layers(sf_dir: str):
+    """Onion decomposition (k-core peel + synchronous removal rounds) on
+    the symmetrized reply graph. Reply chains peel inward from both ends
+    one synchronous wave at a time, so the closed form is coreness = 1 and
+    layer = min(turn_idx, L-1-turn_idx) + 1 — and the waves are dense
+    across conversations (the longest conv populates every depth), so the
+    dense-rank layer ids equal depth+1. Output (vertex_key, coreness,
+    layer) over convs with >= 2 turns."""
+    from flashray import algorithms
+
+    g = _graph(sf_dir, symmetrize=True, etypes=("reply",))
+    df = algorithms.onion_layers(g)
+    out = _keyed(df, sf_dir)
+    return (
+        out[["vertex_key", "coreness", "layer"]]
+        .astype({"coreness": np.int64, "layer": np.int64})
+        .sort_values("vertex_key")
+        .reset_index(drop=True)
+    )
+
+
 def _q_wcc_incremental_reply(sf_dir: str):
     """Incremental WCC after edge ingest (the resumability story for the
     A3 family): the symmetrized reply graph is built from a deterministic
@@ -4020,6 +4041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_distinct_hll": _q_events_user_distinct_hll,
         "pagerank_incremental_user": _q_pagerank_incremental_user,
         "wcc_incremental_reply": _q_wcc_incremental_reply,
+        "onion_reply_layers": _q_onion_reply_layers,
     }
 
 
@@ -6140,6 +6162,16 @@ WITH t AS ({_tsql()}),
 cl AS (SELECT conv_id, COUNT(*) AS L FROM t GROUP BY 1)
 SELECT 'turn:' || t.conv_id || ':' || t.turn_idx AS vertex_key,
        CAST(cl.L AS BIGINT) AS component_size
+FROM t JOIN cl ON cl.conv_id = t.conv_id WHERE cl.L >= 2
+ORDER BY 1""",
+        # closed-form onion layers on reply chains: peel inward from both
+        # ends, one synchronous wave per depth; coreness 1 everywhere
+        "onion_reply_layers": f"""
+WITH t AS ({_tsql()}),
+cl AS (SELECT conv_id, COUNT(*) AS L FROM t GROUP BY 1)
+SELECT 'turn:' || t.conv_id || ':' || t.turn_idx AS vertex_key,
+       CAST(1 AS BIGINT) AS coreness,
+       CAST(least(t.turn_idx, cl.L - 1 - t.turn_idx) + 1 AS BIGINT) AS layer
 FROM t JOIN cl ON cl.conv_id = t.conv_id WHERE cl.L >= 2
 ORDER BY 1""",
         "pagerank_personalized": _ppr_sql(),

@@ -524,6 +524,51 @@ def kcore(graph: Graph, *, out_dir=None, checkpoint_dir=None,
     return _with_lineage(result, lineage)
 
 
+def onion_layers(graph: Graph, *, actor_cpus=None,
+                 max_supersteps: int = 100_000):
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016): the
+    k-core peel of :func:`kcore` with the synchronous removal ROUND of
+    each vertex recorded — layer 1 peels first, the innermost layer last.
+    Returns (vertex_id, coreness, layer); coreness matches :func:`kcore`
+    exactly (identical peel schedule), layer is the dense rank of the
+    vertex's removal wave over all waves that removed anything anywhere
+    (driver-side rank over the tiny distinct-wave set). Symmetrized
+    graphs only, like kcore."""
+    import pandas as pd
+
+    from flashray.programs import OnionPeel
+
+    with Engine(graph, OnionPeel(), actor_cpus=actor_cpus) as eng:
+        k = 1
+        steps = 0
+        while steps < max_supersteps:
+            m = eng.step()
+            steps += 1
+            if m["changed"] == 0:
+                alive = m.get("alive", 0)
+                while alive > 0:
+                    k += 1
+                    ev = eng.broadcast_event({"k": k})
+                    alive = ev.get("alive", 0)
+                    if ev.get("changed", 0) > 0:
+                        break
+                else:
+                    break
+        result = _finish(eng, None)
+        lineage = list(eng.lineage)
+    enc = result["value"].to_numpy().astype(np.int64)
+    wave = enc & np.int64(0xFFFF_FFFF)
+    uniq, inv = np.unique(wave, return_inverse=True)
+    out = pd.DataFrame(
+        {
+            "vertex_id": result["vertex_id"].to_numpy().astype(np.int64),
+            "coreness": (enc >> np.int64(32)).astype(np.int64),
+            "layer": (inv + 1).astype(np.int64),
+        }
+    )
+    return _with_lineage(out, lineage)
+
+
 def pseudo_diameter(graph: Graph, *, sweeps: int = 4, start_vertex=None,
                     actor_cpus=None) -> int:
     """A11 (libgraph-algs/diameter_graph.cpp — estimate_diameter): repeated

@@ -687,6 +687,65 @@ class KCorePeel(VertexProgram):
         return ["k"]
 
 
+class OnionPeel(KCorePeel):
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016) on the
+    A9 peeling engine: identical peel schedule to :class:`KCorePeel`, but
+    each vertex also records the REMOVAL WAVE it was peeled in — the
+    synchronous rounds of the peel are exactly the onion layers, a
+    strictly finer structural signature than coreness (core = which shell,
+    layer = how deep inside it). Wave counters live per shard and stay in
+    lockstep because the engine invokes ``apply`` on EVERY shard each
+    superstep and ``on_event`` broadcasts to every shard — both bump the
+    counter unconditionally, removals or not; waves that removed nothing
+    anywhere are simply absent from the output and collapse under the
+    dense-rank in :func:`flashray.algorithms.onion_layers`. (coreness,
+    wave) pack into one int64 value (core << 32 | wave; both < 2^31)."""
+
+    def init_state(self, shard, N):
+        st = super().init_state(shard, N)
+        st["wave"] = 1
+        enc = np.zeros(shard.nv, dtype=np.int64)
+        removed = ~st["alive"]
+        enc[removed] = np.int64(1)  # core 0 << 32 | wave 1
+        st["values"] = enc
+        return st
+
+    def apply(self, shard, state, agg, N):
+        state["wave"] += 1
+        k = state["k"]
+        alive = state["alive"]
+        state["deg"] = state["deg"] - np.where(alive, agg, 0.0)
+        newly = alive & (state["deg"] < k)
+        state["values"][newly] = (np.int64(k - 1) << np.int64(32)) | np.int64(
+            state["wave"]
+        )
+        alive &= ~newly
+        state["active"] = newly
+        n = int(newly.sum())
+        return {
+            "delta": float(n),
+            "changed": n,
+            "active": n,
+            "alive": int(alive.sum()),
+        }
+
+    def on_event(self, shard, state, payload):
+        state["wave"] += 1
+        k = int(payload["k"])
+        state["k"] = k
+        alive = state["alive"]
+        newly = alive & (state["deg"] < k)
+        state["values"][newly] = (np.int64(k - 1) << np.int64(32)) | np.int64(
+            state["wave"]
+        )
+        alive &= ~newly
+        state["active"] = newly
+        return {"changed": int(newly.sum()), "alive": int(alive.sum())}
+
+    def scalar_state_keys(self):
+        return ["k", "wave"]
+
+
 class HyperBallProgram(VertexProgram):
     """HyperBall (Boldi & Vigna 2013-14) on the superstep engine: each
     vertex's state is a 2^p-register HyperLogLog sketch of its ball

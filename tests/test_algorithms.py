@@ -857,3 +857,73 @@ def test_dag_levels_matches_longest_path_and_rejects_cycles(tmp_path):
 
     with pytest.raises(ValueError, match="cycle"):
         algorithms.dag_levels(gc, max_iters=20)
+
+
+def _onion_ref(src, dst):
+    """Synchronous-wave onion decomposition reference (Hébert-Dufresne et
+    al. 2016): each round applies the decrements of the previous round's
+    removals, then removes every now-underdegree vertex — one layer per
+    nonempty round; k bumps (no round consumed) when a core stabilizes.
+    Mirrors the engine's apply/on_event schedule exactly."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+    alive = set(adj)
+    deg = {v: len(adj[v]) for v in alive}
+    k, layer, out = 1, 0, {}
+
+    def remove(newly):
+        nonlocal layer
+        layer += 1
+        for v in newly:
+            out[v] = (k - 1, layer)
+        alive.difference_update(newly)
+        return newly
+
+    pend = set()
+    while alive:
+        for v in pend:
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+        newly = {v for v in alive if deg[v] < k}
+        if newly:
+            pend = remove(newly)
+            continue
+        pend = set()
+        while alive:
+            k += 1
+            newly = {v for v in alive if deg[v] < k}
+            if newly:
+                pend = remove(newly)
+                break
+    return out
+
+
+@pytest.mark.parametrize("name", ["k3", "star8", "path5", "er100"])
+def test_onion_layers_matches_sync_peel(tmp_graphs, name):
+    graph, (src, dst) = tmp_graphs(name, FIXES[name])
+    df = algorithms.onion_layers(graph)
+    want = _onion_ref(src, dst)
+    got = {
+        int(r.vertex_id): (int(r.coreness), int(r.layer))
+        for r in df.itertuples()
+    }
+    assert got == want
+    # coreness must agree with the kcore peel (schedule-independent)
+    kc = oracles.kcore_peel(src, dst)
+    assert {v: c for v, (c, _) in got.items()} == kc
+
+
+def test_onion_layers_path_closed_form(tmp_graphs):
+    """On a path, layers peel inward from both ends: layer(v) =
+    min(v, n-1-v) + 1, coreness 1 everywhere."""
+    graph, _ = tmp_graphs("path7", lambda: fixtures.path_edges(7))
+    df = algorithms.onion_layers(graph)
+    got = {int(r.vertex_id): (int(r.coreness), int(r.layer))
+           for r in df.itertuples()}
+    assert got == {v: (1, min(v, 6 - v) + 1) for v in range(7)}

@@ -3773,6 +3773,25 @@ def _q_pagerank_incremental_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_docs_winnow_overlap(sf_dir: str):
+    """MOSS winnowing copy detection over the documents table: word
+    4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
+    sharing >= 1 distinct selected fingerprint with the shared count. The
+    oracle replays the full selection with SQL window functions (same
+    sha256 gram hashes, same rightmost-tie rule)."""
+    from flashray.datapipe.textstats import winnow_overlap
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return (
+        winnow_overlap(ds, n=4, w=4)
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_onion_reply_layers(sf_dir: str):
     """Onion decomposition (k-core peel + synchronous removal rounds) on
     the symmetrized reply graph. Reply chains peel inward from both ends
@@ -4042,6 +4061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_incremental_user": _q_pagerank_incremental_user,
         "wcc_incremental_reply": _q_wcc_incremental_reply,
         "onion_reply_layers": _q_onion_reply_layers,
+        "docs_winnow_overlap": _q_docs_winnow_overlap,
     }
 
 
@@ -6164,6 +6184,38 @@ SELECT 'turn:' || t.conv_id || ':' || t.turn_idx AS vertex_key,
        CAST(cl.L AS BIGINT) AS component_size
 FROM t JOIN cl ON cl.conv_id = t.conv_id WHERE cl.L >= 2
 ORDER BY 1""",
+        # full winnowing replay: same sha256 gram hashes, windows of 4,
+        # rightmost-min selection via ROW_NUMBER(fp ASC, i DESC)
+        "docs_winnow_overlap": """
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '') AS ws
+           FROM documents),
+g AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 2)) AS i FROM t),
+ng AS (SELECT doc_id, i, len(ws) - 3 AS gcount,
+              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                AS gram
+       FROM g),
+h AS (SELECT doc_id, i, gcount,
+             CAST(CAST(CAST(concat('0x', substr(sha256(gram), 1, 16))
+                            AS UBIGINT) AS HUGEINT)
+                  % 9223372036854775808 AS BIGINT) AS fp
+      FROM ng),
+win AS (SELECT doc_id, unnest(range(1, greatest(gcount - 3, 1) + 1)) AS s
+        FROM (SELECT DISTINCT doc_id, gcount FROM h)),
+wp AS (SELECT w.doc_id, w.s, h.i, h.fp
+       FROM win w JOIN h ON h.doc_id = w.doc_id
+                        AND h.i BETWEEN w.s AND w.s + 3),
+sel AS (SELECT DISTINCT doc_id, fp FROM (
+          SELECT doc_id, s, i, fp,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, s
+                                    ORDER BY fp ASC, i DESC) AS rn
+          FROM wp) WHERE rn = 1),
+pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b, n_shared FROM pairs ORDER BY 1, 2""",
         # closed-form onion layers on reply chains: peel inward from both
         # ends, one synchronous wave per depth; coreness 1 everywhere
         "onion_reply_layers": f"""

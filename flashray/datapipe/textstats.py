@@ -1114,3 +1114,176 @@ def resample_mixture(
     return docs.select_columns([id_col, group_col, text_col]).map_batches(
         filt, batch_format="pandas"
     )
+
+
+_MASK63 = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+
+
+def winnow_fingerprints(
+    docs,
+    *,
+    n: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """MOSS winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003): from
+    each document's sequence of word n-gram hashes, every window of w
+    consecutive hashes contributes its minimum — rightmost occurrence on
+    ties, the paper's rule. The guarantee: any shared token run of length
+    >= w + n - 1 between two documents produces at least one shared
+    selected fingerprint, at an expected density of only 2/(w+1) of the
+    grams — the local-window structure makes the fingerprint set robust
+    to insertions far from the match, unlike a global bottom-k sketch.
+
+    Gram hashes are the repo's SQL-replayable convention (first 8 bytes
+    of sha256 of the gram string, masked to 63 bits), so a DuckDB oracle
+    replays the full selection with window functions. Completes in-batch
+    (zero shuffles); unique grams are hashed once per batch. Returns one
+    row per selected (doc_id, pos, fp) with pos the gram index."""
+    from flashray.datapipe.sketches import _sha_u64
+
+    tok = re.compile(r"\S+")
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ids = df[id_col].to_numpy()
+        toks = df[text_col].fillna("").astype(str).str.findall(tok)
+        gram_lists = []
+        for ws_ in toks:
+            m = len(ws_)
+            gram_lists.append(
+                [" ".join(ws_[i : i + n]) for i in range(m - n + 1)]
+                if m >= n
+                else []
+            )
+        out_id, out_pos, out_fp = [], [], []
+        flat = np.asarray(
+            [g for gl in gram_lists for g in gl], dtype=object
+        )
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            uh = (_sha_u64(list(uniq)) & _MASK63).astype(np.int64)
+            hflat = uh[inv]
+            ofs = 0
+            for d, gl in zip(ids, gram_lists):
+                g = len(gl)
+                if g == 0:
+                    continue
+                h = hflat[ofs : ofs + g]
+                ofs += g
+                if g <= w:
+                    # fewer grams than a window: one window, whole doc
+                    pos = np.asarray(
+                        [g - 1 - int(np.argmin(h[::-1]))], dtype=np.int64
+                    )
+                else:
+                    M = sliding_window_view(h, w)
+                    # argmin of the reversed window = FIRST min from the
+                    # right = the paper's rightmost-tie rule
+                    off = w - 1 - np.argmin(M[:, ::-1], axis=1)
+                    pos = np.unique(
+                        np.arange(g - w + 1, dtype=np.int64) + off
+                    )
+                out_id.extend([int(d)] * len(pos))
+                out_pos.extend(pos.tolist())
+                out_fp.extend(h[pos].tolist())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype=np.int64),
+                "pos": pd.Series(out_pos, dtype=np.int64),
+                "fp": pd.Series(out_fp, dtype=np.int64),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pandas"
+    )
+
+
+def winnow_overlap(
+    docs,
+    *,
+    n: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+    max_df: int | None = None,
+    num_buckets: int = 64,
+):
+    """Candidate copy pairs à la MOSS: unordered document pairs sharing
+    >= min_shared distinct winnowing fingerprints, with the shared count.
+    Dataflow: fingerprints complete in-batch, ONE hash-partition by fp
+    co-locates each fingerprint's posting list (distinct + pair expansion
+    via the vectorized triangular-index kernel, pre-counted map-side),
+    one small (a, b) aggregate sums the shares. ``max_df`` drops
+    fingerprints present in more than max_df documents before expansion —
+    the hot-key cap for boilerplate phrases at corpus scale (a fingerprint
+    shared by D documents expands to D² pairs); exact output needs
+    max_df=None. Returns (doc_id_a, doc_id_b, n_shared), a < b."""
+    import pyarrow as pa
+
+    from flashray.joins import (
+        _key_hash,
+        bucket_group_agg,
+        pairs_within_groups,
+    )
+
+    fps = winnow_fingerprints(
+        docs, n=n, w=w, id_col=id_col, text_col=text_col
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        b = b.select(["fp", "doc_id"]).replace_schema_metadata(None)
+        h = _key_hash(b, ["fp"])
+        return b.append_column(
+            "__wbucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__wbucket"]).drop_duplicates(["fp", "doc_id"])
+        if max_df is not None:
+            sizes = g.groupby("fp")["doc_id"].transform("size")
+            g = g[sizes <= max_df]
+        g = g.sort_values(["fp", "doc_id"])
+        codes = pd.factorize(g["fp"], sort=False)[0]
+        a, b, _ = pairs_within_groups(
+            codes.astype(np.int64), g["doc_id"].to_numpy(dtype=np.int64)
+        )
+        if not len(a):
+            return pd.DataFrame(
+                {
+                    "doc_id_a": pd.Series(dtype=np.int64),
+                    "doc_id_b": pd.Series(dtype=np.int64),
+                    "n_shared": pd.Series(dtype=np.int64),
+                }
+            )
+        out = (
+            pd.DataFrame({"doc_id_a": a, "doc_id_b": b})
+            .groupby(["doc_id_a", "doc_id_b"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n_shared"})
+        )
+        return out.astype(np.int64)
+
+    pairs = (
+        fps.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__wbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    agg = bucket_group_agg(
+        pairs,
+        ["doc_id_a", "doc_id_b"],
+        {"n_shared": ("n_shared", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b["n_shared"], min_shared))
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -311,3 +311,89 @@ def test_mixture_report_counts_and_shares():
         .to_pandas().sort_values(["source", "lang"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, b)
+
+
+def _winnow_ref(text, n, w):
+    """Brute-force winnowing reference: explicit windows, min hash,
+    rightmost tie — straight from the MOSS paper's definition."""
+    import hashlib
+
+    ws = text.split()
+    grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+    if not grams:
+        return set()
+    h = [
+        int.from_bytes(hashlib.sha256(g.encode()).digest()[:8], "big")
+        & 0x7FFF_FFFF_FFFF_FFFF
+        for g in grams
+    ]
+    sel = set()
+    if len(h) <= w:
+        windows = [(0, len(h))]
+    else:
+        windows = [(s, s + w) for s in range(len(h) - w + 1)]
+    for s, e in windows:
+        mn = min(h[s:e])
+        rightmost = max(j for j in range(s, e) if h[j] == mn)
+        sel.add((rightmost, h[rightmost]))
+    return sel
+
+
+def test_winnow_fingerprints_matches_reference():
+    from flashray.datapipe.textstats import winnow_fingerprints
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+        for _ in range(40)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": texts})
+    got = winnow_fingerprints(rd.from_pandas(df), n=3, w=4).to_pandas()
+    by_doc = {
+        int(d): {(int(r.pos), int(r.fp)) for r in g.itertuples()}
+        for d, g in got.groupby("doc_id")
+    }
+    for d, t in zip(df["doc_id"], df["text"]):
+        assert by_doc.get(int(d), set()) == _winnow_ref(t, 3, 4), d
+    # density sanity: some docs fingerprinted, none empty with >= n tokens
+    assert sum(len(s) for s in by_doc.values()) > 0
+
+
+def test_winnow_overlap_guarantee_and_maxdf():
+    """A >= w+n-1 token run shared between two docs MUST share a selected
+    fingerprint (the winnowing guarantee); unrelated docs share none; the
+    max_df hot-fingerprint cap drops boilerplate shared by every doc."""
+    from flashray.datapipe.textstats import winnow_overlap
+
+    run = "one two three four five six seven eight nine ten"  # 10 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "prefix words here " + run,
+                run + " suffix tail words",
+                "completely different content with no shared phrases at all",
+                "another unrelated document talking about other things",
+            ],
+        }
+    )
+    got = (
+        winnow_overlap(rd.from_pandas(docs), n=4, w=4)
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+    )
+    pairs = set(zip(got["doc_id_a"], got["doc_id_b"]))
+    assert (0, 1) in pairs  # the guarantee: 10 >= w + n - 1 = 7
+    assert not any(2 in p or 3 in p for p in pairs)
+
+    # boilerplate shared by EVERY doc is dropped by max_df
+    bp = " std boiler plate footer text here"
+    docs2 = docs.assign(text=docs["text"] + bp)
+    full = winnow_overlap(rd.from_pandas(docs2), n=4, w=4).to_pandas()
+    assert len(full) == 6  # all pairs share the footer
+    capped = winnow_overlap(
+        rd.from_pandas(docs2), n=4, w=4, max_df=3
+    ).to_pandas()
+    capped_pairs = set(zip(capped["doc_id_a"], capped["doc_id_b"]))
+    assert (0, 1) in capped_pairs and len(capped_pairs) < 6

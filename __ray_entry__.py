@@ -3773,6 +3773,49 @@ def _q_pagerank_incremental_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _reply_role_mixing(sf_dir: str):
+    """Shared helper: Newman nominal mixing matrix of the reply graph's
+    endpoint roles (reply edge = turn t-1 → turn t, attribute = role)."""
+    from flashray import algorithms
+    from flashray import ids as _ids
+
+    g = _graph(sf_dir, symmetrize=False, etypes=("reply",))
+
+    def attr_batch(b: pa.Table) -> pa.Table:
+        conv = b["conv_id"].to_numpy(zero_copy_only=False)
+        t = b["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = _ids.turn_vertex_ids_from_hashes(_ids.conv_hashes(conv), t)
+        return pa.table(
+            {
+                "vertex_id": pa.array(vid.astype(np.int64)),
+                "attr": b["role"].cast(pa.string()),
+            }
+        )
+
+    attrs = _transcripts_ds(sf_dir).map_batches(
+        attr_batch, batch_format="pyarrow"
+    )
+    return algorithms.attribute_mixing(g, attrs)
+
+
+def _q_reply_role_mixing(sf_dir: str):
+    """Role→role mixing matrix over reply edges (who replies to whom):
+    cell counts plus edge fractions. Oracle: consecutive-turn self-join."""
+    m = _reply_role_mixing(sf_dir)
+    out = m.rename(columns={"attr_src": "role_src", "attr_dst": "role_dst"})
+    out["frac"] = out["frac"].round(6)
+    return out.sort_values(["role_src", "role_dst"]).reset_index(drop=True)
+
+
+def _q_reply_role_assortativity(sf_dir: str):
+    """Newman nominal assortativity coefficient of the role mixing matrix
+    (alternating user/assistant turns → strongly disassortative)."""
+    from flashray import algorithms
+
+    r = algorithms.attribute_assortativity(_reply_role_mixing(sf_dir))
+    return pd.DataFrame({"assortativity": [round(float(r), 6)]})
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4062,6 +4105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc_incremental_reply": _q_wcc_incremental_reply,
         "onion_reply_layers": _q_onion_reply_layers,
         "docs_winnow_overlap": _q_docs_winnow_overlap,
+        "reply_role_mixing": _q_reply_role_mixing,
+        "reply_role_assortativity": _q_reply_role_assortativity,
     }
 
 
@@ -6216,6 +6261,33 @@ pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b, n_shared FROM pairs ORDER BY 1, 2""",
+        "reply_role_mixing": f"""
+WITH t AS ({_tsql()}),
+e AS (SELECT a.role AS role_src, b.role AS role_dst
+      FROM t a JOIN t b ON b.conv_id = a.conv_id
+                       AND b.turn_idx = a.turn_idx + 1),
+n AS (SELECT COUNT(*) AS tot FROM e)
+SELECT role_src, role_dst, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(COUNT(*) * 1.0 / n.tot, 6) AS frac
+FROM e CROSS JOIN n GROUP BY 1, 2, n.tot ORDER BY 1, 2""",
+        # Newman 2003 eq. 2 over the same matrix: r = (tr - ab)/(1 - ab)
+        "reply_role_assortativity": f"""
+WITH t AS ({_tsql()}),
+e AS (SELECT a.role AS role_src, b.role AS role_dst
+      FROM t a JOIN t b ON b.conv_id = a.conv_id
+                       AND b.turn_idx = a.turn_idx + 1),
+cells AS (SELECT role_src, role_dst,
+                 COUNT(*) * 1.0 / (SELECT COUNT(*) FROM e) AS f
+          FROM e GROUP BY 1, 2),
+lab AS (SELECT DISTINCT l FROM
+        (SELECT role_src AS l FROM cells UNION SELECT role_dst FROM cells)),
+ra AS (SELECT l,
+              COALESCE((SELECT SUM(f) FROM cells WHERE role_src = l), 0) AS a,
+              COALESCE((SELECT SUM(f) FROM cells WHERE role_dst = l), 0) AS b
+       FROM lab),
+tr AS (SELECT COALESCE(SUM(f), 0) AS v FROM cells WHERE role_src = role_dst),
+ab AS (SELECT SUM(a * b) AS v FROM ra)
+SELECT ROUND((tr.v - ab.v) / (1 - ab.v), 6) AS assortativity FROM tr, ab""",
         # closed-form onion layers on reply chains: peel inward from both
         # ends, one synchronous wave per depth; coreness 1 everywhere
         "onion_reply_layers": f"""

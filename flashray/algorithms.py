@@ -569,6 +569,102 @@ def onion_layers(graph: Graph, *, actor_cpus=None,
     return _with_lineage(out, lineage)
 
 
+def attribute_mixing(graph: Graph, attrs, *, attr_col: str = "attr",
+                     num_buckets: int = 64):
+    """Nominal mixing matrix over edge endpoint attributes (Newman 2003,
+    *Mixing patterns in networks*, §II): for every directed edge, attach
+    the source and destination vertex attributes and count the (x, y)
+    cells. ``attrs`` is a Dataset of (vertex_id, <attr_col>). A15-family
+    graph statistic.
+
+    Dataflow: two bucketed hash joins attach the endpoint attributes (the
+    attribute table shuffles — never broadcast, so a 10^11-vertex label
+    table costs two exchanges, not driver memory), then per-batch partial
+    counts fold into the tiny |attrs|² matrix on the driver. Edges with an
+    unlabeled endpoint are dropped (inner joins). Returns a pandas
+    DataFrame (attr_src, attr_dst, n_edges, frac) sorted by cell."""
+    import pandas as pd
+
+    from flashray.joins import bucket_hash_join
+
+    I64 = np.int64
+    edges = graph.edges_dataset(columns=["src", "dst"])
+    import pyarrow as pa
+
+    a_src = attrs.map_batches(
+        lambda b: pa.table(
+            {"src": b["vertex_id"].cast(pa.int64()),
+             "attr_src": b[attr_col].cast(pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    a_dst = attrs.map_batches(
+        lambda b: pa.table(
+            {"dst": b["vertex_id"].cast(pa.int64()),
+             "attr_dst": b[attr_col].cast(pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    es = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    j1 = bucket_hash_join(
+        edges, a_src, ["src"], num_buckets=num_buckets,
+        left_schema=es,
+        right_schema=pa.schema([("src", pa.int64()),
+                                ("attr_src", pa.string())]),
+    )
+    j2 = bucket_hash_join(
+        j1, a_dst, ["dst"], num_buckets=num_buckets,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                               ("attr_src", pa.string())]),
+        right_schema=pa.schema([("dst", pa.int64()),
+                                ("attr_dst", pa.string())]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["attr_src", "attr_dst"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n_edges"})
+        )
+
+    parts = j2.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {"attr_src": pd.Series(dtype=str),
+             "attr_dst": pd.Series(dtype=str),
+             "n_edges": pd.Series(dtype=I64),
+             "frac": pd.Series(dtype=np.float64)}
+        )
+    m = (
+        parts.groupby(["attr_src", "attr_dst"], as_index=False)["n_edges"]
+        .sum()
+        .sort_values(["attr_src", "attr_dst"])
+        .reset_index(drop=True)
+    )
+    m["n_edges"] = m["n_edges"].astype(I64)
+    m["frac"] = m["n_edges"] / m["n_edges"].sum()
+    return m
+
+
+def attribute_assortativity(mixing: "pd.DataFrame") -> float:
+    """Nominal assortativity coefficient from an :func:`attribute_mixing`
+    matrix (Newman 2003 eq. 2): r = (Σᵢ eᵢᵢ − Σᵢ aᵢ·bᵢ) / (1 − Σᵢ aᵢ·bᵢ)
+    with a = row sums, b = column sums of the edge-fraction matrix.
+    1 = perfectly assortative, 0 = random mixing, negative =
+    disassortative (bounded below by the marginals)."""
+    e = mixing.pivot_table(
+        index="attr_src", columns="attr_dst", values="frac",
+        aggfunc="sum", fill_value=0.0,
+    )
+    labels = sorted(set(e.index) | set(e.columns))
+    e = e.reindex(index=labels, columns=labels, fill_value=0.0).to_numpy()
+    tr = float(np.trace(e))
+    ab = float(e.sum(axis=1) @ e.sum(axis=0))
+    if ab >= 1.0:
+        return 0.0  # single attribute value: mixing is degenerate
+    return (tr - ab) / (1.0 - ab)
+
+
 def pseudo_diameter(graph: Graph, *, sweeps: int = 4, start_vertex=None,
                     actor_cpus=None) -> int:
     """A11 (libgraph-algs/diameter_graph.cpp — estimate_diameter): repeated

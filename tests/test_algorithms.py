@@ -927,3 +927,37 @@ def test_onion_layers_path_closed_form(tmp_graphs):
     got = {int(r.vertex_id): (int(r.coreness), int(r.layer))
            for r in df.itertuples()}
     assert got == {v: (1, min(v, 6 - v) + 1) for v in range(7)}
+
+
+def test_attribute_mixing_and_assortativity(tmp_path):
+    """Two same-attribute cliques joined by one cross edge: strongly
+    assortative; matrix and r match the closed-form Newman eq. 2."""
+    import ray.data as rd
+
+    from flashray.build import build_graph_from_arrays
+
+    # K3 on {0,1,2} (attr 'x'), K3 on {3,4,5} (attr 'y'), one bridge 2->3
+    src = np.array([0, 1, 2, 3, 4, 5, 2], dtype=np.int64)
+    dst = np.array([1, 2, 0, 4, 5, 3, 3], dtype=np.int64)
+    g = build_graph_from_arrays(src, dst, str(tmp_path / "mix"),
+                                num_partitions=2)
+    attrs = rd.from_pandas(pd.DataFrame(
+        {"vertex_id": np.arange(6, dtype=np.int64),
+         "attr": ["x"] * 3 + ["y"] * 3}
+    ))
+    m = algorithms.attribute_mixing(g, attrs)
+    cells = {(r.attr_src, r.attr_dst): int(r.n_edges) for r in m.itertuples()}
+    assert cells == {("x", "x"): 3, ("y", "y"): 3, ("x", "y"): 1}
+    assert abs(m["frac"].sum() - 1.0) < 1e-12
+    # closed form: e = [[3/7, 1/7], [0, 3/7]]; a=(4/7,3/7), b=(3/7,4/7)
+    r = algorithms.attribute_assortativity(m)
+    ab = (4 / 7) * (3 / 7) + (3 / 7) * (4 / 7)
+    want = (6 / 7 - ab) / (1 - ab)
+    assert abs(r - want) < 1e-12
+
+    # single-attribute degenerate case
+    attrs1 = rd.from_pandas(pd.DataFrame(
+        {"vertex_id": np.arange(6, dtype=np.int64), "attr": ["z"] * 6}
+    ))
+    m1 = algorithms.attribute_mixing(g, attrs1)
+    assert algorithms.attribute_assortativity(m1) == 0.0

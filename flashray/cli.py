@@ -25,12 +25,17 @@ def _init_ray(num_cpus: int | None) -> bool:
 
     owned = not ray.is_initialized()
     if owned:
+        # under `ray job submit` RAY_ADDRESS points at the cluster — attach
+        # to it; standalone runs (no/``local`` address) start a local
+        # session, where per-run CPU caps are meaningful
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"num_cpus": num_cpus} if addr == "local" else {}
         ray.init(
-            address="local",
-            num_cpus=num_cpus,
+            address=addr,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            **kwargs,
         )
     from ray.data import DataContext
 

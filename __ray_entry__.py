@@ -3966,13 +3966,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_push": _q_pagerank_push,
         "pagerank_personalized": _q_pagerank_personalized,
         "wcc_full": _q_wcc_full,
-        "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
+        "wcc_incremental_reply": _q_wcc_incremental_reply,
         "label_propagation": _q_label_propagation,
         "lpa_communities_user": _q_lpa_communities_user,
         "louvain_user": _q_louvain_user,
         "triangles_transcript": _q_triangles_transcript,
         "bfs_reply_depth": _q_bfs_reply_depth,
-        "kcore_reply_hist": _q_kcore_reply_hist,
+        "onion_reply_layers": _q_onion_reply_layers,
         "scc_reply_hist": _q_scc_reply_hist,
         "scan_topk": _q_scan_topk,
         "clustering_tool_cooccur": _q_clustering_tool_cooccur,
@@ -4007,8 +4007,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_token_stats": _q_docs_bpe_token_stats,
         "docs_langid": _q_docs_langid,
         "docs_quality": _q_docs_quality,
-        "docs_fingerprints": _q_docs_fingerprints,
+        "docs_winnow_overlap": _q_docs_winnow_overlap,
         "docs_line_dedup": _q_docs_line_dedup,
+        "wcc_mapreduce_sizes": _q_wcc_mapreduce_sizes,
+        "kcore_reply_hist": _q_kcore_reply_hist,
+        "docs_fingerprints": _q_docs_fingerprints,
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "embeddings_covariance": _q_embeddings_covariance,
         "docs_distinct_words_hll": _q_docs_distinct_words_hll,
@@ -4102,9 +4105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": _q_docs_dsir_weights,
         "events_user_distinct_hll": _q_events_user_distinct_hll,
         "pagerank_incremental_user": _q_pagerank_incremental_user,
-        "wcc_incremental_reply": _q_wcc_incremental_reply,
-        "onion_reply_layers": _q_onion_reply_layers,
-        "docs_winnow_overlap": _q_docs_winnow_overlap,
         "reply_role_mixing": _q_reply_role_mixing,
         "reply_role_assortativity": _q_reply_role_assortativity,
     }

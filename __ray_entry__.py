@@ -1333,6 +1333,49 @@ def _q_docs_quality_percentile(sf_dir: str):
     )
 
 
+def _q_docs_quality_by_source(sf_dir: str):
+    """Per-SOURCE percentile gate (the per-domain quality threshold —
+    a single global cut lets one verbose source push every short-form
+    source below the bar): keep docs whose avg_token_len >= their own
+    source's exact 25th percentile. ONE global (source, value) sort
+    computes every cut via the quantile_disc index rule; the tiny cut
+    table broadcasts and the filter completes in-batch. Output (doc_id,
+    source, avg_token_len 6dp)."""
+    from flashray.datapipe.textstats import (
+        add_text_stats,
+        percentile_gate_by_group,
+    )
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    scored = add_text_stats(docs, concurrency=4).materialize()
+    kept = percentile_gate_by_group(
+        scored, "source", "avg_token_len", q=0.25
+    )
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "source": b["source"].cast(pa.string()),
+                "avg_token_len": pa.array(
+                    np.round(
+                        b["avg_token_len"].to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+            }
+        )
+
+    return (
+        kept.map_batches(shape, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 50 == 0 form the
     "benchmark"; every other doc is scored by how many of its distinct
@@ -4107,6 +4150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_incremental_user": _q_pagerank_incremental_user,
         "reply_role_mixing": _q_reply_role_mixing,
         "reply_role_assortativity": _q_reply_role_assortativity,
+        "docs_quality_by_source": _q_docs_quality_by_source,
     }
 
 
@@ -4973,6 +5017,16 @@ WITH s AS (SELECT doc_id,
 c AS (SELECT quantile_disc(atl, 0.25) AS cut FROM s)
 SELECT doc_id, ROUND(atl, 6) AS avg_token_len FROM s, c
 WHERE s.atl >= c.cut""",
+        # same avg_token_len formula, cut per SOURCE via a window
+        # quantile_disc — exact float64 values both sides
+        "docs_quality_by_source": """
+WITH s AS (SELECT doc_id, source,
+  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+    / greatest(length(regexp_extract_all(text, '\\S+')), 1) AS atl
+  FROM documents),
+c AS (SELECT source, quantile_disc(atl, 0.25) AS cut FROM s GROUP BY 1)
+SELECT s.doc_id, s.source, ROUND(s.atl, 6) AS avg_token_len
+FROM s JOIN c USING (source) WHERE s.atl >= c.cut ORDER BY 1""",
         # adjacent-pair bigram expansion; exact integer counts, bigram
         # string tie-break
         "docs_top_bigrams": """

@@ -890,3 +890,55 @@ def weighted_sample(
     cand = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
     df = cand.sort(["__key", id_col]).limit(k).to_pandas()
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def exact_group_quantile(
+    ds: ray.data.Dataset, group_col: str, col: str, q: float
+) -> "pd.DataFrame":
+    """EXACT per-group ``quantile_disc(col, q)`` — the generalization of
+    :func:`exact_quantiles` to a PARTITION BY: one tiny per-group count
+    fold, ONE global (group, value) range-partitioned sort, and each
+    group's order statistic read via ``split_at_indices`` at its global
+    position (group offset + ceil(q·n_g)−1, the DuckDB quantile_disc
+    index rule) — O(groups) driver rows, never a data block. Hot groups
+    are range-split by the sort like any other key run, so a group 1000×
+    larger than the rest costs wider sort output, not a hot reducer.
+    Returns (group_col, cut) sorted by group. Group values must sort the
+    same way in Arrow (binary) and Python (codepoint) — true for ASCII
+    keys; the in-place assertion catches violations."""
+    import math
+
+    parts = (
+        ds.select_columns([group_col])
+        .map_batches(
+            lambda df: df.groupby(group_col, as_index=False).size(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "cut": pd.Series(dtype=np.float64)})
+    counts = parts.groupby(group_col)["size"].sum().sort_index()
+    starts = counts.cumsum().shift(fill_value=0)
+    idx_of = {
+        g: int(starts[g])
+        + min(int(n_g) - 1, max(0, math.ceil(float(q) * int(n_g)) - 1))
+        for g, n_g in counts.items()
+    }
+    s = ds.select_columns([group_col, col]).sort([group_col, col]).materialize()
+    uniq = sorted(set(idx_of.values()))
+    splits = s.split_at_indices(uniq)
+    val_at = {}
+    for j, k in enumerate(uniq):
+        row = splits[j + 1].take(1)[0]
+        val_at[k] = (row[group_col], float(row[col]))
+    rows = []
+    for g in counts.index:
+        rg, v = val_at[idx_of[g]]
+        assert rg == g, (
+            f"group offset arithmetic landed in {rg!r} instead of {g!r} — "
+            "Arrow vs Python sort-order mismatch on the group keys"
+        )
+        rows.append(v)
+    return pd.DataFrame({group_col: list(counts.index), "cut": rows})

@@ -1287,3 +1287,45 @@ def winnow_overlap(
         return b.filter(pc.greater_equal(b["n_shared"], min_shared))
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def percentile_gate_by_group(
+    ds,
+    group_col: str,
+    value_col: str,
+    *,
+    q: float = 0.25,
+    keep: str = "ge",
+):
+    """Per-group percentile gate (the per-domain / per-language quality
+    threshold real pretraining pipelines apply — a single global cut lets
+    one verbose source push every short-form source below the bar): keep
+    rows whose ``value_col`` is >= (``keep='ge'``) or < (``keep='lt'``)
+    their OWN group's exact quantile_disc(q) cut. Cuts come from ONE
+    global sort (:func:`flashray.datapipe.sketches.exact_group_quantile`);
+    the tiny (group, cut) table broadcasts via ``ray.put`` and the filter
+    completes in-batch — no second shuffle. Exact-value semantics match
+    SQL: ``value >= quantile_disc(value, q) OVER (PARTITION BY group)``."""
+    import ray as _ray
+
+    from flashray.datapipe.sketches import exact_group_quantile
+
+    if keep not in ("ge", "lt"):
+        raise ValueError("keep must be 'ge' or 'lt'")
+    cuts = exact_group_quantile(ds, group_col, value_col, q)
+    cut_ref = _ray.put(dict(zip(cuts[group_col], cuts["cut"])))
+
+    class _Gate:
+        def __init__(self):
+            self.cuts = _ray.get(cut_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            c = df[group_col].map(self.cuts).to_numpy(dtype=np.float64)
+            v = df[value_col].to_numpy(dtype=np.float64)
+            m = (v >= c) if keep == "ge" else (v < c)
+            # rows whose group never produced a cut (absent from the
+            # count fold ⇒ impossible here, but NaN-safe) are dropped
+            m &= ~np.isnan(c)
+            return df[m]
+
+    return ds.map_batches(_Gate, batch_format="pandas", concurrency=_util.pool_size(4))

@@ -397,3 +397,42 @@ def test_winnow_overlap_guarantee_and_maxdf():
     ).to_pandas()
     capped_pairs = set(zip(capped["doc_id_a"], capped["doc_id_b"]))
     assert (0, 1) in capped_pairs and len(capped_pairs) < 6
+
+
+def test_percentile_gate_by_group_matches_sql():
+    """Per-group exact quantile gate == DuckDB window quantile_disc,
+    including a hot group 20x larger than the rest and a singleton."""
+    from flashray.datapipe.textstats import percentile_gate_by_group
+
+    rng = np.random.default_rng(11)
+    groups = (["web"] * 400 + ["wiki"] * 20 + ["arxiv"] * 20 + ["lone"])
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(groups), dtype=np.int64),
+            "source": groups,
+            "v": np.round(rng.random(len(groups)) * 10, 3),
+        }
+    )
+    got = (
+        percentile_gate_by_group(rd.from_pandas(df), "source", "v", q=0.25)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("d", df)
+    want = con.execute(
+        """
+        WITH c AS (SELECT source, quantile_disc(v, 0.25) AS cut
+                   FROM d GROUP BY 1)
+        SELECT d.doc_id, d.source, d.v
+        FROM d JOIN c USING (source) WHERE d.v >= c.cut ORDER BY 1
+        """
+    ).df()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    # a singleton group's cut is its own value — it always survives 'ge'
+    assert (got["source"] == "lone").sum() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        percentile_gate_by_group(rd.from_pandas(df), "source", "v", keep="x")

@@ -3859,6 +3859,23 @@ def _q_reply_role_assortativity(sf_dir: str):
     return pd.DataFrame({"assortativity": [round(float(r), 6)]})
 
 
+
+def _q_embeddings_random_projection(sf_dir: str):
+    """Achlioptas sign random projection 64 -> 8 dims over the embeddings
+    table: matrix entries are sha-parity signs scaled 1/sqrt(m) — fully
+    SQL-replayable, no training pass (contrast embeddings_pca). Output
+    LONG form (vec_id, k, v 6dp)."""
+    from flashray.datapipe.similarity import random_projection
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = random_projection(ds, 64, 8, seed=0).to_pandas()
+    out["v"] = out["v"].round(6)
+    return out.sort_values(["vec_id", "k"]).reset_index(drop=True)
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4151,6 +4168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reply_role_mixing": _q_reply_role_mixing,
         "reply_role_assortativity": _q_reply_role_assortativity,
         "docs_quality_by_source": _q_docs_quality_by_source,
+        "embeddings_random_projection": _q_embeddings_random_projection,
     }
 
 
@@ -6315,6 +6333,19 @@ pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b, n_shared FROM pairs ORDER BY 1, 2""",
+        # sha-parity sign matrix replay, 64x8, elementwise sum per (vec,k)
+        "embeddings_random_projection": """
+WITH sgn AS (SELECT j.j, k.k,
+       CASE WHEN CAST(concat('0x',
+              substr(sha256('rp|0|' || j.j || '|' || k.k), 1, 16))
+            AS UBIGINT) & 1 = 1 THEN 1.0 ELSE -1.0 END / sqrt(8.0) AS r
+     FROM range(0, 64) j(j) CROSS JOIN range(0, 8) k(k)),
+el AS (SELECT vec_id, unnest(embedding) AS e,
+              generate_subscripts(embedding, 1) - 1 AS j
+       FROM embeddings)
+SELECT el.vec_id, sgn.k, ROUND(SUM(CAST(el.e AS DOUBLE) * sgn.r), 6) AS v
+FROM el JOIN sgn ON sgn.j = el.j
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "reply_role_mixing": f"""
 WITH t AS ({_tsql()}),
 e AS (SELECT a.role AS role_src, b.role AS role_dst

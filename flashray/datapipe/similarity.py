@@ -921,3 +921,75 @@ def embedding_diversity(
         {"n": np.array([n], dtype=np.int64),
          "mean_cos": [round(mean_cos, round_dp)]}
     )
+
+
+class _SignProject:
+    """Actor-pool stage: Achlioptas/JL sign random projection. The ±1
+    matrix is rebuilt per actor from the sha256 convention (deterministic
+    in (seed, j, k) — no RNG state to ship, SQL-replayable by hash
+    parity) and applied as one matmul per batch."""
+
+    def __init__(self, *, in_dim, out_dim, seed, vec_col, id_col):
+        from flashray.datapipe.sketches import _sha_u64
+
+        bits = _sha_u64(
+            [f"rp|{seed}|{j}|{k}" for j in range(in_dim)
+             for k in range(out_dim)]
+        ) & np.uint64(1)
+        self.R = (
+            bits.astype(np.float64).reshape(in_dim, out_dim) * 2.0 - 1.0
+        ) / np.sqrt(out_dim)
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in batch[self.vec_col].to_numpy(zero_copy_only=False)]
+        ) if len(ids) else np.zeros((0, self.R.shape[0]))
+        Y = X @ self.R
+        m = self.R.shape[1]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, m).astype(np.int64)),
+                "k": pa.array(np.tile(np.arange(m, dtype=np.int64),
+                                      len(ids))),
+                "v": pa.array(Y.reshape(-1)),
+            }
+        )
+
+
+def random_projection(
+    ds,
+    in_dim: int,
+    out_dim: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+    concurrency: int = 4,
+):
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003,
+    *Database-friendly random projections*): project ``in_dim`` vectors
+    to ``out_dim`` with a ±1/√m matrix — pairwise distances preserved to
+    (1±ε) w.h.p. at m = O(log n / ε²), with NO training pass (contrast
+    :func:`pca_components`, which needs a moments pass). The projection
+    completes in-batch (zero shuffles, one matmul per batch); the matrix
+    is deterministic in (seed, j, k) via the repo's sha256 convention, so
+    a DuckDB oracle replays every output value by hash parity. Returns
+    LONG form (vec_id, k, v) — one row per output coordinate."""
+    from flashray.datapipe import _util
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _SignProject,
+        fn_constructor_kwargs={
+            "in_dim": in_dim,
+            "out_dim": out_dim,
+            "seed": seed,
+            "vec_col": vec_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_util.pool_size(concurrency),
+    )

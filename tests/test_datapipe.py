@@ -1670,3 +1670,44 @@ def test_dsir_weights_prefer_target_like_docs():
     assert out.loc[99] == 0.0
     # every raw doc gets a row
     assert len(out) == 21
+
+
+def test_random_projection_jl_and_determinism():
+    """Sign projection: deterministic across runs (hash-derived matrix),
+    exactly reproducible in numpy from the same convention, and
+    distance-preserving enough at m=16 to rank-correlate pairwise
+    distances (the JL property, loose bound)."""
+    from flashray.datapipe.sketches import _sha_u64
+    from flashray.datapipe.similarity import random_projection
+
+    rng = np.random.default_rng(3)
+    d, m, n = 32, 16, 60
+    # clustered data: inter- vs intra-cluster distances give the JL check
+    # real signal (iid-Gaussian distances all concentrate at ~2d, where
+    # correlation only measures noise)
+    centers = rng.normal(size=(3, d)) * 6.0
+    X = centers[np.arange(n) % 3] + rng.normal(size=(n, d))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [r.astype(np.float32) for r in X]}
+    )
+    out = (
+        random_projection(rd.from_pandas(df), d, m, seed=7)
+        .to_pandas()
+        .sort_values(["vec_id", "k"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == n * m
+    # exact replay from the convention
+    bits = _sha_u64(
+        [f"rp|7|{j}|{k}" for j in range(d) for k in range(m)]
+    ) & np.uint64(1)
+    R = (bits.astype(np.float64).reshape(d, m) * 2 - 1) / np.sqrt(m)
+    want = (X.astype(np.float32).astype(np.float64) @ R).reshape(-1)
+    assert np.allclose(out["v"].to_numpy(), want, atol=1e-12)
+    # JL sanity: projected pairwise sq-distances correlate with originals
+    Y = want.reshape(n, m)
+    d0 = ((X[:, None] - X[None]) ** 2).sum(-1)[np.triu_indices(n, 1)]
+    d1 = ((Y[:, None] - Y[None]) ** 2).sum(-1)[np.triu_indices(n, 1)]
+    c = np.corrcoef(d0, d1)[0, 1]
+    assert c > 0.7, c

@@ -3876,6 +3876,23 @@ def _q_embeddings_random_projection(sf_dir: str):
     return out.sort_values(["vec_id", "k"]).reset_index(drop=True)
 
 
+
+def _q_user_partition_stats(sf_dir: str):
+    """Partition-quality report for the directed user-succession graph
+    (P=4, part = src % P): per-partition resident edges and cut edges
+    (dst homed elsewhere — the messages that cross partitions every
+    superstep). The north-rule partitioning story made measurable; the
+    oracle replays the modulo arithmetic over the distinct edge set."""
+    from flashray.build import partition_stats
+
+    g = _user_graph(sf_dir, symmetrize=False)
+    out = partition_stats(g)
+    out["cut_frac"] = out["cut_frac"].round(6)
+    return out.astype(
+        {"part": np.int64, "n_edges": np.int64, "n_cut": np.int64}
+    )
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4169,6 +4186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reply_role_assortativity": _q_reply_role_assortativity,
         "docs_quality_by_source": _q_docs_quality_by_source,
         "embeddings_random_projection": _q_embeddings_random_projection,
+        "user_partition_stats": _q_user_partition_stats,
     }
 
 
@@ -6333,6 +6351,25 @@ pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b, n_shared FROM pairs ORDER BY 1, 2""",
+        # part = src % 4 over the DISTINCT succession edge set; cut =
+        # dst homed elsewhere
+        "user_partition_stats": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+p AS (SELECT src % 4 AS part,
+             CASE WHEN src % 4 <> dst % 4 THEN 1 ELSE 0 END AS cut
+      FROM e),
+agg AS (SELECT q.part, COALESCE(COUNT(p.part), 0) AS n_edges,
+               COALESCE(SUM(p.cut), 0) AS n_cut
+        FROM range(0, 4) q(part) LEFT JOIN p ON p.part = q.part
+        GROUP BY 1)
+SELECT CAST(part AS BIGINT) AS part, CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_cut AS BIGINT) AS n_cut,
+       ROUND(n_cut * 1.0 / greatest(n_edges, 1), 6) AS cut_frac
+FROM agg ORDER BY 1""",
         # sha-parity sign matrix replay, 64x8, elementwise sum per (vec,k)
         "embeddings_random_projection": """
 WITH sgn AS (SELECT j.j, k.k,

@@ -571,3 +571,49 @@ def build_graph_from_arrays(
     return build_graph(
         ray.data.from_arrow(edges_table(src, dst, weight)), path, **kwargs
     )
+
+
+def partition_stats(graph: Graph) -> "pd.DataFrame":
+    """Partition-quality report for the ``part = src % P`` layout: per
+    partition, resident edges and CUT edges (destination homed elsewhere —
+    ``dst % P != part``; exactly the messages that cross partitions every
+    superstep), plus per-row cut fraction. The north-rule "partitioning /
+    shuffle / skew handled explicitly" made measurable: balance =
+    max(n_edges)/mean(n_edges) and the global cut fraction fall out of the
+    rows. Map-side partial counts per batch, tiny driver fold — never a
+    data block on the driver. Uses each edge's HOME partition (src % P);
+    split super-hub sources physically spread as (src + dst) % P, but
+    their messages still route home→dst, so src-home is the
+    message-traffic view either way."""
+    import pandas as pd
+
+    P = graph.num_partitions
+    edges = graph.edges_dataset(columns=["src", "dst"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        part = (s % P).astype(np.int64)
+        cut = part != (d % P)
+        n = np.bincount(part, minlength=P)
+        c = np.bincount(part[cut], minlength=P)
+        return pa.table(
+            {
+                "part": pa.array(np.arange(P, dtype=np.int64)),
+                "n_edges": pa.array(n.astype(np.int64)),
+                "n_cut": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    parts = edges.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("part", as_index=False)[["n_edges", "n_cut"]]
+        .sum()
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    tot = out["n_edges"].to_numpy()
+    out["cut_frac"] = np.where(
+        tot > 0, out["n_cut"] / np.maximum(tot, 1), 0.0
+    )
+    return out

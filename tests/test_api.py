@@ -196,3 +196,26 @@ def test_neighbor_sample_partition_invariant(er_graph, tmp_path):
 
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_partition_stats_counts(tmp_path):
+    from flashray.build import build_graph_from_arrays, partition_stats
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 40, 300).astype(np.int64)
+    dst = rng.integers(0, 40, 300).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = build_graph_from_arrays(src, dst, str(tmp_path / "ps"),
+                                num_partitions=4)
+    got = partition_stats(g)
+    # reference over the deduped edge set the build wrote
+    e = g.edges_dataset(columns=["src", "dst"]).to_pandas()
+    part = (e["src"] % 4).to_numpy()
+    cut = part != (e["dst"] % 4).to_numpy()
+    want_n = np.bincount(part, minlength=4)
+    want_c = np.bincount(part[cut], minlength=4)
+    assert list(got["part"]) == [0, 1, 2, 3]
+    assert list(got["n_edges"]) == want_n.tolist()
+    assert list(got["n_cut"]) == want_c.tolist()
+    assert np.allclose(got["cut_frac"], want_c / np.maximum(want_n, 1))

@@ -3893,6 +3893,33 @@ def _q_user_partition_stats(sf_dir: str):
     )
 
 
+
+def _q_multi_ppr_user(sf_dir: str):
+    """K=3 personalized PageRanks over the directed user-succession graph
+    in ONE engine sweep (vector-valued state, value_dim=3), 6 fixed
+    supersteps — the per-seed proximity features. Oracle: seed-indexed
+    unrolled recurrence; exact-zero (unreached) rows dropped on both
+    sides. Output (seed, user_id, rank 6dp)."""
+    from flashray import algorithms
+
+    g = _user_graph(sf_dir, symmetrize=False)
+    df = algorithms.multi_ppr(g, [0, 1, 2], eps=0.0, max_iters=6)
+    out = pd.DataFrame(
+        {
+            "seed": df["seed"].astype(np.int64),
+            "user_id": df["vertex_id"].astype(np.int64),
+            # +1e-9 before rounding: PPR values on this graph are
+            # terminating decimals (integer out-degrees), and some land
+            # EXACTLY on a 6-dp half-boundary where each system's float
+            # noise (~1e-15) would pick a side at random; the shared nudge
+            # (also in the SQL) rounds every boundary value up on both
+            # sides and is invisible elsewhere
+            "rank": (df["rank"] + 1e-9).round(6),
+        }
+    )
+    return out.sort_values(["seed", "user_id"]).reset_index(drop=True)
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4187,6 +4214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_by_source": _q_docs_quality_by_source,
         "embeddings_random_projection": _q_embeddings_random_projection,
         "user_partition_stats": _q_user_partition_stats,
+        "multi_ppr_user": _q_multi_ppr_user,
     }
 
 
@@ -4794,6 +4822,46 @@ p0 AS MATERIALIZED (SELECT v, 1.0 / np.n AS r FROM vp CROSS JOIN np)"""
         + f"\nSELECT CAST(v AS BIGINT) AS user_id,"
         f" ROUND(r * na.n, 6) AS rank_x_n"
         f" FROM w{iters2} CROSS JOIN na ORDER BY 1"
+    )
+
+
+
+def _multi_ppr_sql(iters: int = 6) -> str:
+    """Seed-indexed unrolled PPR recurrence over the user-succession
+    graph: r_0 = e_seed per seed; r_t = 0.15·e_seed + 0.85·Σ incoming
+    r/od — the exact trajectory of MultiSourcePPR at fixed supersteps.
+    Unreached rows are literal 0.0 and are filtered like the Ray side."""
+    head = """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+v AS MATERIALIZED (SELECT DISTINCT u AS v FROM
+     (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+sd AS MATERIALIZED (SELECT * FROM (VALUES (0), (1), (2)) s(seed)),
+p0 AS MATERIALIZED (SELECT sd.seed, v.v,
+     CASE WHEN v.v = sd.seed THEN 1.0 ELSE 0.0 END AS r
+     FROM sd CROSS JOIN v)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT b.seed, b.v,"
+            f" 0.15 * b.r0 + 0.85 * COALESCE(s.c, 0) AS r"
+            f" FROM (SELECT p0.seed, p0.v, p0.r AS r0 FROM p0) b"
+            f" LEFT JOIN ("
+            f"SELECT r.seed, e.dst AS k, SUM(r.r / od.od) AS c"
+            f" FROM e JOIN p{i-1} r ON e.src = r.v"
+            f" JOIN od ON od.src = e.src GROUP BY 1, 2) s"
+            f" ON s.seed = b.seed AND s.k = b.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(seed AS BIGINT) AS seed, CAST(v AS BIGINT) AS user_id,
+       ROUND(r + 0.000000001, 6) AS rank
+FROM p{iters} WHERE r > 0.0 ORDER BY 1, 2"""
     )
 
 
@@ -6310,6 +6378,7 @@ FROM embeddings e, q
 ORDER BY 1 LIMIT 10""",
         "pagerank": _pagerank_sql(weighted=False),
         "pagerank_incremental_user": _pagerank_incremental_sql(6, 4),
+        "multi_ppr_user": _multi_ppr_sql(6),
         # incremental WCC converges to the full-graph components, and reply
         # chains make those per-conversation — size = conversation length
         "wcc_incremental_reply": f"""

@@ -409,6 +409,41 @@ def landmark_distances(graph: Graph, landmarks, *, weighted: bool = False,
     return out.sort_values("vertex_id").reset_index(drop=True)
 
 
+def multi_ppr(graph: Graph, seeds, *, damping: float = 0.85,
+              eps: float = 1e-6, max_iters: int = 200, actor_cpus=None):
+    """K personalized PageRanks in ONE sweep
+    (:class:`programs.MultiSourcePPR`, ``value_dim = K``): per-seed
+    random-walk-with-restart proximity — the PPR feature/embedding
+    primitive for recsys and graph ML, at 1 graph pass instead of K
+    separate runs. Each column equals ``personalized_pagerank(graph,
+    [seed])`` exactly (asserted in tests). Returns LONG form
+    (vertex_id, seed, rank) with exact-zero rows (vertices the seed's
+    walk cannot reach) dropped — both the engine and the SQL recurrence
+    produce literal 0.0 there, so the filter is replay-safe."""
+    import pandas as pd
+
+    from flashray.programs import MultiSourcePPR
+
+    prog = MultiSourcePPR(seeds, damping)
+    with Engine(graph, prog, actor_cpus=actor_cpus) as eng:
+        eng.run(lambda m: m["delta"] < eps, max_iters=max_iters)
+        df = eng.values_pandas()
+        lineage = list(eng.lineage)
+    mat = np.stack(df["value"].to_numpy())  # (nv, K) fixed-size lists
+    vids = df["vertex_id"].to_numpy().astype(np.int64)
+    K = len(prog.seeds)
+    out = pd.DataFrame(
+        {
+            "vertex_id": np.repeat(vids, K),
+            "seed": np.tile(prog.seeds, len(vids)),
+            "rank": mat.reshape(-1),
+        }
+    )
+    out = out[out["rank"] > 0.0]
+    out = out.sort_values(["seed", "vertex_id"]).reset_index(drop=True)
+    return _with_lineage(out, lineage)
+
+
 def closeness_centrality(graph: Graph, *, landmarks=None, k: int = 8,
                          weighted: bool = False, out_dir: str | None = None,
                          actor_cpus=None, max_iters: int = 10_000):

@@ -389,6 +389,59 @@ class PersonalizedPageRank(PageRank):
         return ["values", "active", "restart"]
 
 
+class MultiSourcePPR(PageRank):
+    """K single-seed personalized PageRank columns in ONE sweep
+    (``value_dim = K``, same vector-state machinery as
+    :class:`MultiSourceBFS`): column k is random-walk-with-restart
+    relevance to seed k — restart mass 1.0 at its own seed, so each
+    column is exactly :class:`PersonalizedPageRank` with |S| = 1. The
+    PPR-feature featurization (per-seed proximity embeddings, the dense
+    analogue of landmark distances) at 1 graph pass instead of K.
+    Fixpoint iteration per column → stale mirrors safe (inherited);
+    fixed-iteration runs replay exactly in a seed-indexed SQL
+    recurrence."""
+
+    def __init__(self, seeds, damping: float = 0.85):
+        super().__init__(damping)
+        self.seeds = np.asarray(
+            sorted(set(int(s) for s in seeds)), dtype=np.int64
+        )
+        if not len(self.seeds):
+            raise ValueError("multi-source PPR needs a non-empty seed list")
+        self.value_dim = len(self.seeds)
+
+    def init_state(self, shard, N):
+        K = self.value_dim
+        restart = np.zeros((shard.nv, K))
+        if shard.nv:
+            pos = np.searchsorted(shard.vertex_ids, self.seeds)
+            m = (pos < shard.nv) & (
+                shard.vertex_ids[np.minimum(pos, shard.nv - 1)] == self.seeds
+            )
+            cols = np.arange(K)
+            restart[pos[m], cols[m]] = 1.0
+        return {
+            "values": restart.copy(),
+            "active": np.ones(shard.nv, dtype=bool),
+            "restart": restart,
+        }
+
+    def signal(self, shard, state):
+        outd = shard.out_degree
+        inv = np.where(outd > 0, 1.0 / np.maximum(outd, 1), 0.0)
+        return state["values"] * inv[:, None]
+
+    def apply(self, shard, state, agg, N):
+        d = self.damping
+        new = (1.0 - d) * state["restart"] + d * agg
+        delta = float(np.abs(new - state["values"]).sum())
+        state["values"] = new
+        return {"delta": delta, "changed": shard.nv, "active": shard.nv}
+
+    def state_columns(self):
+        return ["values", "active", "restart"]
+
+
 class MinLabel(VertexProgram):
     """A3/A4 (libgraph-algs/wcc.cpp — compute_wcc): hash-min label
     propagation. With default labels (= vertex id) this is WCC; with seed

@@ -961,3 +961,21 @@ def test_attribute_mixing_and_assortativity(tmp_path):
     ))
     m1 = algorithms.attribute_mixing(g, attrs1)
     assert algorithms.attribute_assortativity(m1) == 0.0
+
+
+def test_multi_ppr_matches_single_seed_runs(tmp_graphs):
+    """Each multi_ppr column equals the single-seed personalized PageRank
+    on the same graph (same damping, same convergence)."""
+    graph, _ = tmp_graphs("er100", FIXES["er100"])
+    seeds = [0, 3, 7]
+    multi = algorithms.multi_ppr(graph, seeds, eps=1e-12, max_iters=300)
+    for s in seeds:
+        single = algorithms.personalized_pagerank(
+            graph, [s], eps=1e-12, max_iters=300
+        )
+        single = single[single["value"] > 0.0].sort_values("vertex_id")
+        col = multi[multi["seed"] == s].sort_values("vertex_id")
+        assert list(col["vertex_id"]) == list(single["vertex_id"])
+        assert np.allclose(
+            col["rank"].to_numpy(), single["value"].to_numpy(), atol=1e-9
+        )

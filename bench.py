@@ -153,6 +153,25 @@ def run_bench() -> dict:
     algorithms.kcore(g_sym)
     queries["kcore"] = time.perf_counter() - t0
 
+    # onion decomposition (round 5): the kcore peel schedule + removal
+    # waves — same engine cost shape as kcore plus the layer dense-rank
+    t0 = time.perf_counter()
+    onion = algorithms.onion_layers(g_sym)
+    queries["onion"] = time.perf_counter() - t0
+    extra["onion_layers"] = int(onion["layer"].max())
+
+    # K=8 personalized PageRanks in ONE sweep (round 5 vector-state op)
+    t0 = time.perf_counter()
+    seeds8 = (
+        g_dir.vertices_dataset(columns=["vertex_id"])
+        .to_pandas()["vertex_id"]
+        .nsmallest(8)
+        .tolist()
+    )
+    mp = algorithms.multi_ppr(g_dir, seeds8, eps=1e-6)
+    queries["multi_ppr_k8"] = time.perf_counter() - t0
+    extra["multi_ppr_rows"] = int(len(mp))
+
     # HyperBall on the engine: 2^8 HLL registers as vector-valued vertex
     # state, radius-16 neighborhood function (synchronous supersteps)
     from flashray.engine import Engine
@@ -324,6 +343,16 @@ def _datapipe_bench(queries: dict, extra: dict) -> None:
     groups = dedup.duplicate_groups(pairs)
     extra["minhash_groups"] = int(len(groups))
     queries["minhash_dedup"] = time.perf_counter() - t0
+
+    # MOSS winnowing copy pairs (round 5): in-batch selection + one fp
+    # shuffle; max_df caps boilerplate fingerprints before expansion
+    from flashray.datapipe.textstats import winnow_overlap
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    n_pairs = winnow_overlap(docs, n=4, w=4, max_df=100).count()
+    queries["winnow_overlap"] = time.perf_counter() - t0
+    extra["winnow_pairs"] = int(n_pairs)
 
     # flagship composed recipe: dedup x quality x language predicates
     from flashray.datapipe.pipelines import pretrain_corpus

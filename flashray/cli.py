@@ -110,6 +110,12 @@ def cmd_run(args) -> int:
         res = algorithms.bfs(g, [int(s) for s in (args.seeds or "").split(",")], **kw)
     elif alg == "kcore":
         res = algorithms.kcore(g, **kw)
+    elif alg == "onion":
+        res = algorithms.onion_layers(g)
+    elif alg == "ppr":
+        res = algorithms.multi_ppr(
+            g, [int(x) for x in (args.seeds or "").split(",")], eps=args.eps
+        )
     elif alg == "diameter":
         res = algorithms.pseudo_diameter(g)
     elif alg == "triangles":
@@ -170,8 +176,8 @@ def main(argv=None) -> int:
     r.add_argument("--graph", required=True)
     r.add_argument("--algorithm", required=True,
                    choices=["pagerank", "wcc", "labelprop", "bfs", "kcore",
-                            "diameter", "triangles", "scan_topk", "scc",
-                            "betweenness"])
+                            "onion", "ppr", "diameter", "triangles",
+                            "scan_topk", "scc", "betweenness"])
     r.add_argument("--out", default=None)
     r.add_argument("--checkpoint-dir", default=None)
     r.add_argument("--resume", action="store_true")

@@ -3920,6 +3920,33 @@ def _q_multi_ppr_user(sf_dir: str):
     return out.sort_values(["seed", "user_id"]).reset_index(drop=True)
 
 
+
+def _q_embeddings_hard_negatives(sf_dir: str):
+    """Hard-negative mining (contrastive-pair prep): anchors = vec_id %
+    25 == 0; per anchor, exact cosine top-5 candidates with a DIFFERENT
+    label, anchor excluded, deterministic (score desc, vec_id) order.
+    Rank-only output like embeddings_knn (no float compare)."""
+    from flashray.datapipe.similarity import hard_negatives
+
+    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    anchors = (
+        ds.map_batches(
+            lambda b: b.filter(
+                pa.array(
+                    b["vec_id"].to_numpy(zero_copy_only=False) % 25 == 0
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    res = hard_negatives(ds, anchors, k=5)
+    res["rank"] = res.groupby("anchor_id").cumcount().astype(np.int64) + 1
+    out = res[["anchor_id", "rank", "vec_id"]].astype(np.int64)
+    return out.sort_values(["anchor_id", "rank"]).reset_index(drop=True)
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4215,6 +4242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_random_projection": _q_embeddings_random_projection,
         "user_partition_stats": _q_user_partition_stats,
         "multi_ppr_user": _q_multi_ppr_user,
+        "embeddings_hard_negatives": _q_embeddings_hard_negatives,
     }
 
 
@@ -6420,6 +6448,18 @@ pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b, n_shared FROM pairs ORDER BY 1, 2""",
+        # per-anchor different-label cosine top-5; rank-only output
+        "embeddings_hard_negatives": """
+WITH a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS al
+           FROM embeddings WHERE vec_id % 25 = 0),
+sc AS (SELECT a.anchor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+                ORDER BY list_cosine_similarity(e.embedding, a.av) DESC,
+                         e.vec_id ASC) AS BIGINT) AS rank,
+              e.vec_id
+       FROM a JOIN embeddings e
+         ON e.label <> a.al AND e.vec_id <> a.anchor_id)
+SELECT anchor_id, rank, vec_id FROM sc WHERE rank <= 5 ORDER BY 1, 2""",
         # part = src % 4 over the DISTINCT succession edge set; cut =
         # dst homed elsewhere
         "user_partition_stats": """

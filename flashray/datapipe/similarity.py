@@ -993,3 +993,100 @@ def random_projection(
         zero_copy_batch=True,
         concurrency=_util.pool_size(concurrency),
     )
+
+
+class _HardNegScorer:
+    """Actor: broadcast anchor matrix + labels; per batch, cosine scores
+    with same-label candidates (and the anchor itself) masked to -inf,
+    then the deterministic local top-k."""
+
+    def __init__(self, anchors_ref, k, vec_col, id_col, label_col):
+        aid, Q, albl = ray.get(anchors_ref)
+        self.aid = aid
+        self.q = _normalize(Q)
+        self.albl = albl
+        self.k = k
+        self.vec_col, self.id_col, self.label_col = (
+            vec_col, id_col, label_col,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table(
+                {"anchor_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        lbls = batch[self.label_col].to_numpy(zero_copy_only=False)
+        vecs = _normalize(_stack(batch[self.vec_col]))
+        scores = self.q @ vecs.T
+        scores[self.albl[:, None] == lbls[None, :]] = -np.inf
+        scores[self.aid[:, None] == ids[None, :]] = -np.inf
+        k = min(self.k, scores.shape[1])
+        qidx, vid, sc = _local_topk(scores, ids, k)
+        keep = np.isfinite(sc)  # batches dominated by one label can
+        # yield fewer than k valid candidates — drop the -inf fill
+        return pa.table(
+            {
+                "anchor_id": pa.array(self.aid[qidx[keep]].astype(np.int64)),
+                "vec_id": pa.array(vid[keep].astype(np.int64)),
+                "score": pa.array(sc[keep]),
+            }
+        )
+
+
+def hard_negatives(
+    ds,
+    anchors: "pd.DataFrame",
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    concurrency: int = 4,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training pairs: for each
+    anchor, the exact cosine top-k candidates with a DIFFERENT label
+    (the anchor itself excluded). Anchors (a DataFrame with id/vec/label
+    columns, typically a per-class sample) broadcast once via
+    ``ray.put``; candidates stream through the scorer pool — one pass,
+    no shuffle except the tiny per-anchor reduce. Same deterministic
+    (score desc, vec_id asc) tie-break as :func:`knn_brute_force`; at
+    corpus scale swap the scorer's full pass for the IVF/PQ shortlist.
+    Returns (anchor_id, vec_id, score) rows, k per anchor."""
+    from flashray.datapipe._util import pool_size
+
+    aref = ray.put(
+        (
+            anchors[id_col].to_numpy(dtype=np.int64),
+            np.stack(
+                [np.asarray(v, dtype=np.float32) for v in anchors[vec_col]]
+            ),
+            anchors[label_col].to_numpy(),
+        )
+    )
+    local = ds.select_columns([id_col, vec_col, label_col]).map_batches(
+        _HardNegScorer,
+        fn_constructor_args=(aref, k, vec_col, id_col, label_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+    )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        ).head(k)
+
+    out = local.groupby("anchor_id").map_groups(
+        reduce_topk, batch_format="pandas"
+    )
+    return (
+        out.to_pandas()
+        .sort_values(
+            ["anchor_id", "score", "vec_id"], ascending=[True, False, True]
+        )
+        .reset_index(drop=True)
+    )

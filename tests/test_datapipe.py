@@ -1711,3 +1711,33 @@ def test_random_projection_jl_and_determinism():
     d1 = ((Y[:, None] - Y[None]) ** 2).sum(-1)[np.triu_indices(n, 1)]
     c = np.corrcoef(d0, d1)[0, 1]
     assert c > 0.7, c
+
+
+def test_hard_negatives_matches_reference():
+    """Hard-negative mining == numpy reference (cosine top-k over
+    different-label candidates, anchor excluded, deterministic
+    tie-break); no same-label or self rows ever appear."""
+    from flashray.datapipe.similarity import hard_negatives
+
+    rng = np.random.default_rng(17)
+    n, d = 120, 16
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    labels = (np.arange(n) % 4).astype(np.int64)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [r for r in X], "label": labels}
+    )
+    anchors = df[df["vec_id"] % 30 == 0]
+    got = hard_negatives(
+        rd.from_pandas(df), anchors, k=5, batch_size=32
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for aid in anchors["vec_id"]:
+        s = Xn @ Xn[aid]
+        s[labels == labels[aid]] = -np.inf
+        s[aid] = -np.inf
+        order = np.lexsort((np.arange(n), -s))[:5]
+        rows = got[got["anchor_id"] == aid]
+        assert list(rows["vec_id"]) == order.tolist()
+        assert np.allclose(rows["score"], s[order], atol=1e-6)
+        assert not (labels[rows["vec_id"]] == labels[aid]).any()

@@ -3947,6 +3947,19 @@ def _q_embeddings_hard_negatives(sf_dir: str):
     return out.sort_values(["anchor_id", "rank"]).reset_index(drop=True)
 
 
+
+def _q_user_negative_edges(sf_dir: str):
+    """Deterministic negative sampling over the directed user-succession
+    graph (link-prediction training pairs): 50 hash-indexed candidate
+    non-edges, anti-joined against the edge set, first 50 survivors in
+    candidate order. Oracle replays the sha-indexed candidates and the
+    NOT EXISTS filter."""
+    from flashray.api import negative_edges
+
+    g = _user_graph(sf_dir, symmetrize=False)
+    return negative_edges(g, 50, seed=0, oversample=4)
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4243,6 +4256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_partition_stats": _q_user_partition_stats,
         "multi_ppr_user": _q_multi_ppr_user,
         "embeddings_hard_negatives": _q_embeddings_hard_negatives,
+        "user_negative_edges": _q_user_negative_edges,
     }
 
 
@@ -6448,6 +6462,31 @@ pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b, n_shared FROM pairs ORDER BY 1, 2""",
+        # sha-indexed candidate non-edges, NOT EXISTS against the edge set
+        "user_negative_edges": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+v AS (SELECT u, ROW_NUMBER() OVER (ORDER BY u) - 1 AS pos FROM
+      (SELECT DISTINCT src AS u FROM e UNION SELECT dst FROM e)),
+nv AS (SELECT CAST(COUNT(*) AS UBIGINT) AS c FROM v),
+h AS (SELECT t.i,
+      CAST(concat('0x', substr(sha256('ne|0|' || (2 * t.i)), 1, 16))
+           AS UBIGINT) % nv.c AS p1,
+      CAST(concat('0x', substr(sha256('ne|0|' || (2 * t.i + 1)), 1, 16))
+           AS UBIGINT) % nv.c AS p2
+      FROM range(0, 200) t(i) CROSS JOIN nv),
+cand AS (SELECT h.i, a.u AS src, c.u AS dst
+         FROM h JOIN v a ON a.pos = CAST(h.p1 AS BIGINT)
+                JOIN v c ON c.pos = CAST(h.p2 AS BIGINT)
+         WHERE a.u <> c.u),
+neg AS (SELECT * FROM cand WHERE NOT EXISTS
+        (SELECT 1 FROM e WHERE e.src = cand.src AND e.dst = cand.dst))
+SELECT CAST(i AS BIGINT) AS i, CAST(src AS BIGINT) AS src,
+       CAST(dst AS BIGINT) AS dst
+FROM neg ORDER BY i LIMIT 50""",
         # per-anchor different-label cosine top-5; rank-only output
         "embeddings_hard_negatives": """
 WITH a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS al

@@ -198,3 +198,75 @@ def neighbor_sample(
     for s in hops[1:]:
         out = out.union(s)
     return out
+
+
+def negative_edges(
+    graph: Graph,
+    n: int,
+    *,
+    seed: int = 0,
+    oversample: int = 4,
+    num_buckets: int = 64,
+    vertices: np.ndarray | None = None,
+):
+    """Deterministic negative sampling for link-prediction training: up
+    to ``n`` NON-edges (src, dst), src != dst, absent from the directed
+    edge set. Candidate endpoints are hash-indexed into the sorted vertex
+    list (the repo's sha256 convention — a DuckDB oracle replays every
+    candidate), the edge set removes real edges with ONE anti-join bucket
+    shuffle, and the first ``n`` survivors in candidate order are kept —
+    the same sample on every run, process, and parallelism level.
+
+    ``vertices=None`` collects the sorted vertex-id array to the driver
+    (an EXPLICIT small collector, like ``walks.corpus_pandas``); at
+    10^11 vertices pass a hash-sampled vertex subset instead — the
+    candidate math only needs a stable indexable array. Returns a pandas
+    DataFrame (i, src, dst) sorted by candidate index ``i``; fewer than
+    ``n`` rows means the oversample budget hit too many real edges or
+    self-pairs (raise ``oversample``)."""
+    import pandas as pd
+
+    from flashray.datapipe.sketches import _sha_u64
+    from flashray.joins import bucket_semi_join
+
+    if vertices is None:
+        verts = np.sort(
+            graph.vertices_dataset(columns=["vertex_id"])
+            .to_pandas()["vertex_id"]
+            .to_numpy(dtype=np.int64)
+        )
+    else:
+        verts = np.sort(np.asarray(vertices, dtype=np.int64))
+    nv = len(verts)
+    if nv < 2:
+        return pd.DataFrame(
+            {"i": pd.Series(dtype=np.int64),
+             "src": pd.Series(dtype=np.int64),
+             "dst": pd.Series(dtype=np.int64)}
+        )
+    m = int(n) * int(oversample)
+    h = _sha_u64([f"ne|{seed}|{j}" for j in range(2 * m)]).reshape(m, 2)
+    src = verts[(h[:, 0] % np.uint64(nv)).astype(np.int64)]
+    dst = verts[(h[:, 1] % np.uint64(nv)).astype(np.int64)]
+    keep = src != dst
+    cands = pd.DataFrame(
+        {
+            "i": np.arange(m, dtype=np.int64)[keep],
+            "src": src[keep],
+            "dst": dst[keep],
+        }
+    )
+    neg = bucket_semi_join(
+        ray.data.from_pandas(cands),
+        graph.edges_dataset(columns=["src", "dst"]),
+        ["src", "dst"],
+        anti=True,
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [("i", pa.int64()), ("src", pa.int64()), ("dst", pa.int64())]
+        ),
+    ).to_pandas()
+    return (
+        neg.sort_values("i").head(int(n)).reset_index(drop=True)
+        .astype(np.int64)
+    )

@@ -219,3 +219,30 @@ def test_partition_stats_counts(tmp_path):
     assert list(got["n_edges"]) == want_n.tolist()
     assert list(got["n_cut"]) == want_c.tolist()
     assert np.allclose(got["cut_frac"], want_c / np.maximum(want_n, 1))
+
+
+def test_negative_edges_deterministic_and_disjoint(tmp_path):
+    from flashray.api import negative_edges
+    from flashray.build import build_graph_from_arrays
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 30, 200).astype(np.int64)
+    dst = rng.integers(0, 30, 200).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = build_graph_from_arrays(src, dst, str(tmp_path / "ne"),
+                                num_partitions=2)
+    a = negative_edges(g, 20, seed=3)
+    b = negative_edges(g, 20, seed=3)
+    assert a.equals(b)  # bit-identical across runs
+    assert len(a) == 20
+    edge_set = set(zip(g.edges_dataset(columns=["src", "dst"])
+                       .to_pandas()["src"],
+                       g.edges_dataset(columns=["src", "dst"])
+                       .to_pandas()["dst"]))
+    for r in a.itertuples():
+        assert r.src != r.dst
+        assert (r.src, r.dst) not in edge_set
+    # different seed, different sample
+    c = negative_edges(g, 20, seed=4)
+    assert not a.equals(c)

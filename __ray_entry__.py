@@ -3960,6 +3960,47 @@ def _q_user_negative_edges(sf_dir: str):
     return negative_edges(g, 50, seed=0, oversample=4)
 
 
+
+def _q_docs_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval: BM25 top-10 for {join, scan, window} fused with
+    the embedding top-10 for query vector 0 by reciprocal-rank fusion
+    (k=60). Two rank lists -> the fused score is an order-free two-term
+    float sum, bit-identical to the SQL replay. Output (fused_rank,
+    doc_id, score 6dp)."""
+    from flashray.datapipe.ml import rrf_fuse
+    from flashray.datapipe.similarity import knn_brute_force
+    from flashray.datapipe.textstats import bm25_topk
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    bm = bm25_topk(docs, ["join", "scan", "window"], k=10).to_pandas()
+    bm["rank"] = np.arange(1, len(bm) + 1, dtype=np.int64)
+    bm["doc_id"] = bm["doc_id"].astype(np.int64)
+
+    emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    q = None
+    for b in emb.iter_batches(batch_size=512, batch_format="pandas"):
+        hit = b[b["vec_id"] == 0]
+        if len(hit):
+            q = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
+            break
+    kn = knn_brute_force(emb, q[None, :], k=10, concurrency=4)
+    kn = kn.reset_index(drop=True)
+    kn["rank"] = np.arange(1, len(kn) + 1, dtype=np.int64)
+    kn = kn.rename(columns={"vec_id": "doc_id"})[["doc_id", "rank"]]
+    kn["doc_id"] = kn["doc_id"].astype(np.int64)
+
+    import ray.data as rd
+
+    fused = rrf_fuse(
+        [rd.from_pandas(bm[["doc_id", "rank"]]), rd.from_pandas(kn)],
+        k_rrf=60,
+    )
+    fused["score"] = fused["score"].round(6)
+    return fused.reset_index(drop=True)
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4257,6 +4298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_ppr_user": _q_multi_ppr_user,
         "embeddings_hard_negatives": _q_embeddings_hard_negatives,
         "user_negative_edges": _q_user_negative_edges,
+        "docs_rrf_fusion": _q_docs_rrf_fusion,
     }
 
 
@@ -6462,6 +6504,47 @@ pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b, n_shared FROM pairs ORDER BY 1, 2""",
+        # BM25 CTEs verbatim -> rank lists -> RRF sum (two-term, exact)
+        "docs_rrf_fusion": """
+WITH w AS (SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+n AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+             (SELECT SUM(dl) FROM dl) AS sum_dl),
+q(term) AS (VALUES ('join'), ('scan'), ('window')),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+        WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+s AS (SELECT tfq.doc_id,
+             SUM(ln(1 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * (tfq.tf * 2.2)
+                 / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                    / (CAST(n.sum_dl AS DOUBLE) / n.n)))
+                ) AS score
+      FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), n
+      GROUP BY 1),
+bmt AS (SELECT doc_id, ROUND(score, 6) AS score FROM s
+        WHERE ROUND(score, 6) > 0
+        ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10),
+bmr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+          ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM bmt),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+knt AS (SELECT e.vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY list_cosine_similarity(e.embedding, qv.embedding)
+                          DESC, e.vec_id ASC) AS BIGINT) AS rank
+        FROM embeddings e, qv
+        ORDER BY rank LIMIT 10),
+u AS (SELECT doc_id, rank FROM bmr UNION ALL
+      SELECT doc_id, rank FROM knt),
+f AS (SELECT doc_id, SUM(1.0 / (60 + rank)) AS score FROM u GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY f.score DESC, doc_id) AS BIGINT)
+         AS fused_rank,
+       doc_id, ROUND(score, 6) AS score
+FROM f ORDER BY 1""",
         # sha-indexed candidate non-edges, NOT EXISTS against the edge set
         "user_negative_edges": """
 WITH b AS (SELECT DISTINCT user_id, event_type,

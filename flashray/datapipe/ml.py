@@ -576,3 +576,50 @@ def dsir_weights(
         batch_format="pandas",
         concurrency=_util.pool_size(concurrency),
     )
+
+
+def rrf_fuse(
+    rankings,
+    *,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    num_buckets: int = 64,
+):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    fused score = Σ over rank lists of 1/(k + rank(d)), docs absent from
+    a list contributing nothing — the standard zero-training way to
+    combine lexical (BM25) and embedding retrieval. One tagged union +
+    one bucket aggregate; the fused table is as small as the union of
+    the input top-lists, so the final sort is a driver sort by design.
+    Returns (fused_rank, <id_col>, score), ranked by (score desc, id).
+    With exactly two lists the score is an order-free two-term float sum
+    (bit-identical to a SQL replay); at three or more lists summation
+    order can differ across systems by ulps — round before comparing."""
+    import pyarrow as pa
+
+    from flashray.joins import bucket_group_agg
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+
+    def contrib(b: pa.Table) -> pa.Table:
+        r = b[rank_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                id_col: b[id_col].cast(pa.int64()),
+                "score": pa.array(1.0 / (k_rrf + r)),
+            }
+        )
+
+    u = rankings[0].map_batches(contrib, batch_format="pyarrow")
+    for r in rankings[1:]:
+        u = u.union(r.map_batches(contrib, batch_format="pyarrow"))
+    agg = bucket_group_agg(
+        u, [id_col], {"score": ("score", "sum")}, num_buckets=num_buckets
+    ).to_pandas()
+    agg = agg.sort_values(
+        ["score", id_col], ascending=[False, True]
+    ).reset_index(drop=True)
+    agg["fused_rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    return agg[["fused_rank", id_col, "score"]]

@@ -1741,3 +1741,22 @@ def test_hard_negatives_matches_reference():
         assert list(rows["vec_id"]) == order.tolist()
         assert np.allclose(rows["score"], s[order], atol=1e-6)
         assert not (labels[rows["vec_id"]] == labels[aid]).any()
+
+
+def test_rrf_fuse_reference():
+    from flashray.datapipe.ml import rrf_fuse
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3], "rank": [1, 2, 3]})
+    b = pd.DataFrame({"doc_id": [3, 4], "rank": [1, 2]})
+    got = rrf_fuse([rd.from_pandas(a), rd.from_pandas(b)], k_rrf=60)
+    want = {
+        1: 1 / 61, 2: 1 / 62, 3: 1 / 63 + 1 / 61, 4: 1 / 62,
+    }
+    assert dict(zip(got["doc_id"], got["score"])) == want
+    # doc 3 wins; 2 and 4 tie exactly -> doc_id order
+    assert list(got["doc_id"]) == [3, 1, 2, 4]
+    assert list(got["fused_rank"]) == [1, 2, 3, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])

@@ -1051,9 +1051,10 @@ def _q_link_prediction_user(sf_dir: str):
     df["cn"] = df["cn"].astype(np.int64)
     df["jaccard"] = df["jaccard"].round(6)
     df["adamic_adar"] = df["adamic_adar"].round(6)
-    return df[["u", "v", "cn", "jaccard", "adamic_adar"]].sort_values(
-        ["u", "v"]
-    ).reset_index(drop=True)
+    df["pref_attach"] = df["pref_attach"].astype(np.int64)
+    return df[
+        ["u", "v", "cn", "jaccard", "adamic_adar", "pref_attach"]
+    ].sort_values(["u", "v"]).reset_index(drop=True)
 
 
 def _q_spmv_user(sf_dir: str):
@@ -6332,7 +6333,8 @@ agg AS (SELECT w.u, w.v, COUNT(*) AS cn, SUM(1.0 / LN(dw.deg)) AS aa
 SELECT CAST(g.u AS BIGINT) AS u, CAST(g.v AS BIGINT) AS v,
        CAST(g.cn AS BIGINT) AS cn,
        ROUND(g.cn * 1.0 / (du.deg + dv.deg - g.cn), 6) AS jaccard,
-       ROUND(g.aa, 6) AS adamic_adar
+       ROUND(g.aa, 6) AS adamic_adar,
+       CAST(du.deg * dv.deg AS BIGINT) AS pref_attach
 FROM agg g
 JOIN deg du ON du.user_id = g.u
 JOIN deg dv ON dv.user_id = g.v

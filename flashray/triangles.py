@@ -973,7 +973,9 @@ def link_prediction(
 ) -> ray.data.Dataset:
     """Topological link-prediction scores for every vertex pair at
     distance 2: common neighbors, Jaccard, Adamic-Adar. Returns
-    (u, v, cn, jaccard, adamic_adar) with u < v; by default pairs that are
+    (u, v, cn, jaccard, adamic_adar, pref_attach) with u < v — the four
+    classic Liben-Nowell/Kleinberg predictors (preferential attachment =
+    deg(u)·deg(v), exact int64); by default pairs that are
     ALREADY edges are anti-joined away (set ``include_edges=True`` to
     score them too).
 
@@ -1038,7 +1040,10 @@ def link_prediction(
             dv = dg[np.searchsorted(ids, v)]
             return b.append_column(
                 "jaccard", pa.array(cn / (du + dv - cn).astype(np.float64))
-            ).select(["u", "v", "cn", "jaccard", "adamic_adar"])
+            ).append_column(
+                "pref_attach", pa.array((du * dv).astype(np.int64))
+            ).select(["u", "v", "cn", "jaccard", "adamic_adar",
+                      "pref_attach"])
 
         return pairs.map_batches(
             jac_bcast, batch_format="pyarrow", zero_copy_batch=True
@@ -1066,7 +1071,9 @@ def link_prediction(
         dv = b["deg"].to_numpy(zero_copy_only=False)
         return b.append_column(
             "jaccard", pa.array(cn / (du + dv - cn).astype(np.float64))
-        ).select(["u", "v", "cn", "jaccard", "adamic_adar"])
+        ).append_column(
+            "pref_attach", pa.array((du * dv).astype(np.int64))
+        ).select(["u", "v", "cn", "jaccard", "adamic_adar", "pref_attach"])
 
     return j.map_batches(jac, batch_format="pyarrow")
 

@@ -218,7 +218,7 @@ def _brute_link_pred(src, dst, include_edges=False):
             cn = len(common)
             jac = cn / len(adj[u] | adj[v])
             aa = sum(1.0 / math.log(len(adj[w])) for w in common)
-            out[(u, v)] = (cn, jac, aa)
+            out[(u, v)] = (cn, jac, aa, len(adj[u]) * len(adj[v]))
     return out
 
 
@@ -229,10 +229,11 @@ def test_link_prediction_er(graphs, include_edges):
     want = _brute_link_pred(src, dst, include_edges)
     assert len(got) == len(want)
     for row in got.itertuples():
-        cn, jac, aa = want[(int(row.u), int(row.v))]
+        cn, jac, aa, pa_ = want[(int(row.u), int(row.v))]
         assert int(row.cn) == cn
         assert abs(row.jaccard - jac) < 1e-9
         assert abs(row.adamic_adar - aa) < 1e-9
+        assert int(row.pref_attach) == pa_
 
 
 def test_link_prediction_center_cap(graphs):

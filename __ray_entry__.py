@@ -4002,6 +4002,39 @@ def _q_docs_rrf_fusion(sf_dir: str):
     return fused.reset_index(drop=True)
 
 
+
+def _q_docs_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo merge/purge) over
+    the documents table: blocking key = first 12 chars of lowercased
+    text, window 5 over the global (key, doc_id) order. Oracle: SQL
+    ROW_NUMBER + rank-window self-join."""
+    from flashray.datapipe.dedup import sorted_neighborhood_pairs
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "k": df["text"].astype(str).str.lower().str.slice(0, 12),
+            }
+        )
+
+    pairs = sorted_neighborhood_pairs(
+        ds.map_batches(keyed, batch_format="pandas"),
+        key_col="k",
+        window=5,
+    )
+    return (
+        pairs.to_pandas()
+        .astype(np.int64)
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4300,6 +4333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_hard_negatives": _q_embeddings_hard_negatives,
         "user_negative_edges": _q_user_negative_edges,
         "docs_rrf_fusion": _q_docs_rrf_fusion,
+        "docs_sorted_neighborhood": _q_docs_sorted_neighborhood,
     }
 
 
@@ -6506,6 +6540,15 @@ pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b, n_shared FROM pairs ORDER BY 1, 2""",
+        # global (key, id) ROW_NUMBER + rank-window self-join, w=5
+        "docs_sorted_neighborhood": """
+WITH s AS (SELECT doc_id, substr(lower(text), 1, 12) AS k FROM documents),
+r AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rank FROM s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(b.rank - a.rank AS BIGINT) AS rank_gap
+FROM r a JOIN r b ON b.rank > a.rank AND b.rank < a.rank + 5
+ORDER BY 1, 2""",
         # BM25 CTEs verbatim -> rank lists -> RRF sum (two-term, exact)
         "docs_rrf_fusion": """
 WITH w AS (SELECT doc_id,

@@ -1672,3 +1672,94 @@ def exact_substr(
         )
 
     return _decide_bucketed(j, rebuild, id_col, num_buckets)
+
+
+def sorted_neighborhood_pairs(
+    docs: ray.data.Dataset,
+    *,
+    key_col: str,
+    window: int = 5,
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995 —
+    the merge/purge method): candidate record pairs = records within
+    ``window`` positions of each other in the GLOBAL (key_col, id_col)
+    sort order. The classic record-linkage blocker for fuzzy keys where
+    hash blocking (exact dedup) is too strict and all-pairs too big:
+    O(n·w) candidates instead of O(n²), with the usual caveat that
+    matches whose keys sort far apart are missed (run multiple passes
+    with different keys).
+
+    Distributed shape: one exact :func:`~flashray.datapipe.sketches.
+    global_rank` (range-partitioned sort + O(blocks) driver offsets),
+    then each row lands in rank-stripe ``rank // window`` and a CARRY
+    copy in the stripe below, so every qualifying pair (rank diff <
+    window) co-locates in exactly the earlier row's stripe — ONE bucket
+    shuffle, in-stripe vectorized expansion, no cross-stripe seam
+    misses and no duplicate pairs. Returns (id_a, id_b, rank_gap) with
+    id_a the earlier row in sort order."""
+    import pyarrow.compute as pc
+
+    from flashray.datapipe.sketches import global_rank
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    ranked = global_rank(
+        docs.select_columns([id_col, key_col]), [key_col, id_col]
+    )
+    w = int(window)
+
+    def stripes(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rank"].to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        own = (r - 1) // w
+        out = pd.DataFrame(
+            {
+                "stripe": np.concatenate([own, own - 1]),
+                "rank": np.concatenate([r, r]),
+                id_col: np.concatenate([ids, ids]),
+                "carry": np.concatenate(
+                    [np.zeros(len(r), bool), np.ones(len(r), bool)]
+                ),
+            }
+        )
+        return out[out["stripe"] >= 0]
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank")
+        r = g["rank"].to_numpy(dtype=np.int64)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        own = ~g["carry"].to_numpy(dtype=bool)
+        a_idx, b_idx = [], []
+        # anchors are the stripe's OWN rows; partners = any later row
+        # (own or carried) within the window — searchsorted bounds per
+        # anchor, tiny stripes (≤ 2w rows) so the loop is over anchors
+        hi = np.searchsorted(r, r + w, side="left")
+        for i in np.flatnonzero(own):
+            for j in range(i + 1, hi[i]):
+                a_idx.append(i)
+                b_idx.append(j)
+        if not a_idx:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=np.int64),
+                    "id_b": pd.Series(dtype=np.int64),
+                    "rank_gap": pd.Series(dtype=np.int64),
+                }
+            )
+        a = np.asarray(a_idx)
+        b = np.asarray(b_idx)
+        return pd.DataFrame(
+            {
+                "id_a": ids[a],
+                "id_b": ids[b],
+                "rank_gap": (r[b] - r[a]).astype(np.int64),
+            }
+        )
+
+    return (
+        ranked.map_batches(stripes, batch_format="pandas")
+        .groupby("stripe")
+        .map_groups(expand, batch_format="pandas")
+    )

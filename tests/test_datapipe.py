@@ -1760,3 +1760,36 @@ def test_rrf_fuse_reference():
 
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_sorted_neighborhood_pairs_reference():
+    """SNM blocking == brute rank-window pairs, including across block
+    stripe seams; no duplicates; window=2 gives adjacent pairs only."""
+    from flashray.datapipe.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(13)
+    keys = ["".join(rng.choice(list("abc"), 3)) for _ in range(57)]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(57, dtype=np.int64), "k": keys}
+    )
+    for w in (2, 5):
+        got = (
+            sorted_neighborhood_pairs(
+                rd.from_pandas(df), key_col="k", window=w
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        order = df.sort_values(["k", "doc_id"]).reset_index(drop=True)
+        ids = order["doc_id"].to_numpy()
+        want = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, min(i + w, len(ids))):
+                want.add((ids[i], ids[j], j - i))
+        assert set(zip(got["id_a"], got["id_b"], got["rank_gap"])) == want
+        assert len(got) == len(want)  # no duplicate pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(rd.from_pandas(df), key_col="k", window=1)

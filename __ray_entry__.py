@@ -4035,6 +4035,17 @@ def _q_docs_sorted_neighborhood(sf_dir: str):
     )
 
 
+
+def _q_matching_user(sf_dir: str):
+    """Deterministic maximal matching (symmetric hash-priority proposals)
+    of the symmetrized user-succession graph; oracle = round-unrolled SQL
+    replay of every proposal/match round. Output matched (u, v), u < v."""
+    from flashray import matching
+
+    g = _user_graph(sf_dir, symmetrize=True)
+    return matching.maximal_matching(g)
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4334,6 +4345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_negative_edges": _q_user_negative_edges,
         "docs_rrf_fusion": _q_docs_rrf_fusion,
         "docs_sorted_neighborhood": _q_docs_sorted_neighborhood,
+        "matching_user": _q_matching_user,
     }
 
 
@@ -4981,6 +4993,57 @@ p0 AS MATERIALIZED (SELECT sd.seed, v.v,
 SELECT CAST(seed AS BIGINT) AS seed, CAST(v AS BIGINT) AS user_id,
        ROUND(r + 0.000000001, 6) AS rank
 FROM p{iters} WHERE r > 0.0 ORDER BY 1, 2"""
+    )
+
+
+
+def _matching_sql(rounds: int = 9) -> str:
+    """Round-unrolled symmetric-proposal matching over the symmetrized
+    user-succession graph: per round, each alive vertex proposes to its
+    (sha-priority, id)-minimal alive neighbor; mutual proposals match and
+    leave. Extra rounds past convergence are no-ops in both systems."""
+    head = """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+es AS MATERIALIZED (SELECT src, dst FROM eu
+      UNION ALL SELECT dst, src FROM eu),
+pr AS MATERIALIZED (SELECT v,
+      CAST(CAST(concat('0x', substr(sha256('mat:' || v), 1, 16))
+                AS UBIGINT) >> 1 AS BIGINT) AS p
+      FROM (SELECT DISTINCT src AS v FROM es)),
+a0 AS MATERIALIZED (SELECT v FROM pr)"""
+    parts = [head]
+    for r in range(rounds):
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT es.src, es.dst FROM es"
+            f" JOIN a{r} x ON x.v = es.src JOIN a{r} y ON y.v = es.dst)"
+        )
+        parts.append(
+            f"pp{r} AS MATERIALIZED (SELECT src AS u, dst AS t FROM ("
+            f"SELECT e{r}.src, e{r}.dst, ROW_NUMBER() OVER ("
+            f"PARTITION BY e{r}.src ORDER BY pr.p, e{r}.dst) AS rn"
+            f" FROM e{r} JOIN pr ON pr.v = e{r}.dst) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT a.u, a.t FROM pp{r} a"
+            f" JOIN pp{r} bb ON bb.u = a.t AND bb.t = a.u"
+            f" WHERE a.u < a.t)"
+        )
+        parts.append(
+            f"a{r+1} AS MATERIALIZED (SELECT v FROM a{r} WHERE v NOT IN"
+            f" (SELECT u FROM m{r} UNION ALL SELECT t FROM m{r}))"
+        )
+    un = " UNION ALL ".join(
+        f"SELECT u, t FROM m{r}" for r in range(rounds)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(u AS BIGINT) AS u, CAST(t AS BIGINT) AS v
+FROM ({un}) ORDER BY 1, 2"""
     )
 
 
@@ -6499,6 +6562,7 @@ ORDER BY 1 LIMIT 10""",
         "pagerank": _pagerank_sql(weighted=False),
         "pagerank_incremental_user": _pagerank_incremental_sql(6, 4),
         "multi_ppr_user": _multi_ppr_sql(6),
+        "matching_user": _matching_sql(9),
         # incremental WCC converges to the full-graph components, and reply
         # chains make those per-conversation — size = conversation length
         "wcc_incremental_reply": f"""

@@ -1,0 +1,52 @@
+"""Maximal matching: validity, maximality, determinism, path agreement."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flashray import fixtures, matching
+from flashray.build import build_graph_from_arrays
+
+
+def _check(pairs: pd.DataFrame, src, dst):
+    eset = set()
+    for a, b in zip(src, dst):
+        if a != b:
+            eset.add((int(a), int(b)))
+            eset.add((int(b), int(a)))
+    used = []
+    for r in pairs.itertuples():
+        assert (r.u, r.v) in eset  # matched pairs are real edges
+        used.extend([r.u, r.v])
+    assert len(used) == len(set(used))  # each vertex matched at most once
+    # maximality: no edge with both endpoints unmatched
+    unmatched = {v for e in eset for v in e} - set(used)
+    for a, b in eset:
+        assert not (a in unmatched and b in unmatched), (a, b)
+
+
+@pytest.mark.parametrize("name,fn", [
+    ("path5", fixtures.path_edges),
+    ("star8", fixtures.star_edges),
+    ("er100", fixtures.er_edges),
+])
+def test_maximal_matching_valid(tmp_path, name, fn):
+    src, dst = fn()
+    g = build_graph_from_arrays(src, dst, str(tmp_path / name),
+                                num_partitions=4)
+    pairs = matching.maximal_matching(g)
+    _check(pairs, src, dst)
+    again = matching.maximal_matching(g)
+    assert pairs.equals(again)  # deterministic
+
+
+def test_maximal_matching_paths_agree(tmp_path):
+    """Distributed rounds == local numpy rounds (same proposals, same
+    priorities) on a graph forced down both routes."""
+    src, dst = fixtures.er_edges(60, 0.08, seed=9)
+    g = build_graph_from_arrays(src, dst, str(tmp_path / "agree"),
+                                num_partitions=4)
+    local = matching.maximal_matching(g)
+    dist = matching.maximal_matching(g, local_threshold=0)
+    pd.testing.assert_frame_equal(local, dist)
+    _check(local, src, dst)

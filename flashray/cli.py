@@ -112,6 +112,10 @@ def cmd_run(args) -> int:
         res = algorithms.kcore(g, **kw)
     elif alg == "onion":
         res = algorithms.onion_layers(g)
+    elif alg == "matching":
+        from flashray import matching as _matching
+
+        res = _matching.maximal_matching(g, weighted=args.weighted)
     elif alg == "ppr":
         res = algorithms.multi_ppr(
             g, [int(x) for x in (args.seeds or "").split(",")], eps=args.eps
@@ -176,8 +180,9 @@ def main(argv=None) -> int:
     r.add_argument("--graph", required=True)
     r.add_argument("--algorithm", required=True,
                    choices=["pagerank", "wcc", "labelprop", "bfs", "kcore",
-                            "onion", "ppr", "diameter", "triangles",
-                            "scan_topk", "scc", "betweenness"])
+                            "onion", "ppr", "matching", "diameter",
+                            "triangles", "scan_topk", "scc",
+                            "betweenness"])
     r.add_argument("--out", default=None)
     r.add_argument("--checkpoint-dir", default=None)
     r.add_argument("--resume", action="store_true")

@@ -73,3 +73,46 @@ def test_weighted_matching_prefers_heavy_edges(tmp_path):
                                  weight=np.ones(6))
     p2 = matching.maximal_matching(g2, weighted=True)
     assert list(zip(p2["u"], p2["v"])) == [(0, 1)]  # global edge order
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def sym_edges(draw):
+    n = draw(st.integers(2, 24))
+    ne = draw(st.integers(1, 60))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31 - 1)))
+    a = rng.integers(0, n, ne).astype(np.int64)
+    b = rng.integers(0, n, ne).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    return np.concatenate([a, b]), np.concatenate([b, a])
+
+
+@settings(max_examples=60, deadline=None)
+@given(sym_edges(), st.integers(0, 2**31 - 1))
+def test_local_match_properties(edges, perm_seed):
+    """For ANY symmetrized edge list: the kernel yields a valid matching
+    (real edges, each vertex at most once), a MAXIMAL one (no edge
+    between two unmatched vertices), and the result is invariant to the
+    order the edges arrive in — the partition/shuffle-arrival invariance
+    the distributed path relies on."""
+    src, dst = edges
+    if not len(src):
+        return
+    pairs = matching._local_match(src, dst, 256)
+    eset = set(zip(src.tolist(), dst.tolist()))
+    used = []
+    for r in pairs.itertuples():
+        assert (r.u, r.v) in eset
+        used.extend([r.u, r.v])
+    assert len(used) == len(set(used))
+    unmatched = {int(v) for v in np.concatenate([src, dst])} - set(used)
+    for a, b in eset:
+        assert not (a in unmatched and b in unmatched)
+    # edge-order invariance
+    rng = np.random.default_rng(perm_seed)
+    p = rng.permutation(len(src))
+    again = matching._local_match(src[p], dst[p], 256)
+    assert pairs.equals(again)

@@ -436,3 +436,55 @@ def test_percentile_gate_by_group_matches_sql():
 
     with _pytest.raises(ValueError):
         percentile_gate_by_group(rd.from_pandas(df), "source", "v", keep="x")
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(3, 5), st.integers(2, 6))
+def test_winnow_guarantee_property(seed, n, w):
+    """The winnowing guarantee, fuzzed: ANY two docs sharing a token run
+    of length >= w + n - 1 share at least one selected fingerprint
+    (positions may differ; hashes must intersect)."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"t{i}" for i in range(12)]
+    run = " ".join(rng.choice(vocab, size=w + n - 1 + rng.integers(0, 4)))
+    pre_a = " ".join(rng.choice(vocab, size=rng.integers(0, 8)))
+    post_b = " ".join(rng.choice(vocab, size=rng.integers(0, 8)))
+    doc_a = (pre_a + " " + run).strip()
+    doc_b = (run + " " + post_b).strip()
+    fa = {h for _, h in _winnow_ref(doc_a, n, w)}
+    fb = {h for _, h in _winnow_ref(doc_b, n, w)}
+    assert fa & fb, (doc_a, doc_b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(8, 12), st.integers(1, 5))
+def test_bloom_no_false_negatives_property(seed, log_m, k):
+    """A Bloom bitset never misses an inserted key — the property
+    bloom_decontaminate's exactness argument rests on — for ANY
+    (m_bits, k) and any insertion set, including saturating ones."""
+    from flashray.datapipe.dedup import _bloom_positions
+
+    rng = np.random.default_rng(seed)
+    m_bits = 1 << log_m
+    keys = rng.integers(0, 2**63, size=rng.integers(1, 200)).astype(
+        np.uint64
+    )
+    buf = np.zeros(m_bits // 8, dtype=np.uint8)
+    pos = _bloom_positions(keys, m_bits, k).reshape(-1)
+    np.bitwise_or.at(
+        buf,
+        (pos >> np.uint64(3)).astype(np.int64),
+        np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)),
+    )
+    q = _bloom_positions(keys, m_bits, k)
+    member = np.ones(len(keys), dtype=bool)
+    for i in range(k):
+        p = q[i]
+        member &= (
+            buf[(p >> np.uint64(3)).astype(np.int64)]
+            >> (p & np.uint64(7)).astype(np.uint8)
+        ) & np.uint8(1) == 1
+    assert member.all()

@@ -4046,6 +4046,46 @@ def _q_matching_user(sf_dir: str):
     return matching.maximal_matching(g)
 
 
+
+def _q_matching_weighted_user(sf_dir: str):
+    """Weighted maximal matching (Preis locally-dominant-edge 1/2-approx)
+    over the symmetrized user graph with deterministic synthetic weights
+    w = (src+dst) % 7 + 1 (symmetric, SQL-replayable). Oracle: 8 unrolled
+    proposal rounds ordered (w DESC, global edge order)."""
+    import shutil
+
+    from flashray import matching
+    from flashray.build import build_graph
+    from flashray.fixtures import EPOCH_US
+
+    edges = _user_succession_edges_cached(sf_dir)
+
+    def wset(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        n = len(s)
+        return pa.table(
+            {
+                "src": b["src"].cast(pa.int64()),
+                "dst": b["dst"].cast(pa.int64()),
+                "etype": pa.array(["succ"] * n, type=pa.string()),
+                "weight": pa.array(((s + d) % 7 + 1).astype(np.float64)),
+                "ts": pa.array(np.full(n, EPOCH_US),
+                               type=pa.timestamp("us")),
+            }
+        )
+
+    path = os.path.join(_CACHE_ROOT, "graphs", f"wmatch_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(
+        edges.map_batches(wset, batch_format="pyarrow"),
+        path,
+        num_partitions=4,
+        symmetrize=True,
+    )
+    return matching.maximal_matching(g, weighted=True)
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4346,6 +4386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rrf_fusion": _q_docs_rrf_fusion,
         "docs_sorted_neighborhood": _q_docs_sorted_neighborhood,
         "matching_user": _q_matching_user,
+        "matching_weighted_user": _q_matching_weighted_user,
     }
 
 
@@ -5026,6 +5067,53 @@ a0 AS MATERIALIZED (SELECT v FROM pr)"""
             f"SELECT e{r}.src, e{r}.dst, ROW_NUMBER() OVER ("
             f"PARTITION BY e{r}.src ORDER BY pr.p, e{r}.dst) AS rn"
             f" FROM e{r} JOIN pr ON pr.v = e{r}.dst) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT a.u, a.t FROM pp{r} a"
+            f" JOIN pp{r} bb ON bb.u = a.t AND bb.t = a.u"
+            f" WHERE a.u < a.t)"
+        )
+        parts.append(
+            f"a{r+1} AS MATERIALIZED (SELECT v FROM a{r} WHERE v NOT IN"
+            f" (SELECT u FROM m{r} UNION ALL SELECT t FROM m{r}))"
+        )
+    un = " UNION ALL ".join(
+        f"SELECT u, t FROM m{r}" for r in range(rounds)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(u AS BIGINT) AS u, CAST(t AS BIGINT) AS v
+FROM ({un}) ORDER BY 1, 2"""
+    )
+
+
+
+def _matching_weighted_sql(rounds: int = 8) -> str:
+    """Round-unrolled weighted symmetric-proposal matching: proposals
+    ordered (weight DESC, least(u,p), greatest(u,p)) — the kernel's
+    global-edge-order tie-break; w = (src+dst) % 7 + 1."""
+    head = """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+es AS MATERIALIZED (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM eu
+      UNION ALL SELECT dst, src, (src + dst) % 7 + 1 FROM eu),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM es)"""
+    parts = [head]
+    for r in range(rounds):
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT es.src, es.dst, es.w FROM es"
+            f" JOIN a{r} x ON x.v = es.src JOIN a{r} y ON y.v = es.dst)"
+        )
+        parts.append(
+            f"pp{r} AS MATERIALIZED (SELECT src AS u, dst AS t FROM ("
+            f"SELECT e{r}.src, e{r}.dst, ROW_NUMBER() OVER ("
+            f"PARTITION BY e{r}.src ORDER BY e{r}.w DESC,"
+            f" least(e{r}.src, e{r}.dst), greatest(e{r}.src, e{r}.dst))"
+            f" AS rn FROM e{r}) WHERE rn = 1)"
         )
         parts.append(
             f"m{r} AS MATERIALIZED (SELECT a.u, a.t FROM pp{r} a"
@@ -6563,6 +6651,7 @@ ORDER BY 1 LIMIT 10""",
         "pagerank_incremental_user": _pagerank_incremental_sql(6, 4),
         "multi_ppr_user": _multi_ppr_sql(6),
         "matching_user": _matching_sql(9),
+        "matching_weighted_user": _matching_weighted_sql(8),
         # incremental WCC converges to the full-graph components, and reply
         # chains make those per-conversation — size = conversation length
         "wcc_incremental_reply": f"""

@@ -104,55 +104,60 @@ def maximal_matching(
 
     ``weighted=True`` proposes to the HEAVIEST incident alive edge
     instead of the minimal hash priority — Preis's locally-dominant-edge
-    rule, a 1/2-approximation of maximum weight matching (the globally
-    heaviest alive edge always matches; ties broken by partner id, so
-    still deterministic). Local path only for now (the weighted
-    distributed proposal needs the weight column through the shuffle —
-    compose via the unweighted dataflow if needed at scale)."""
+    rule, a 1/2-approximation of maximum weight matching. Weight ties
+    break by the GLOBAL (min id, max id) edge order in both paths, so
+    the globally best alive edge always reciprocates and results are
+    deterministic and path-identical (agreement-tested)."""
     cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
     edges = graph.edges_dataset(columns=cols)
-    if weighted:
-        if graph.meta.num_edges > local_threshold:
-            raise NotImplementedError(
-                "weighted matching runs in-process; above the edge "
-                "threshold route through the unweighted dataflow or "
-                "raise local_threshold explicitly"
-            )
-        e = edges.to_pandas()
-        return _local_match(
-            e["src"].to_numpy(np.int64), e["dst"].to_numpy(np.int64),
-            max_rounds, weight=e["weight"].to_numpy(np.float64),
-        )
     if graph.meta.num_edges <= local_threshold:
         e = edges.to_pandas()
         return _local_match(
             e["src"].to_numpy(np.int64), e["dst"].to_numpy(np.int64),
             max_rounds,
+            weight=e["weight"].to_numpy(np.float64) if weighted else None,
         )
-    return _distributed_match(edges, max_rounds, num_buckets)
+    return _distributed_match(
+        edges, max_rounds, num_buckets, weighted=weighted
+    )
 
 
 def _distributed_match(edges: ray.data.Dataset, max_rounds: int,
-                       num_buckets: int) -> pd.DataFrame:
+                       num_buckets: int,
+                       weighted: bool = False) -> pd.DataFrame:
     from flashray.joins import bucket_hash_join
 
     I64 = pa.int64()
 
     def with_prio(b: pa.Table) -> pa.Table:
+        if weighted:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "mink_", pa.array(np.minimum(s, d))
+            ).append_column("maxk_", pa.array(np.maximum(s, d)))
         d = b["dst"].to_numpy(zero_copy_only=False)
         return b.append_column("pd_", pa.array(_prio(d)))
 
+    keep_cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
     cur = edges.map_batches(
-        lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
+        lambda b: b.select(keep_cols), batch_format="pyarrow"
     ).materialize()
     matched = []
     for _ in range(max_rounds):
         if cur.count() == 0:
             break
-        # proposal: per src, (prio, id)-minimal dst — bucket by src,
-        # in-bucket lexicographic first
+        # proposal: per src, the best partner — (prio, id)-minimal, or
+        # in weighted mode (weight desc, global edge order) — bucket by
+        # src, in-bucket lexicographic first
         def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["src", "pd_", "dst"])
+            if weighted:
+                g = g.sort_values(
+                    ["src", "weight", "mink_", "maxk_"],
+                    ascending=[True, False, True, True],
+                )
+            else:
+                g = g.sort_values(["src", "pd_", "dst"])
             return g.drop_duplicates("src")[["src", "dst"]].rename(
                 columns={"dst": "t"}
             )

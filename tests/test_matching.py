@@ -116,3 +116,22 @@ def test_local_match_properties(edges, perm_seed):
     p = rng.permutation(len(src))
     again = matching._local_match(src[p], dst[p], 256)
     assert pairs.equals(again)
+
+
+def test_weighted_matching_paths_agree(tmp_path):
+    """Weighted distributed rounds == weighted local kernel (same
+    proposal order: weight desc, global edge tie-break)."""
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 40, 150).astype(np.int64)
+    b = rng.integers(0, 40, 150).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    w = rng.integers(1, 5, keep.sum()).astype(np.float64)
+    g = build_graph_from_arrays(
+        np.concatenate([a, b]), np.concatenate([b, a]),
+        str(tmp_path / "wagree"), num_partitions=4,
+        weight=np.concatenate([w, w]),
+    )
+    local = matching.maximal_matching(g, weighted=True)
+    dist = matching.maximal_matching(g, weighted=True, local_threshold=0)
+    pd.testing.assert_frame_equal(local, dist)

@@ -118,13 +118,15 @@ def maximal_matching(
             weight=e["weight"].to_numpy(np.float64) if weighted else None,
         )
     return _distributed_match(
-        edges, max_rounds, num_buckets, weighted=weighted
+        edges, max_rounds, num_buckets, weighted=weighted,
+        tail_threshold=local_threshold,
     )
 
 
 def _distributed_match(edges: ray.data.Dataset, max_rounds: int,
                        num_buckets: int,
-                       weighted: bool = False) -> pd.DataFrame:
+                       weighted: bool = False,
+                       tail_threshold: int = 0) -> pd.DataFrame:
     from flashray.joins import bucket_hash_join
 
     I64 = pa.int64()
@@ -144,8 +146,25 @@ def _distributed_match(edges: ray.data.Dataset, max_rounds: int,
         lambda b: b.select(keep_cols), batch_format="pyarrow"
     ).materialize()
     matched = []
+    rounds_done = 0
     for _ in range(max_rounds):
-        if cur.count() == 0:
+        n_alive = cur.count()
+        if n_alive == 0:
+            break
+        if rounds_done > 0 and n_alive <= tail_threshold:
+            # hybrid tail (the peel-family idiom): most vertices match in
+            # the first rounds; once the alive edge set fits the local
+            # threshold, finish the remaining rounds in-process — the
+            # rule is identical, so the result is path-identical, and the
+            # long shrinking tail stops paying per-round shuffle latency
+            e = cur.to_pandas()
+            tail = _local_match(
+                e["src"].to_numpy(np.int64), e["dst"].to_numpy(np.int64),
+                max_rounds - rounds_done,
+                weight=(e["weight"].to_numpy(np.float64)
+                        if weighted else None),
+            )
+            matched.append(tail)
             break
         # proposal: per src, the best partner — (prio, id)-minimal, or
         # in weighted mode (weight desc, global edge order) — bucket by
@@ -213,6 +232,7 @@ def _distributed_match(edges: ray.data.Dataset, max_rounds: int,
         cur = cur.map_batches(
             drop_dead, batch_format="pyarrow"
         ).materialize()
+        rounds_done += 1
     if not matched:
         return pd.DataFrame(
             {"u": pd.Series(dtype=np.int64),

@@ -4086,6 +4086,48 @@ def _q_matching_weighted_user(sf_dir: str):
     return matching.maximal_matching(g, weighted=True)
 
 
+
+def _q_triangles_incremental_user(sf_dir: str):
+    """Triangles created by an edge ingest: the symmetrized user graph is
+    built from the (src+dst)%3 != 0 subset, the withheld edges arrive via
+    add_edges, and the A-B+C inclusion-exclusion over the delta counts
+    the new triangles — oracle = full-graph 3-way-join count minus the
+    subset count. Scalar output (new_triangles)."""
+    import shutil
+
+    import ray.data as rd
+
+    from flashray import triangles as tri
+    from flashray.build import add_edges, build_graph
+    from flashray.fixtures import EPOCH_US
+
+    edges = _user_succession_edges_cached(sf_dir).map_batches(
+        _succ_edge_schema, batch_format="pyarrow"
+    ).materialize()
+
+    def split(keep_first: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            m = ((s + d) % 3 != 0) == keep_first
+            return b.filter(pa.array(m))
+
+        return fn
+
+    path = os.path.join(_CACHE_ROOT, "graphs", f"triinc_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    g = build_graph(
+        edges.map_batches(split(True), batch_format="pyarrow"),
+        path,
+        num_partitions=4,
+        symmetrize=True,
+    )
+    delta = edges.map_batches(split(False), batch_format="pyarrow")
+    g = add_edges(g, delta)
+    n = tri.incremental_triangle_count(g, delta)
+    return pd.DataFrame({"new_triangles": [np.int64(n)]})
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4387,6 +4429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sorted_neighborhood": _q_docs_sorted_neighborhood,
         "matching_user": _q_matching_user,
         "matching_weighted_user": _q_matching_weighted_user,
+        "triangles_incremental_user": _q_triangles_incremental_user,
     }
 
 
@@ -6693,6 +6736,21 @@ pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b, n_shared FROM pairs ORDER BY 1, 2""",
+        # full-graph 3-way-join triangle count minus the subset count
+        "triangles_incremental_user": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+ef AS (SELECT DISTINCT a.user_id AS lo, c.user_id AS hi
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+es AS (SELECT lo, hi FROM ef WHERE (lo + hi) % 3 <> 0),
+tf AS (SELECT COUNT(*) AS t FROM ef a
+       JOIN ef bb ON bb.lo = a.lo AND bb.hi > a.hi
+       JOIN ef cc ON cc.lo = a.hi AND cc.hi = bb.hi),
+ts AS (SELECT COUNT(*) AS t FROM es a
+       JOIN es bb ON bb.lo = a.lo AND bb.hi > a.hi
+       JOIN es cc ON cc.lo = a.hi AND cc.hi = bb.hi)
+SELECT CAST(tf.t - ts.t AS BIGINT) AS new_triangles FROM tf, ts""",
         # global (key, id) ROW_NUMBER + rank-window self-join, w=5
         "docs_sorted_neighborhood": """
 WITH s AS (SELECT doc_id, substr(lower(text), 1, 12) AS k FROM documents),

@@ -712,3 +712,34 @@ def test_closed_wedges_broadcast_matches_join_path(graphs, monkeypatch):
         "fc": counts(triangles.four_cliques(graph)),
     }
     assert results["broadcast"] == results["join"] == local
+
+
+def test_incremental_triangle_count(tmp_path):
+    """A - B + C over the delta == full recount minus old count, for a
+    random 75/25 split (delta triangles span all k in {1,2,3})."""
+    import ray.data as rd
+
+    from flashray.build import add_edges, build_graph_from_arrays
+    from flashray.fixtures import edges_table
+
+    src, dst = fixtures.er_edges(60, 0.12, seed=5)
+    keep_old = (src + dst) % 4 != 0
+    g_old = build_graph_from_arrays(
+        src[keep_old], dst[keep_old], str(tmp_path / "old"),
+        num_partitions=4, symmetrize=True,
+    )
+    t_old = triangles.triangle_count(g_old)
+    delta = edges_table(src[~keep_old], dst[~keep_old])
+    g_new = add_edges(
+        build_graph_from_arrays(
+            src[keep_old], dst[keep_old], str(tmp_path / "new"),
+            num_partitions=4, symmetrize=True,
+        ),
+        rd.from_arrow(delta),
+    )
+    t_new = triangles.triangle_count(g_new)
+    assert t_new > t_old  # the split actually creates triangles
+    got = triangles.incremental_triangle_count(
+        g_new, rd.from_arrow(delta)
+    )
+    assert got == t_new - t_old

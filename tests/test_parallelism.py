@@ -114,3 +114,57 @@ def test_placement_group_pinning_bit_identical(tmp_path):
     assert np.array_equal(
         base["value"].to_numpy(), pinned["value"].to_numpy()
     )
+
+
+SCRIPT_R5 = """
+import sys, json, ray
+ray.init(address="local", num_cpus=int(sys.argv[1]), include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import numpy as np
+import ray.data as rd
+import pandas as pd
+from flashray import fixtures, matching
+from flashray.api import negative_edges
+from flashray.build import build_graph_from_arrays
+from flashray.datapipe.textstats import winnow_overlap
+import shutil
+out = sys.argv[2]
+shutil.rmtree(out, ignore_errors=True)
+src, dst = fixtures.er_edges(80, 0.07, seed=3)
+g = build_graph_from_arrays(src, dst, out, num_partitions=8)
+m = matching.maximal_matching(g, local_threshold=0)  # force distributed
+ne = negative_edges(g, 30, seed=1)
+rng = np.random.default_rng(4)
+vocab = ["aa", "bb", "cc", "dd"]
+docs = pd.DataFrame({
+    "doc_id": np.arange(50, dtype=np.int64),
+    "text": [" ".join(rng.choice(vocab, size=rng.integers(6, 30)))
+             for _ in range(50)],
+})
+wo = (winnow_overlap(rd.from_pandas(docs), n=3, w=3)
+      .to_pandas().sort_values(["doc_id_a", "doc_id_b"]))
+print(json.dumps({
+    "match": m.to_numpy().ravel().tolist(),
+    "neg": ne.to_numpy().ravel().tolist(),
+    "winnow": wo.to_numpy().ravel().tolist(),
+}))
+ray.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_round5_ops_identical_across_num_cpus(tmp_path):
+    """Distributed matching, negative sampling and winnowing overlap are
+    bit-identical from fresh processes at num_cpus 2 vs 8."""
+    results = {}
+    for ncpu in (2, 8):
+        out = subprocess.run(
+            [sys.executable, "-c", SCRIPT_R5, str(ncpu),
+             str(tmp_path / f"r5g{ncpu}")],
+            capture_output=True, text=True, cwd=REPO, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    assert results[2] == results[8]

@@ -4128,6 +4128,31 @@ def _q_triangles_incremental_user(sf_dir: str):
     return pd.DataFrame({"new_triangles": [np.int64(n)]})
 
 
+
+def _q_nmf_user(sf_dir: str):
+    """Rank-2 NMF of the directed user-succession adjacency, 2 Lee-Seung
+    multiplicative updates from sha-uniform init — the FlashMatrix-family
+    factorization on the SpMM kernels. Oracle replays both iterations in
+    long-form SQL; output W as (user_id, k, w 6dp, +1e-9 nudge)."""
+    from flashray import matrix
+
+    g = _user_graph(sf_dir, symmetrize=False)
+    W, _H = matrix.nmf(g, rank=2, iters=2, seed=0)
+    rows = []
+    for k in range(2):
+        rows.append(
+            pd.DataFrame(
+                {
+                    "user_id": W["vertex_id"].astype(np.int64),
+                    "k": np.int64(k),
+                    "w": (W[f"f{k}"] + 1e-9).round(6),
+                }
+            )
+        )
+    out = pd.concat(rows, ignore_index=True)
+    return out.sort_values(["user_id", "k"]).reset_index(drop=True)
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4430,6 +4455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matching_user": _q_matching_user,
         "matching_weighted_user": _q_matching_weighted_user,
         "triangles_incremental_user": _q_triangles_incremental_user,
+        "nmf_user": _q_nmf_user,
     }
 
 
@@ -5175,6 +5201,79 @@ a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM es)"""
         + f"""
 SELECT CAST(u AS BIGINT) AS u, CAST(t AS BIGINT) AS v
 FROM ({un}) ORDER BY 1, 2"""
+    )
+
+
+
+def _nmf_sql(iters: int = 2, rank: int = 2) -> str:
+    """Long-form Lee-Seung replay: w/h tables are (v, k, val) rows; per
+    iteration one Gram aggregate, one adjacency join and one elementwise
+    update per factor, exactly the matrix.nmf schedule (W then H)."""
+    head = f"""
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+vv AS MATERIALIZED (SELECT DISTINCT u AS v FROM
+     (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+ks AS MATERIALIZED (SELECT * FROM range(0, {rank}) t(k)),
+w0 AS MATERIALIZED (SELECT vv.v, ks.k,
+     CAST((CAST(concat('0x', substr(sha256('nmf0|' || vv.v || '|' || ks.k),
+                                    1, 16)) AS UBIGINT) >> 11) AS DOUBLE)
+       / 9007199254740992.0 AS val
+     FROM vv CROSS JOIN ks),
+h0 AS MATERIALIZED (SELECT v, k, val FROM w0)"""
+    parts = [head]
+    for i in range(iters):
+        parts.append(
+            f"hth{i} AS MATERIALIZED (SELECT a.k AS k1, b2.k AS k2,"
+            f" SUM(a.val * b2.val) AS s FROM h{i} a"
+            f" JOIN h{i} b2 ON b2.v = a.v GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"ah{i} AS MATERIALIZED (SELECT e.src AS v, h.k,"
+            f" SUM(h.val) AS s FROM e JOIN h{i} h ON h.v = e.dst"
+            f" GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"wd{i} AS MATERIALIZED (SELECT w.v, t.k2 AS k,"
+            f" SUM(w.val * t.s) AS s FROM w{i} w"
+            f" JOIN hth{i} t ON t.k1 = w.k GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"w{i+1} AS MATERIALIZED (SELECT w.v, w.k,"
+            f" w.val * COALESCE(a.s, 0) / (d.s + 0.000000001) AS val"
+            f" FROM w{i} w JOIN wd{i} d ON d.v = w.v AND d.k = w.k"
+            f" LEFT JOIN ah{i} a ON a.v = w.v AND a.k = w.k)"
+        )
+        parts.append(
+            f"wtw{i} AS MATERIALIZED (SELECT a.k AS k1, b2.k AS k2,"
+            f" SUM(a.val * b2.val) AS s FROM w{i+1} a"
+            f" JOIN w{i+1} b2 ON b2.v = a.v GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"atw{i} AS MATERIALIZED (SELECT e.dst AS v, w.k,"
+            f" SUM(w.val) AS s FROM e JOIN w{i+1} w ON w.v = e.src"
+            f" GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"hd{i} AS MATERIALIZED (SELECT h.v, t.k2 AS k,"
+            f" SUM(h.val * t.s) AS s FROM h{i} h"
+            f" JOIN wtw{i} t ON t.k1 = h.k GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"h{i+1} AS MATERIALIZED (SELECT h.v, h.k,"
+            f" h.val * COALESCE(a.s, 0) / (d.s + 0.000000001) AS val"
+            f" FROM h{i} h JOIN hd{i} d ON d.v = h.v AND d.k = h.k"
+            f" LEFT JOIN atw{i} a ON a.v = h.v AND a.k = h.k)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(v AS BIGINT) AS user_id, CAST(k AS BIGINT) AS k,
+       ROUND(val + 0.000000001, 6) AS w
+FROM w{iters} ORDER BY 1, 2"""
     )
 
 
@@ -6695,6 +6794,7 @@ ORDER BY 1 LIMIT 10""",
         "multi_ppr_user": _multi_ppr_sql(6),
         "matching_user": _matching_sql(9),
         "matching_weighted_user": _matching_weighted_sql(8),
+        "nmf_user": _nmf_sql(2, 2),
         # incremental WCC converges to the full-graph components, and reply
         # chains make those per-conversation — size = conversation length
         "wcc_incremental_reply": f"""

@@ -402,3 +402,179 @@ def hits_engine(
         .sort_values("vertex_id")
         .reset_index(drop=True)
     )
+
+
+def _sha_unit(keys: list[str]) -> np.ndarray:
+    """Deterministic uniforms in [0, 1): top 53 bits of sha256 over 2^53
+    — exactly representable doubles, byte-identical in SQL as
+    ``CAST(ub >> 11 AS DOUBLE) / 9007199254740992.0``."""
+    from flashray.datapipe.sketches import _sha_u64
+
+    return (_sha_u64(keys) >> np.uint64(11)).astype(np.float64) / float(
+        1 << 53
+    )
+
+
+def nmf(
+    graph: Graph,
+    *,
+    rank: int = 4,
+    iters: int = 10,
+    eps: float = 1e-9,
+    weighted: bool = False,
+    num_buckets: int | None = None,
+    seed: int = 0,
+    collect: bool = True,
+    local_threshold: int = 200_000,
+):
+    """Nonnegative matrix factorization of the adjacency, A ≈ W·Hᵀ, by
+    Lee & Seung's multiplicative updates (NIPS 2000) — the FlashMatrix-
+    family factorization built on this module's SpMM kernels:
+
+        W ← W ⊙ (A·H)  / (W·(HᵀH) + ε)      then
+        H ← H ⊙ (Aᵀ·W) / (H·(WᵀW) + ε)
+
+    per iteration. W and H live as Datasets (vertex_id, f0..f{r-1}) over
+    EVERY vertex; A·H / Aᵀ·W are ONE :func:`spmm` each (one edge join +
+    one aggregate, never a dense matrix); HᵀH / WᵀW are r×r Gram folds
+    (map-side partial outer products, O(blocks·r²) driver bytes); the
+    elementwise update is one bucket join with the tiny Gram broadcast
+    in-closure. Init is sha-uniform in (seed, vertex, k) — deterministic
+    across runs/parallelism and SQL-replayable, so fixed-iteration runs
+    are oracle-checkable. Returns (W, H) as pandas DataFrames
+    (vertex_id, f0..f{r-1}) sorted by vertex_id; objective is
+    non-increasing per Lee–Seung (asserted in tests). ``collect=False``
+    returns the factor DATASETS instead — the scale path: V×r factor
+    tables stay in the object store / parquet, never on the driver.
+
+    Hybrid routing (the repo idiom): below ``local_threshold`` edges the
+    update loop runs in-process on numpy arrays (same formulas, same
+    init — values agree with the distributed path to float round-off,
+    allclose-tested); ``local_threshold=0`` forces the dataflow."""
+    import pandas as pd
+
+    from flashray.joins import bucket_hash_join
+
+    B = num_buckets or max(16, graph.num_partitions)
+    fcols = [f"f{k}" for k in range(rank)]
+
+    def init_batch(b: pa.Table) -> pa.Table:
+        v = b["vertex_id"].to_numpy(zero_copy_only=False)
+        out = {"vertex_id": b["vertex_id"].cast(_I64)}
+        for k in range(rank):
+            out[fcols[k]] = pa.array(
+                _sha_unit([f"nmf{seed}|{int(x)}|{k}" for x in v])
+            )
+        return pa.table(out)
+
+    def gram(X) -> np.ndarray:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            M = df[fcols].to_numpy(dtype=np.float64)
+            return pd.DataFrame({"g": [(M.T @ M).reshape(-1)]})
+
+        parts = X.map_batches(partial, batch_format="pandas").to_pandas()
+        if not len(parts):
+            return np.zeros((rank, rank))
+        return np.sum(np.stack(parts["g"].to_numpy()), axis=0).reshape(
+            rank, rank
+        )
+
+    def mult_update(X, prod, G: np.ndarray):
+        """X ⊙ prod / (X·G + eps) — one bucket join, Gram in-closure."""
+        xsch = pa.schema(
+            [("vertex_id", _I64)] + [(c, _F64) for c in fcols]
+        )
+        psch = pa.schema(
+            [("vertex_id", _I64)] + [(f"y_{c}", _F64) for c in fcols]
+        )
+        j = bucket_hash_join(
+            X, prod, ["vertex_id"], how="left", num_buckets=B,
+            left_schema=xsch, right_schema=psch,
+        )
+
+        def upd(df: pd.DataFrame) -> pd.DataFrame:
+            M = df[fcols].to_numpy(dtype=np.float64)
+            P = (
+                df[[f"y_{c}" for c in fcols]]
+                .fillna(0.0)
+                .to_numpy(dtype=np.float64)
+            )
+            new = M * P / (M @ G + eps)
+            out = {"vertex_id": df["vertex_id"].astype(np.int64)}
+            for k in range(rank):
+                out[fcols[k]] = new[:, k]
+            return pd.DataFrame(out)
+
+        return j.map_batches(upd, batch_format="pandas").materialize()
+
+    verts = graph.vertices_dataset(columns=["vertex_id"])
+    if local_threshold and graph.meta.num_edges <= local_threshold:
+        cols = ["src", "dst"] + (["weight"] if weighted else [])
+        e = graph.edges_dataset(columns=cols).to_pandas()
+        vid = np.sort(
+            verts.to_pandas()["vertex_id"].to_numpy(dtype=np.int64)
+        )
+        return _local_nmf(
+            e["src"].to_numpy(np.int64), e["dst"].to_numpy(np.int64),
+            e["weight"].to_numpy(np.float64) if weighted else None,
+            vid, rank, iters, eps, seed, fcols,
+        )
+    W = verts.map_batches(init_batch, batch_format="pyarrow").materialize()
+    H = verts.map_batches(init_batch, batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        HtH = gram(H)
+        AH = spmm(
+            graph, H, x_cols=fcols, weighted=weighted, direction="in",
+            num_buckets=B,
+        )
+        W = mult_update(W, AH, HtH)
+        WtW = gram(W)
+        AtW = spmm(
+            graph, W, x_cols=fcols, weighted=weighted, direction="out",
+            num_buckets=B,
+        )
+        H = mult_update(H, AtW, WtW)
+    if not collect:
+        return W, H
+    Wp = W.to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    Hp = H.to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    return Wp, Hp
+
+
+def _local_nmf(src, dst, weight, vid, rank, iters, eps, seed, fcols):
+    """In-process Lee–Seung loop (identical formulas/init to the
+    dataflow; float sum order differs, so agreement is allclose)."""
+    import pandas as pd
+
+    n = len(vid)
+    pos = {int(v): i for i, v in enumerate(vid)}
+    si = np.fromiter((pos[int(v)] for v in src), np.int64, len(src))
+    di = np.fromiter((pos[int(v)] for v in dst), np.int64, len(dst))
+    w = weight if weight is not None else np.ones(len(src))
+
+    def init():
+        M = np.empty((n, rank))
+        for k in range(rank):
+            M[:, k] = _sha_unit(
+                [f"nmf{seed}|{int(v)}|{k}" for v in vid]
+            )
+        return M
+
+    W, H = init(), init()
+    for _ in range(iters):
+        HtH = H.T @ H
+        AH = np.zeros((n, rank))
+        np.add.at(AH, si, H[di] * w[:, None])
+        W = W * AH / (W @ HtH + eps)
+        WtW = W.T @ W
+        AtW = np.zeros((n, rank))
+        np.add.at(AtW, di, W[si] * w[:, None])
+        H = H * AtW / (H @ WtW + eps)
+
+    def frame(M):
+        out = {"vertex_id": vid}
+        for k in range(rank):
+            out[fcols[k]] = M[:, k]
+        return pd.DataFrame(out)
+
+    return frame(W), frame(H)

@@ -205,3 +205,49 @@ def test_hits_engine_weighted_agrees(er, tmp_path):
     pd.testing.assert_frame_equal(
         want, got, check_exact=False, rtol=1e-12, atol=1e-9
     )
+
+
+def test_nmf_objective_decreases_and_deterministic(tmp_path):
+    """Lee-Seung updates never increase ||A - W.H^T||_F^2; runs are
+    bit-identical; factors are nonnegative; collect=False returns
+    Datasets with the same rows."""
+    import numpy as np
+    import pandas as pd
+
+    from flashray import fixtures, matrix
+    from flashray.build import build_graph_from_arrays
+
+    src, dst = fixtures.er_edges(40, 0.12, seed=7)
+    g = build_graph_from_arrays(src, dst, str(tmp_path / "nmf"),
+                                num_partitions=4)
+    n = 40
+    A = np.zeros((n, n))
+    for a, b in zip(src, dst):
+        A[a, b] = 1.0
+
+    def err(W, H):
+        vids = W["vertex_id"].to_numpy()
+        fc = [c for c in W.columns if c.startswith("f")]
+        Wm = np.zeros((n, len(fc)))
+        Hm = np.zeros((n, len(fc)))
+        Wm[vids] = W[fc].to_numpy()
+        Hm[vids] = H[fc].to_numpy()
+        return float(((A - Wm @ Hm.T) ** 2).sum())
+
+    errs = []
+    for it in (0, 2, 6):
+        W, H = matrix.nmf(g, rank=3, iters=it)  # local path (tiny graph)
+        assert (W[[c for c in W.columns if c.startswith("f")]]
+                .to_numpy() >= 0).all()
+        errs.append(err(W, H))
+    assert errs[1] <= errs[0] + 1e-9
+    assert errs[2] <= errs[1] + 1e-9
+    W1, H1 = matrix.nmf(g, rank=3, iters=4)
+    W2, H2 = matrix.nmf(g, rank=3, iters=4)
+    pd.testing.assert_frame_equal(W1, W2)  # deterministic
+    # distributed dataflow agrees with the local loop to float round-off
+    Wd, Hd = matrix.nmf(g, rank=3, iters=2, local_threshold=0)
+    Wl, Hl = matrix.nmf(g, rank=3, iters=2)
+    fc = [c for c in Wl.columns if c.startswith("f")]
+    assert np.allclose(Wd[fc].to_numpy(), Wl[fc].to_numpy(), atol=1e-9)
+    assert np.allclose(Hd[fc].to_numpy(), Hl[fc].to_numpy(), atol=1e-9)

@@ -4153,6 +4153,32 @@ def _q_nmf_user(sf_dir: str):
     return out.sort_values(["user_id", "k"]).reset_index(drop=True)
 
 
+
+def _q_quotient_user_mod5(sf_dir: str):
+    """Quotient supergraph of the user-succession graph under mod-5
+    labels (the modularity_user_mod5 partition): super-edge weight = sum
+    of member-edge weights per label pair. The generic coarsening
+    primitive, oracle-replayed with a grouped SQL join."""
+    from flashray.api import quotient_edges
+
+    g = _user_graph(sf_dir, symmetrize=False)
+    verts = g.vertices_dataset(columns=["vertex_id"]).to_pandas()
+    labels = pd.DataFrame(
+        {
+            "vertex_id": verts["vertex_id"].astype(np.int64),
+            "label": (verts["vertex_id"] % 5).astype(np.int64),
+        }
+    )
+    out = (
+        quotient_edges(g, labels)
+        .to_pandas()
+        .sort_values(["label_src", "label_dst"])
+        .reset_index(drop=True)
+    )
+    out["weight"] = out["weight"].round(6)
+    return out.astype({"label_src": np.int64, "label_dst": np.int64})
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4456,6 +4482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matching_weighted_user": _q_matching_weighted_user,
         "triangles_incremental_user": _q_triangles_incremental_user,
         "nmf_user": _q_nmf_user,
+        "quotient_user_mod5": _q_quotient_user_mod5,
     }
 
 
@@ -6836,6 +6863,18 @@ pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b, n_shared FROM pairs ORDER BY 1, 2""",
+        # contract vertices to user_id % 5; super-edge weight = summed
+        # member weights (distinct succession edges carry weight 1)
+        "quotient_user_mod5": """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+e AS (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+      WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5)
+SELECT CAST(src % 5 AS BIGINT) AS label_src,
+       CAST(dst % 5 AS BIGINT) AS label_dst,
+       ROUND(COUNT(*) * 1.0, 6) AS weight
+FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
         # full-graph 3-way-join triangle count minus the subset count
         "triangles_incremental_user": """
 WITH b AS (SELECT DISTINCT user_id, event_type,

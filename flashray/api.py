@@ -270,3 +270,87 @@ def negative_edges(
         neg.sort_values("i").head(int(n)).reset_index(drop=True)
         .astype(np.int64)
     )
+
+
+def quotient_edges(
+    graph: Graph,
+    labels,
+    *,
+    label_col: str = "label",
+    num_buckets: int = 64,
+    self_loops: bool = True,
+) -> ray.data.Dataset:
+    """Quotient (community super-) graph: contract every vertex to its
+    label and sum edge weights between label pairs — the generic
+    coarsening primitive (Louvain's contraction step and the SCC
+    condensation are special cases; this exposes it for ANY labeling:
+    communities, partitions, shards). ``labels`` is a Dataset or pandas
+    DataFrame (vertex_id, <label_col>). Two bucketed hash joins attach
+    endpoint labels (the label table shuffles — never broadcast), one
+    near-unique-key aggregate sums the super-edge weights. Edges with an
+    unlabeled endpoint are dropped (inner joins); ``self_loops=False``
+    also drops intra-label edges. Returns (label_src, label_dst,
+    weight); feed into :func:`flashray.build.build_graph` (via the edge
+    schema) to iterate coarsening."""
+    import pandas as pd
+
+    from flashray.joins import bucket_group_agg, bucket_hash_join
+
+    I64 = pa.int64()
+    F64 = pa.float64()
+    if isinstance(labels, pd.DataFrame):
+        labels = ray.data.from_pandas(
+            labels[["vertex_id", label_col]].astype(
+                {"vertex_id": np.int64, label_col: np.int64}
+            )
+        )
+    edges = graph.edges_dataset(columns=["src", "dst", "weight"])
+    ls = labels.map_batches(
+        lambda b: pa.table(
+            {"src": b["vertex_id"].cast(I64),
+             "label_src": b[label_col].cast(I64)}
+        ),
+        batch_format="pyarrow",
+    )
+    ld = labels.map_batches(
+        lambda b: pa.table(
+            {"dst": b["vertex_id"].cast(I64),
+             "label_dst": b[label_col].cast(I64)}
+        ),
+        batch_format="pyarrow",
+    )
+    esch = pa.schema([("src", I64), ("dst", I64), ("weight", F64)])
+    j = bucket_hash_join(
+        edges, ls, ["src"], num_buckets=num_buckets,
+        left_schema=esch,
+        right_schema=pa.schema([("src", I64), ("label_src", I64)]),
+    )
+    j = bucket_hash_join(
+        j, ld, ["dst"], num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [("src", I64), ("dst", I64), ("weight", F64),
+             ("label_src", I64)]
+        ),
+        right_schema=pa.schema([("dst", I64), ("label_dst", I64)]),
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "label_src": b["label_src"],
+                "label_dst": b["label_dst"],
+                "weight": b["weight"],
+            }
+        )
+        if not self_loops:
+            ls_ = b["label_src"].to_numpy(zero_copy_only=False)
+            ld_ = b["label_dst"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ls_ != ld_))
+        return t
+
+    return bucket_group_agg(
+        j.map_batches(project, batch_format="pyarrow"),
+        ["label_src", "label_dst"],
+        {"weight": ("weight", "sum")},
+        num_buckets=num_buckets,
+    )

@@ -246,3 +246,44 @@ def test_negative_edges_deterministic_and_disjoint(tmp_path):
     # different seed, different sample
     c = negative_edges(g, 20, seed=4)
     assert not a.equals(c)
+
+
+def test_quotient_edges_matches_brute(tmp_path):
+    from flashray.api import quotient_edges
+    from flashray.build import build_graph_from_arrays
+
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 30, 150).astype(np.int64)
+    dst = rng.integers(0, 30, 150).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = build_graph_from_arrays(src, dst, str(tmp_path / "q"),
+                                num_partitions=4)
+    import pandas as pd
+
+    labels = pd.DataFrame(
+        {"vertex_id": np.arange(30, dtype=np.int64),
+         "label": (np.arange(30) % 4).astype(np.int64)}
+    )
+    got = (
+        quotient_edges(g, labels)
+        .to_pandas()
+        .sort_values(["label_src", "label_dst"])
+        .reset_index(drop=True)
+    )
+    # brute: sum deduped-edge weights per label pair
+    e = g.edges_dataset(columns=["src", "dst", "weight"]).to_pandas()
+    e["label_src"] = e["src"] % 4
+    e["label_dst"] = e["dst"] % 4
+    want = (
+        e.groupby(["label_src", "label_dst"], as_index=False)["weight"]
+        .sum()
+        .sort_values(["label_src", "label_dst"])
+        .reset_index(drop=True)
+        .astype({"label_src": np.int64, "label_dst": np.int64})
+    )
+    pd.testing.assert_frame_equal(
+        got[["label_src", "label_dst", "weight"]], want
+    )
+    noself = quotient_edges(g, labels, self_loops=False).to_pandas()
+    assert (noself["label_src"] != noself["label_dst"]).all()

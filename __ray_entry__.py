@@ -4179,6 +4179,39 @@ def _q_quotient_user_mod5(sf_dir: str):
     return out.astype({"label_src": np.int64, "label_dst": np.int64})
 
 
+
+def _q_scan_window_topk(sf_dir: str):
+    """A14 (time-series scan, the reference's sstsg composition): top-20
+    scan statistic over the FIRST-HALF time window of the symmetrized
+    transcript graph — cutoff = integer midpoint of the deduped edge
+    table's [min, max] ts in microseconds (exact both sides), windowed
+    subgraph rebuilt via api.window_graph, scan = degree (the transcript
+    graph is triangle-free: reply endpoints alternate roles, so no
+    turn-role-turn closure — the same closed form scan_topk's oracle
+    relies on). Output (rank, scan)."""
+    import shutil
+
+    from flashray import api
+    from flashray import triangles as tri
+
+    g = _graph(sf_dir, symmetrize=True)
+    ts = g.edges_dataset(columns=["ts"]).to_pandas()["ts"]
+    us = ts.astype("int64")
+    cut = int((us.min() + us.max()) // 2)
+    path = os.path.join(_CACHE_ROOT, "graphs", f"scanwin_{_tier(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    gw = api.window_graph(
+        g,
+        np.datetime64(int(us.min()), "us"),
+        np.datetime64(cut, "us"),
+        path,
+    )
+    df = tri.topk_scan(gw, 20).to_pandas().reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    df["scan"] = df["scan"].astype(np.int64)
+    return df[["rank", "scan"]]
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4483,6 +4516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_incremental_user": _q_triangles_incremental_user,
         "nmf_user": _q_nmf_user,
         "quotient_user_mod5": _q_quotient_user_mod5,
+        "scan_window_topk": _q_scan_window_topk,
     }
 
 
@@ -6863,6 +6897,37 @@ pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b, n_shared FROM pairs ORDER BY 1, 2""",
+        # windowed scan: rebuild the deduped symmetric edge table WITH
+        # min-ts, cut at the integer-us midpoint, scan = degree
+        "scan_window_topk": f"""
+WITH t AS ({_tsql()}),
+raw AS (
+  SELECT 'turn:' || a.conv_id || ':' || a.turn_idx AS src_key,
+         'turn:' || b.conv_id || ':' || b.turn_idx AS dst_key,
+         'reply' AS etype, epoch_us(b.ts) AS us
+  FROM t a JOIN t b ON a.conv_id = b.conv_id
+                   AND a.turn_idx + 1 = b.turn_idx
+  UNION ALL
+  SELECT 'turn:' || conv_id || ':' || turn_idx, 'tool:' || tool, 'tool',
+         epoch_us(ts)
+  FROM t WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT 'turn:' || conv_id || ':' || turn_idx, 'role:' || role, 'role',
+         epoch_us(ts)
+  FROM t
+),
+sym AS (SELECT src_key, dst_key, etype, us FROM raw
+        UNION ALL SELECT dst_key, src_key, etype, us FROM raw),
+dd AS (SELECT src_key, dst_key, etype, MIN(us) AS us
+       FROM sym GROUP BY 1, 2, 3),
+cut AS (SELECT (MIN(us) + MAX(us)) // 2 AS c FROM dd),
+win AS (SELECT dd.* FROM dd, cut WHERE dd.us < cut.c),
+deg AS (SELECT src_key, CAST(COUNT(*) AS BIGINT) AS scan
+        FROM win GROUP BY 1),
+top AS (SELECT scan FROM deg ORDER BY scan DESC, src_key LIMIT 20)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY scan DESC) AS BIGINT) AS rank,
+       scan
+FROM top ORDER BY 1""",
         # contract vertices to user_id % 5; super-edge weight = summed
         # member weights (distinct succession edges carry weight 1)
         "quotient_user_mod5": """

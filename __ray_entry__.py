@@ -4212,6 +4212,25 @@ def _q_scan_window_topk(sf_dir: str):
     return df[["rank", "scan"]]
 
 
+
+def _q_local_cluster_user(sf_dir: str):
+    """PageRank-Nibble local clustering (Andersen-Chung-Lang sweep cut)
+    from user 0 on the symmetrized user graph: 6-superstep personalized
+    PageRank, sweep order = round(rank/degree + 1e-9, 6) desc (the
+    oracle-parity key mode), min-conductance prefix under the vol <= m
+    restriction. Output one row per member (user_id, conductance 6dp)."""
+    from flashray import algorithms
+
+    g = _user_graph(sf_dir, symmetrize=True)
+    res = algorithms.local_cluster(g, 0, iters=6, key_decimals=6)
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series(res["members"], dtype=np.int64),
+            "conductance": round(res["conductance"] + 1e-9, 6),
+        }
+    )
+
+
 def _q_docs_winnow_overlap(sf_dir: str):
     """MOSS winnowing copy detection over the documents table: word
     4-gram sha fingerprints, window w=4 rightmost-min selection, pairs
@@ -4517,6 +4536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nmf_user": _q_nmf_user,
         "quotient_user_mod5": _q_quotient_user_mod5,
         "scan_window_topk": _q_scan_window_topk,
+        "local_cluster_user": _q_local_cluster_user,
     }
 
 
@@ -5335,6 +5355,88 @@ h0 AS MATERIALIZED (SELECT v, k, val FROM w0)"""
 SELECT CAST(v AS BIGINT) AS user_id, CAST(k AS BIGINT) AS k,
        ROUND(val + 0.000000001, 6) AS w
 FROM w{iters} ORDER BY 1, 2"""
+    )
+
+
+
+def _local_cluster_sql(iters: int = 6) -> str:
+    """PPR-Nibble replay on the SYMMETRIZED user graph: seed-0 PPR
+    unrolled, sweep key ROUND(r/deg + 1e-9, 6) desc with id tie-break,
+    cut(k) counted per undirected edge, vol <= m restriction, minimum
+    conductance prefix emitted with its members."""
+    head = """
+WITH b AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+       FROM b a JOIN b c ON a.event_type = c.event_type AND a.hb = c.hb
+       WHERE c.user_id > a.user_id AND c.user_id - a.user_id <= 5),
+es AS MATERIALIZED (SELECT src, dst FROM eu
+      UNION ALL SELECT dst, src FROM eu),
+od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM es GROUP BY 1),
+vv AS MATERIALIZED (SELECT src AS v FROM od),
+tm AS MATERIALIZED (SELECT SUM(od) AS m2 FROM od),
+p0 AS MATERIALIZED (SELECT v, CASE WHEN v = 0 THEN 1.0 ELSE 0.0 END AS r
+     FROM vv)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT vv.v,"
+            f" 0.15 * (CASE WHEN vv.v = 0 THEN 1.0 ELSE 0.0 END)"
+            f" + 0.85 * COALESCE(s.c, 0) AS r"
+            f" FROM vv LEFT JOIN ("
+            f"SELECT e.dst AS k, SUM(r.r / od.od) AS c"
+            f" FROM es e JOIN p{i-1} r ON e.src = r.v"
+            f" JOIN od ON od.src = e.src GROUP BY 1) s ON s.k = vv.v)"
+        )
+    parts.append(
+        f"""cand AS MATERIALIZED (SELECT p.v, p.r, od.od,
+     ROUND(p.r / greatest(od.od, 1) + 0.000000001, 6) AS key
+     FROM p{iters} p JOIN od ON od.src = p.v WHERE p.r > 0)"""
+    )
+    parts.append(
+        """ord1 AS MATERIALIZED (SELECT v, od,
+     ROW_NUMBER() OVER (ORDER BY key DESC, v) - 1 AS p FROM cand)"""
+    )
+    parts.append(
+        """vol AS MATERIALIZED (SELECT p,
+     SUM(od) OVER (ORDER BY p) AS vol FROM ord1)"""
+    )
+    # per-undirected-edge positions (canonical src<dst rows only when
+    # both ends are candidates; candidate->outside edges via either row)
+    parts.append(
+        """epos AS MATERIALIZED (
+   SELECT a.p AS lo, COALESCE(bb.p, 2147483647) AS hi0
+   FROM eu e JOIN ord1 a ON a.v = e.src LEFT JOIN ord1 bb ON bb.v = e.dst
+   UNION ALL
+   SELECT a.p, 2147483647
+   FROM eu e JOIN ord1 a ON a.v = e.dst
+   WHERE NOT EXISTS (SELECT 1 FROM ord1 x WHERE x.v = e.src))"""
+    )
+    parts.append(
+        """ecan AS MATERIALIZED (SELECT least(lo, hi0) AS lo,
+     greatest(lo, hi0) AS hi FROM epos)"""
+    )
+    parts.append(
+        """cut AS MATERIALIZED (SELECT o.p,
+     (SELECT COUNT(*) FROM ecan WHERE ecan.lo <= o.p AND o.p < ecan.hi)
+       AS cut FROM ord1 o)"""
+    )
+    parts.append(
+        """phi AS MATERIALIZED (SELECT c.p,
+     c.cut * 1.0 / greatest(least(v.vol, tm.m2 - v.vol), 1) AS phi
+     FROM cut c JOIN vol v ON v.p = c.p CROSS JOIN tm
+     WHERE v.vol * 2 <= tm.m2)"""
+    )
+    parts.append(
+        """best AS MATERIALIZED (SELECT p, phi FROM phi
+     ORDER BY phi, p LIMIT 1)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT CAST(o.v AS BIGINT) AS user_id,
+       ROUND(best.phi + 0.000000001, 6) AS conductance
+FROM ord1 o, best WHERE o.p <= best.p ORDER BY 1"""
     )
 
 
@@ -6856,6 +6958,7 @@ ORDER BY 1 LIMIT 10""",
         "matching_user": _matching_sql(9),
         "matching_weighted_user": _matching_weighted_sql(8),
         "nmf_user": _nmf_sql(2, 2),
+        "local_cluster_user": _local_cluster_sql(6),
         # incremental WCC converges to the full-graph components, and reply
         # chains make those per-conversation — size = conversation length
         "wcc_incremental_reply": f"""

@@ -1606,3 +1606,115 @@ def dag_levels(graph: Graph, *, max_iters: int = 10_000, out_dir=None,
             "scc.condensation first"
         )
     return result
+
+
+def local_cluster(graph: Graph, seed: int, *, damping: float = 0.85,
+                  iters: int = 12, max_size: int | None = None,
+                  key_decimals: int | None = None, actor_cpus=None):
+    """PageRank-Nibble local clustering (Andersen, Chung & Lang, FOCS
+    2006 — the sweep-cut formulation): run personalized PageRank from
+    ``seed`` (the engine's A1-variant kernel, fixed supersteps so the
+    trajectory is SQL-replayable), order touched vertices by rank/degree
+    (ties by vertex id), and return the prefix with minimum conductance
+    φ = cut / min(vol, 2m − vol). Symmetrized graphs only (conductance
+    semantics). The candidate set is the PPR support — O(touched)
+    vertices, NOT O(V): the sweep runs on the driver over that small
+    set (the explicit small-output collector contract; at 10^12 edges
+    pass ``max_size`` to cap the sweep prefix). Returns a dict with
+    ``members`` (sorted vertex ids), ``conductance``, ``size``,
+    ``sweep_position``."""
+    import pandas as pd
+
+    ppr = personalized_pagerank(
+        graph, [int(seed)], damping=damping, eps=0.0, max_iters=iters,
+        actor_cpus=actor_cpus,
+    )
+    touched = ppr[ppr["value"] > 0.0].copy()
+    if not len(touched):
+        return {"members": [int(seed)], "conductance": 1.0, "size": 1,
+                "sweep_position": 0}
+    deg = (
+        graph.vertices_dataset(columns=["vertex_id", "out_degree"])
+        .to_pandas()
+    )
+    t = touched.merge(deg, on="vertex_id", how="left")
+    t["out_degree"] = t["out_degree"].fillna(0).astype(np.int64)
+    t["key"] = t["value"] / np.maximum(t["out_degree"].to_numpy(), 1)
+    if key_decimals is not None:
+        # oracle-parity mode: cross-system float noise in the PPR sums
+        # could flip the order of near-equal keys; round (with the +1e-9
+        # half-boundary nudge) so both systems sort identical keys
+        t["key"] = (t["key"] + 1e-9).round(key_decimals)
+    t = t.sort_values(
+        ["key", "vertex_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    if max_size is not None:
+        t = t.head(int(max_size))
+    order = t["vertex_id"].to_numpy(dtype=np.int64)
+    pos = {int(v): i for i, v in enumerate(order)}
+    # edges among/out of the candidate set: one filtered pass over the
+    # edge table (candidate set broadcast)
+    import ray as _ray
+
+    cand_ref = _ray.put(np.sort(order))
+
+    def per_batch(b) -> "pd.DataFrame":
+        import pyarrow as _pa  # noqa: F401
+
+        cand = _ray.get(cand_ref)
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        ks = np.searchsorted(cand, s)
+        in_s = (ks < len(cand)) & (cand[np.minimum(ks, len(cand) - 1)] == s)
+        return pd.DataFrame({"src": s[in_s], "dst": d[in_s]})
+
+    e = (
+        graph.edges_dataset(columns=["src", "dst"])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # canonical undirected edges touching the candidate set, each ONCE:
+    # the src-filter kept both rows of candidate-internal edges but only
+    # one row of candidate↔outside edges — drop the duplicate direction
+    # (dst also a candidate AND src > dst) so every edge counts once,
+    # matching the repo's conductance convention (cut = undirected edges
+    # with exactly one endpoint inside; vol = Σ undirected degree)
+    two_m = int(deg["out_degree"].sum())
+    src_pos = e["src"].map(pos).to_numpy(dtype=np.int64)
+    dst_pos = e["dst"].map(lambda v: pos.get(int(v), -1)).to_numpy(
+        dtype=np.int64
+    )
+    dup = (dst_pos >= 0) & (
+        e["src"].to_numpy(dtype=np.int64) > e["dst"].to_numpy(dtype=np.int64)
+    )
+    src_pos, dst_pos = src_pos[~dup], dst_pos[~dup]
+    n = len(order)
+    # edge (positions i, j; j = ∞ outside) crosses prefix k iff
+    # min ≤ k < max; accumulate via a difference array
+    diff = np.zeros(n + 1, dtype=np.int64)
+    inside = dst_pos >= 0
+    lo = np.minimum(src_pos, np.where(inside, dst_pos, src_pos))
+    hi = np.where(inside, np.maximum(src_pos, dst_pos), n)
+    np.add.at(diff, lo, 1)
+    np.add.at(diff, hi, -1)
+    cut = np.cumsum(diff[:-1])
+    degs = t["out_degree"].to_numpy(dtype=np.int64)
+    vol = np.cumsum(degs)
+    denom = np.minimum(vol, np.maximum(two_m - vol, 1))
+    phi = cut / np.maximum(denom, 1)
+    # the standard sweep restriction: only prefixes with vol(S) <= m —
+    # without it a candidate set covering the whole graph "wins" with
+    # the trivial zero-cut full set
+    valid = vol * 2 <= two_m
+    if not valid.any():
+        valid = np.zeros_like(valid)
+        valid[0] = True
+    phi = np.where(valid, phi, np.inf)
+    k = int(np.argmin(phi))
+    members = np.sort(order[: k + 1])
+    return {
+        "members": [int(v) for v in members],
+        "conductance": float(phi[k]),
+        "size": int(k + 1),
+        "sweep_position": k,
+    }

@@ -979,3 +979,59 @@ def test_multi_ppr_matches_single_seed_runs(tmp_graphs):
         assert np.allclose(
             col["rank"].to_numpy(), single["value"].to_numpy(), atol=1e-9
         )
+
+
+def test_local_cluster_two_cliques(tmp_path):
+    """PageRank-Nibble from inside a clique returns that clique (one
+    bridge edge → conductance 1/vol), and the sweep arithmetic matches a
+    dense numpy replication on a random graph."""
+    from flashray.build import build_graph_from_arrays
+
+    # two K5s bridged by a single edge 4-5
+    def k5(base):
+        e = [(base + i, base + j) for i in range(5) for j in range(5)
+             if i != j]
+        return e
+
+    edges = k5(0) + k5(5) + [(4, 5), (5, 4)]
+    src = np.array([a for a, b in edges], dtype=np.int64)
+    dst = np.array([b for a, b in edges], dtype=np.int64)
+    g = build_graph_from_arrays(src, dst, str(tmp_path / "lc"),
+                                num_partitions=2)
+    res = algorithms.local_cluster(g, 0, iters=20)
+    assert res["members"] == [0, 1, 2, 3, 4]
+    # cut = 1 bridge, vol = 4*4 + 5 = 21
+    assert abs(res["conductance"] - 1 / 21) < 1e-12
+
+    # dense replication of the sweep on a random graph
+    src, dst = fixtures.er_edges(50, 0.1, seed=11)
+    g2 = build_graph_from_arrays(src, dst, str(tmp_path / "lc2"),
+                                 num_partitions=4)
+    res2 = algorithms.local_cluster(g2, 3, iters=8)
+    ppr = algorithms.personalized_pagerank(g2, [3], eps=0.0, max_iters=8)
+    touched = ppr[ppr["value"] > 0.0]
+    n = 50
+    A = np.zeros((n, n), dtype=bool)
+    for a, b in zip(src, dst):
+        A[a, b] = True
+    degv = A.sum(1)
+    t = touched.copy()
+    t["deg"] = degv[t["vertex_id"].to_numpy()]
+    t["key"] = t["value"] / np.maximum(t["deg"], 1)
+    t = t.sort_values(["key", "vertex_id"], ascending=[False, True])
+    order = t["vertex_id"].to_numpy()
+    best = (2.0, None)
+    for k in range(len(order)):
+        S = set(order[: k + 1].tolist())
+        cut = sum(
+            1 for a in range(n) for b in range(a + 1, n)
+            if A[a, b] and ((a in S) != (b in S))
+        )
+        vol = int(degv[list(S)].sum())
+        if vol * 2 > int(degv.sum()):
+            continue  # the sweep's vol <= m restriction
+        phi = cut / max(min(vol, int(degv.sum()) - vol), 1)
+        if phi < best[0]:
+            best = (phi, k)
+    assert res2["sweep_position"] == best[1]
+    assert abs(res2["conductance"] - best[0]) < 1e-12

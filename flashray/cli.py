@@ -116,6 +116,9 @@ def cmd_run(args) -> int:
         from flashray import matching as _matching
 
         res = _matching.maximal_matching(g, weighted=args.weighted)
+    elif alg == "nibble":
+        seed = int((args.seeds or "0").split(",")[0])
+        res = algorithms.local_cluster(g, seed)
     elif alg == "ppr":
         res = algorithms.multi_ppr(
             g, [int(x) for x in (args.seeds or "").split(",")], eps=args.eps
@@ -180,8 +183,8 @@ def main(argv=None) -> int:
     r.add_argument("--graph", required=True)
     r.add_argument("--algorithm", required=True,
                    choices=["pagerank", "wcc", "labelprop", "bfs", "kcore",
-                            "onion", "ppr", "matching", "diameter",
-                            "triangles", "scan_topk", "scc",
+                            "onion", "ppr", "matching", "nibble",
+                            "diameter", "triangles", "scan_topk", "scc",
                             "betweenness"])
     r.add_argument("--out", default=None)
     r.add_argument("--checkpoint-dir", default=None)
